@@ -1,0 +1,72 @@
+"""FileSystemConnector tests — mirrors the reference's S3 connector suite
+(tests/common/test_s3.py:63-227) on local paths: listing, csv/parquet
+round-trips, empty-write guard, wrong-format raise, single-object write.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from trading_data_pipeline_spark.exceptions import WrongFormatException
+from trading_data_pipeline_spark.sources.connector import FileSystemConnector
+
+
+@pytest.fixture()
+def conn(spark, tmp_path):
+    return FileSystemConnector(spark, str(tmp_path))
+
+
+@pytest.fixture()
+def df2(spark):
+    # ref test_s3.py:160 — the generic 2-col frame
+    return spark.createDataFrame([("A", "B"), ("C", "D")], "col1 string, col2 string")
+
+
+def test_csv_round_trip(conn, df2):
+    assert conn.write(df2, "out/csv_rt", "csv") is True
+    back = conn.read_csv("out/csv_rt", schema="col1 string, col2 string")
+    assert sorted(map(tuple, back.collect())) == [("A", "B"), ("C", "D")]
+
+
+def test_parquet_round_trip(conn, df2):
+    assert conn.write(df2, "out/pq_rt", "parquet") is True
+    back = conn.read_parquet("out/pq_rt")
+    assert sorted(map(tuple, back.collect())) == [("A", "B"), ("C", "D")]
+
+
+def test_wrong_format_raises(conn, df2):
+    with pytest.raises(WrongFormatException):
+        conn.write(df2, "out/bad", "xlsx")  # ref test_s3.py:211-227
+
+
+def test_empty_write_skipped(conn, spark, tmp_path):
+    empty = spark.createDataFrame([], "col1 string, col2 string")
+    assert conn.write(empty, "out/empty", "csv") is None  # ref s3.py:93-95
+    assert not os.path.exists(tmp_path / "out/empty")
+
+
+def test_list_files_in_prefix(conn, df2, tmp_path):
+    conn.write(df2, "2021-04-15/a", "csv")
+    conn.write(df2, "2021-04-16/b", "csv")
+    files = conn.list_files_in_prefix("2021-04-15")
+    assert files and all("2021-04-15" in f for f in files)
+    assert conn.list_files_in_prefix("2021-04-99") == []
+
+
+def test_write_single_object(conn, df2, tmp_path):
+    # ref xetra_transformer.py:216-221 writes ONE object per report
+    assert conn.write_single_object(df2, "report/r1.csv", "csv") is True
+    target = tmp_path / "report/r1.csv"
+    assert target.is_file()  # a real file, not a directory sink
+    back = conn.read_csv("report/r1.csv", schema="col1 string, col2 string")
+    assert back.count() == 2
+
+
+def test_multi_path_scan_unions(conn, df2):
+    # ref extract(): many csv objects → ONE frame (xetra_transformer.py:118-123)
+    conn.write(df2, "d1/part", "csv")
+    conn.write(df2, "d2/part", "csv")
+    both = conn.read_csv(["d1/part", "d2/part"], schema="col1 string, col2 string")
+    assert both.count() == 4

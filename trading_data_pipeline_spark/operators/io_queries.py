@@ -1,1 +1,102 @@
-"""Filled in by build plan (SURVEY.md §7)."""
+"""Declared queries for scans/sources/sinks (SURVEY.md §2.a rows 1-8).
+
+Each query materializes a deterministic copy of a testdata table through the
+FileSystemConnector (CSV or partitioned parquet) under ``.tmp/io`` and reads
+it back, so the oracle is simply the original table — a full round-trip
+check of the scan/sink code paths the reference exercises against S3
+(xetra/common/s3.py:52-107). Local paths here; the connector API is
+scheme-agnostic (s3a:// works unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+from ..sources.connector import FileSystemConnector
+
+TMP_ROOT = "/root/repo/.tmp/io"
+
+NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+CUSTOMER_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _conn(spark: SparkSession) -> FileSystemConnector:
+    os.makedirs(TMP_ROOT, exist_ok=True)
+    return FileSystemConnector(spark, TMP_ROOT)
+
+
+@register(
+    "q_scan_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV scan with explicit schema (ref s3.py:65-82): parquet→csv→read "
+    "round-trip must reproduce the table exactly",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    conn.write(load(spark, sf_dir, "nation"), "scan_csv/nation", "csv")
+    return conn.read_csv("scan_csv/nation", schema=NATION_SCHEMA)
+
+
+@register(
+    "q_scan_partition",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Hive-partitioned parquet + partition pruning — the 100 TB version "
+    "of the ref's date-prefix key listing (s3.py:52-63): the filter on the "
+    "partition column prunes directories at planning time, no data read "
+    "from other partitions",
+)
+def q_scan_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    conn.write(orders, "scan_part/orders", "parquet", partition_by=["o_orderstatus"])
+    back = conn.read_parquet("scan_part/orders")
+    return back.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        # partition columns come back as the partition-dir string value
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+@register(
+    "q_sink_csv",
+    "SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal, "
+    "c_mktsegment FROM customer",
+    doc="CSV sink round-trip (ref s3.py:96-99); doubles survive because "
+    "Spark writes shortest-round-trip representations",
+)
+def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    customer = load(spark, sf_dir, "customer")
+    conn.write(customer, "sink_csv/customer", "csv")
+    back = conn.read_csv("sink_csv/customer", schema=CUSTOMER_SCHEMA)
+    return back.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+@register(
+    "q_sink_parquet",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+    "FROM lineitem",
+    doc="Parquet sink round-trip (ref s3.py:100-103); exact double fidelity",
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    conn.write(li, "sink_parquet/lineitem", "parquet")
+    return conn.read_parquet("sink_parquet/lineitem")

@@ -1,0 +1,167 @@
+"""Object-store / filesystem connector — Spark-first port of the reference's
+``S3BucketConnector`` (xetra/common/s3.py:30-120).
+
+The reference wraps boto3: list keys under a prefix (:52-63), read one CSV
+into pandas (:65-82), write a frame as csv/parquet (:84-107). On Spark the
+same surface works over any Hadoop-supported scheme (``file://``, ``s3a://``,
+``hdfs://``) through the JVM FileSystem API and ``spark.read``/``df.write`` —
+executors do the reads in parallel instead of the driver streaming bytes.
+
+Scale design:
+- ``list_files_in_prefix`` exists for protocol parity (the reference's
+  incremental extract needs explicit key lists), but the preferred 100 TB
+  path is passing the whole path list (or a partitioned root + filter) to a
+  single ``read_csv``/``read_parquet`` call so Spark plans one distributed
+  scan with partition pruning — never a driver-side loop of single-file
+  reads (ref's extract loop, xetra_transformer.py:118-123).
+- Writes are directory sinks (one file per task). ``write_single_object``
+  reproduces the reference's single-key output contract
+  (xetra_transformer.py:216-221) via coalesce(1) + FS rename — only for
+  report-sized outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..exceptions import WrongFormatException
+
+SUPPORTED_FORMATS = ("csv", "parquet")
+
+
+class FileSystemConnector:
+    """List/read/write over a Hadoop-supported filesystem root.
+
+    ``root`` plays the role of the reference's bucket endpoint+name
+    (s3.py:37-50); credentials come from the Hadoop conf / environment
+    (same as boto3's env-credential chain at s3.py:45-47).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- listing (ref s3.py:52-63) -----------------------------------------
+    def _fs(self, path_str: str):
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path, jvm
+
+    def list_files_in_prefix(self, prefix: str) -> list[str]:
+        """Return all file paths under ``root/prefix`` (recursive).
+
+        Ref s3.py:52-63 (``bucket.objects.filter(Prefix=prefix)``). Uses the
+        JVM FileSystem so the same call works on file://, s3a://, hdfs://.
+        """
+        base = f"{self.root}/{prefix.lstrip('/')}"
+        fs, path, _ = self._fs(base)
+        if not fs.exists(path):
+            return []
+        out: list[str] = []
+        it = fs.listFiles(path, True)  # recursive
+        while it.hasNext():
+            out.append(it.next().getPath().toString())
+        return sorted(out)
+
+    # -- reads (ref s3.py:65-82) -------------------------------------------
+    def read_csv(
+        self,
+        paths: str | list[str],
+        schema: StructType | str | None = None,
+        sep: str = ",",
+        encoding: str = "UTF-8",
+        header: bool = True,
+    ) -> DataFrame:
+        """Distributed CSV scan over one or many paths.
+
+        Ref s3.py:65-82 reads ONE object per call and the caller concats
+        (xetra_transformer.py:118-123); here the whole path list becomes a
+        single Spark scan (the UNION ALL is implicit and parallel).
+        Explicit ``schema`` is strongly preferred at scale — ``inferSchema``
+        triggers an extra pass over the data.
+        """
+        reader = self.spark.read.options(header=header, sep=sep, encoding=encoding)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        if isinstance(paths, str):
+            paths = [paths]
+        return reader.csv([self._abs(p) for p in paths])
+
+    def read_parquet(self, paths: str | list[str]) -> DataFrame:
+        if isinstance(paths, str):
+            paths = [paths]
+        return self.spark.read.parquet(*[self._abs(p) for p in paths])
+
+    def _abs(self, p: str) -> str:
+        return p if "://" in p or p.startswith("/") else f"{self.root}/{p}"
+
+    # -- writes (ref s3.py:84-107) -----------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        key: str,
+        file_format: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> bool | None:
+        """Write ``df`` under ``root/key`` as csv or parquet.
+
+        Mirrors the reference's semantics exactly:
+        - empty frame → skip the write, return None (s3.py:93-95; uses
+          ``isEmpty()`` — a LocalLimit(1) probe, not a full count)
+        - unsupported format → WrongFormatException (s3.py:104-107)
+        - csv branch (s3.py:96-99), parquet branch (s3.py:100-103)
+        Partitioned parquet (``partition_by``) is the 100 TB layout the
+        reference's date-prefix key scheme approximates by hand.
+        """
+        if file_format not in SUPPORTED_FORMATS:
+            raise WrongFormatException(
+                f"{file_format} is not supported; use one of {SUPPORTED_FORMATS}"
+            )
+        if not df.columns or df.isEmpty():
+            return None
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        target = self._abs(key)
+        if file_format == "csv":
+            writer.option("header", True).csv(target)
+        else:
+            writer.parquet(target)
+        return True
+
+    def write_single_object(self, df: DataFrame, key: str, file_format: str) -> bool | None:
+        """Single-object output key, matching the reference's
+        ``<trg_key><timestamp>.<fmt>`` contract (xetra_transformer.py:216-221).
+
+        Spark sinks are directories; this coalesces to one task and renames
+        the part file to ``key``. ONLY for report-sized output — it
+        serializes the final write to a single task by design.
+        """
+        if file_format not in SUPPORTED_FORMATS:
+            raise WrongFormatException(
+                f"{file_format} is not supported; use one of {SUPPORTED_FORMATS}"
+            )
+        if not df.columns or df.isEmpty():
+            return None
+        tmp_dir = self._abs(key) + "._spark_tmp"
+        self.write(df.coalesce(1), key + "._spark_tmp", file_format)
+        fs, tmp_path, jvm = self._fs(tmp_dir)
+        part = None
+        for st in fs.listStatus(tmp_path):
+            name = st.getPath().getName()
+            if name.startswith("part-"):
+                part = st.getPath()
+                break
+        if part is None:  # pragma: no cover — write() above always emits one
+            raise WrongFormatException(f"no part file produced under {tmp_dir}")
+        dest = jvm.org.apache.hadoop.fs.Path(self._abs(key))
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(part, dest)
+        fs.delete(tmp_path, True)
+        return True
