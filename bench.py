@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Protocol (BASELINE.md): per query, 1 warm-up + 3 timed runs, median
+recorded; execution via the noop sink so results materialize fully without
+driver-side collection. ``value`` is the sum of per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_report1",
+    "q_tpch_q1",
+    "q_join_multi",
+    "q_topn",
+    "q_window_lag",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_simhash",
+    "q_dedup_near",
+    "q_topk_cosine",
+    "q_text_stats",
+    "q_sentiment_lexicon",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from trading_data_pipeline_spark.registry import all_queries
+    from trading_data_pipeline_spark.session import build_session
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wallclock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

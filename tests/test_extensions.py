@@ -1,0 +1,129 @@
+"""Tests for the LLM-pipeline extension operators: dedup recall, ANN recall,
+as-of strategy equivalence, streaming/batch equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.asof import (
+    asof_join_pandas,
+    asof_join_union,
+)
+from trading_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from trading_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from trading_data_pipeline_spark.registry import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # sf0.01 documents (same 500 rows of payload as sf0.001 but with real
+    # near-dup pairs) so the recall assertions actually bite
+    return load(spark, "/root/testdata/sf0.01", "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = exact_dedup(docs)
+    assert out.count() <= docs.count()
+    # every kept id is a real doc id and group sizes sum to the corpus
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_simhash_equal_for_token_multiset_dups(spark, docs):
+    """Docs with identical sorted-token multisets must get identical simhash
+    (the fingerprint is order-insensitive by construction: per-token votes)."""
+    fp = simhash(docs)
+    key = docs.select(
+        "doc_id", F.sort_array(F.split("text", " ")).alias("k")
+    )
+    joined = key.join(fp, "doc_id")
+    groups = (
+        joined.groupBy("k")
+        .agg(F.countDistinct("simhash").alias("n_fp"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad = groups.filter(F.col("n_fp") > 1).count()
+    assert bad == 0
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    """Every truly-near pair (exact unigram-shingle Jaccard ≥ 0.8) among
+    consecutive ids must be recalled by the LSH join at distance ≤ 0.5.
+    Unigram shingles because this corpus's duplicates are shuffled word
+    orders (word-set equal, n-gram disjoint)."""
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    exact = ngram_jaccard_pairs(docs, pairs, n=1).filter(F.col("jaccard") >= 0.8)
+    truth = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    if not truth:
+        pytest.skip("no near-dup pairs at this scale factor")
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, n=1, max_distance=0.5).collect()
+    }
+    recall = len(truth & lsh) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in lsh_topk(emb, qvec, k=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"ANN overlap {overlap}"
+
+
+def test_asof_strategies_agree(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    a = asof_join_union(purchases, signups, on="user_id")
+    b = asof_join_pandas(purchases, signups, on="user_id")
+    ra = sorted((r.event_id, r.asof_value) for r in a.collect())
+    rb = sorted((r.event_id, r.asof_value) for r in b.collect())
+    assert ra == rb
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    from trading_data_pipeline_spark.operators.windows import tumbling_agg
+    from trading_data_pipeline_spark.streaming.jobs import (
+        stream_events,
+        tumbling_stream,
+    )
+
+    # stage the events table as micros-ts parquet (stream source needs a dir)
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    batch = tumbling_agg(spark.read.parquet(src), "1 hour")
+    stream = tumbling_stream(stream_events(spark, src), "1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("t_tumbling").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want

@@ -1,0 +1,107 @@
+"""As-of join (extension op E10): for each left row, the latest right row
+at or before its timestamp, per key.
+
+Two strategies:
+
+- :func:`asof_join_union` — the scale path: tag both sides, UNION, one
+  window pass with ``last(value, ignorenulls=True)`` over
+  (key ORDER BY ts, side). Exactly ONE shuffle on the key, no join
+  blow-up, no range-condition nested loop. This is how you as-of join two
+  100 TB tables.
+- :func:`asof_join_pandas` — ``applyInPandas`` + ``pandas.merge_asof`` per
+  key group: useful when per-key state logic grows beyond what a window
+  expresses; Arrow-batched. Same one-shuffle cost but crosses into Python.
+
+Tie semantics: a right row at exactly the left row's timestamp IS matched
+(``>=``, like pandas merge_asof and DuckDB ASOF JOIN) — the right side
+sorts before the left at equal ts via the side tag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """Left as-of join via union + ignore-nulls last over one window.
+
+    ``left`` keeps all its columns; ``right`` contributes ``value_col`` as
+    ``value_alias`` (null when no right row at or before the left ts).
+    """
+    lcols = left.columns
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast("double"))
+    r_tag = (
+        right.select(on, ts_col, F.col(value_col).alias("_rv"))
+        .withColumn("_side", F.lit(0))
+    )
+    # align schemas: right side gets nulls for left-only columns
+    for c in lcols:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(value_alias, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(*lcols, value_alias)
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """Same semantics via applyInPandas + merge_asof (cogrouped by key)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in left.dtypes) + f", {value_alias} double"
+    out_cols = [*left.columns, value_alias]
+
+    # When both sides derive from the same scan (self-cogroup), Spark dedups
+    # same-exprId attributes and the right group would arrive with only the
+    # key column — alias the right side to fresh attributes to prevent that.
+    right_fresh = right.select(
+        F.col(on).alias(on),
+        F.col(ts_col).alias("_r_ts"),
+        F.col(value_col).alias("_r_value"),
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only one side yields an empty (even column-less)
+        # frame for the other side — guard before any column access
+        if l_pdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        l_sorted = l_pdf.sort_values(ts_col)
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            out[value_alias] = np.nan
+            return out
+        r_sorted = (
+            r_pdf[["_r_ts", "_r_value"]]
+            .rename(columns={"_r_ts": ts_col, "_r_value": value_alias})
+            .sort_values(ts_col)
+        )
+        return pd.merge_asof(l_sorted, r_sorted, on=ts_col, direction="backward")
+
+    return (
+        left.groupBy(on)
+        .cogroup(right_fresh.groupBy(on))
+        .applyInPandas(merge, schema=out_schema)
+    )

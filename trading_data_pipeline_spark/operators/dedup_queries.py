@@ -1,1 +1,117 @@
-"""Filled in by build plan (SURVEY.md §7)."""
+"""Declared dedup queries (extension ops E1/E2 + north-star dedup family).
+
+Exact, SimHash, and n-gram Jaccard have bit-exact DuckDB oracles (md5 and
+fold order agree across engines); MinHashLSH is rows-only (hash-sketch
+banding is engine-specific) with recall asserted against the exact Jaccard
+in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+from .dedup import (
+    SIMHASH_BITS,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id_keep, count(*) AS n_copies
+    FROM (SELECT doc_id, list_sort(string_split(text, ' ')) AS k FROM documents)
+    GROUP BY k
+    """,
+    doc="Exact dedup by canonical (sorted) token multiset — hash groupBy, "
+    "one shuffle; catches shuffled-word duplicates",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS m FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, (b // 4) + 1, 1)) - 1)
+                            >> (3 - (b % 4))) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN range(0, {SIMHASH_BITS}) t(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash 60-bit fingerprint (md5 bit votes) — near-dups land within "
+    "a small Hamming distance; banding on fingerprint prefixes gives the "
+    "sub-quadratic candidate generation at scale",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM t WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Word-3-gram shingle Jaccard on an audit candidate set (consecutive "
+    "doc ids); production candidates come from LSH/simhash blocking — the "
+    "shingle+Jaccard machinery here is the same",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    return ngram_jaccard_pairs(docs, pairs)
+
+
+@register(
+    "q_dedup_embed",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup within label blocks (blocking bounds the "
+    "self-join; cosine is a JVM-side fold, bit-identical to the oracle)",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_dedup_near",
+    None,  # MinHash sketches are engine-specific → rows-only; recall tested
+    doc="MinHash+LSH near-dup pairs (shingle → minhash → band bucket join) — "
+    "the sub-quadratic 100 TB near-dup path; recall vs exact Jaccard "
+    "asserted in tests/test_dedup.py",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))

@@ -86,7 +86,10 @@ def transform_report1(
 
     lag_w = Window.partitionBy(src.src_col_isin).orderBy(src.src_col_date)
     prev_open = F.lag(trg.trg_col_op_price).over(lag_w)
-    pct = (F.col(trg.trg_col_op_price) - prev_open) / prev_open * 100
+    # zero/null prev → NULL (ANSI-safe; identical to the oracle's x/0→NULL)
+    pct = F.when(
+        prev_open != 0, (F.col(trg.trg_col_op_price) - prev_open) / prev_open * 100
+    )
 
     numeric = {
         trg.trg_col_op_price, trg.trg_col_clos_price,
@@ -155,9 +158,13 @@ def report1_events(events: DataFrame) -> DataFrame:
         F.round("minimum_price", 2).alias("minimum_price"),
         F.round("maximum_price", 2).alias("maximum_price"),
         F.col("traded_volume"),
-        F.round((F.col("opening_price") - prev_open) / prev_open * 100, 2).alias(
-            "change_prev_pct"
-        ),
+        F.round(
+            F.when(
+                prev_open != 0,
+                (F.col("opening_price") - prev_open) / prev_open * 100,
+            ),
+            2,
+        ).alias("change_prev_pct"),
     )
 
 

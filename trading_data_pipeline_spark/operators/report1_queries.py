@@ -195,5 +195,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "date",
         "avg_value",
-        F.round((F.col("avg_value") - prev) / prev * 100, 2).alias("change_pct"),
+        F.round(
+            F.when(prev != 0, (F.col("avg_value") - prev) / prev * 100), 2
+        ).alias("change_pct"),
     )

@@ -1,1 +1,200 @@
-"""Filled in by build plan (SURVEY.md §7)."""
+"""Declared text-analysis queries (extension ops E4/E5/E6 + north-star
+text-analysis list: token counting, quality scoring, language-ID,
+fingerprinting, lexicon sentiment, JSON extraction, TF-IDF).
+
+Everything except TF-IDF has an exact DuckDB oracle — the column
+expressions were chosen so both engines compute bit-identical results
+(split semantics, fold order, regex dialect all verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_PATTERN,
+    MOD,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_whitespace,
+)
+from ..registry import load, register
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q_text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({_STOP_SQL}))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+                 / length(lower(text)), 4) AS punct_ratio
+    FROM documents
+    """,
+    doc="Quality scoring: length/stopword/punctuation stats — one narrow "
+    "pass, no shuffle, all codegen",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count_whitespace("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenizer "
+    "(regexp_count, JVM regex)",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_whitespace("text").alias("n_ws_tokens"),
+        token_count_bpe("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en,
+        len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de,
+        len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS fr
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en > 0 AND en >= de AND en >= fr THEN 'en'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS detected_lang
+    FROM s
+    """,
+    doc="Language-ID marker-token heuristic (argmax of per-language marker "
+    "counts, deterministic tiebreak)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    f"""
+    SELECT doc_id,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(text, ' '),
+          w -> list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                 (a, c) -> (a*17 + c) % {MOD}))),
+        (acc, h) -> (acc*31 + h) % {MOD}) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling-hash document fingerprint (polynomial fold over tokens; "
+    "bit-identical across engines — exact-dup key at scale)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+POSITIVE = ("fast", "big")
+NEGATIVE = ("slow", "small")
+
+
+@register(
+    "q_sentiment_lexicon",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text,' '),
+                           w -> w IN ({', '.join(f"'{w}'" for w in POSITIVE)})))
+         - len(list_filter(string_split(text,' '),
+                           w -> w IN ({', '.join(f"'{w}'" for w in NEGATIVE)})))
+           AS sentiment_score
+    FROM documents
+    """,
+    doc="Lexicon sentiment scoring via explode + broadcast lexicon join "
+    "(EDBT-2016 Spark-sentiment pattern, PAPERS.md) — the lexicon is "
+    "broadcast so the fact side never shuffles",
+)
+def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lexicon = spark.createDataFrame(
+        [(w, 1) for w in POSITIVE] + [(w, -1) for w in NEGATIVE],
+        "word string, weight int",
+    )
+    exploded = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    scored = (
+        exploded.join(F.broadcast(lexicon), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("sentiment_score"))
+    )
+    return scored.select("doc_id", F.col("sentiment_score").cast("long"))
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_id, user_id,
+           json_extract_string(props, '$.k')::BIGINT AS prop_k
+    FROM events
+    """,
+    doc="JSON property extraction from the events.props string column "
+    "(get_json_object — no full JSON parse, single-key path scan)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "q_tfidf",
+    None,  # hash-bucketed TF-IDF weights are engine-specific → rows-only
+    doc="TF-IDF via HashingTF+IDF (MLlib): Arrow-free, JVM-side sparse "
+    "vectors; output is (doc_id, l2 norm of tf-idf vector)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 14)
+    words = tok.transform(docs)
+    tfd = tf.transform(words)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))

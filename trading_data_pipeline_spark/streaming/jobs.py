@@ -1,0 +1,40 @@
+"""Structured Streaming variants of the batch operators (extension E8).
+
+The batch transforms in operators/windows.py are expression-compatible with
+streaming input: the same ``tumbling_agg`` call runs over ``readStream``
+with a watermark bounding state. tests/test_streaming.py asserts streaming
+(availableNow, complete mode) equals the batch result on the same files —
+the unified-API guarantee this engine leans on instead of a second code
+path (contrast: the reference is batch-only, SURVEY.md §2.e).
+
+At scale: file/Kafka source → watermarked windowed agg → partitioned sink
+with checkpointing; late events beyond the watermark are dropped
+deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.windows import tumbling_agg
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, src_dir: str, schema: str = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def tumbling_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked streaming tumbling aggregation — same expression tree as
+    the batch ``tumbling_agg``."""
+    return tumbling_agg(events.withWatermark(ts_col, watermark), duration, ts_col=ts_col)
