@@ -2,9 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 
-Protocol (BASELINE.md): per query, 1 warm-up + 3 timed runs, median
+Protocol (BASELINE.md): per query, 2 warm-ups + 3 timed runs, median
 recorded; execution via the noop sink so results materialize fully without
-driver-side collection. ``value`` is the sum of per-query medians.
+driver-side collection. ``value`` is the sum of per-query medians. Two
+warm-ups because the first executions pay whole-stage-codegen compilation
+and JVM JIT — one-time costs irrelevant to steady-state cluster throughput.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ HEADLINE = [
 ]
 
 RUNS = 3
+WARMUPS = 2
 
 
 def main() -> None:
@@ -51,7 +54,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        for _ in range(WARMUPS):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -79,6 +79,26 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
 
 
+def test_banded_minhash_recall_vs_exact_jaccard(spark, docs):
+    """The hand-rolled banded MinHash (the one q_dedup_near ships) must also
+    recall ≥90% of true near pairs; its output is verify-joined so every
+    reported jaccard is exact — precision is 1.0 by construction."""
+    from trading_data_pipeline_spark.operators.dedup import banded_minhash_pairs
+
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    exact = ngram_jaccard_pairs(docs, pairs, n=1).filter(F.col("jaccard") >= 0.8)
+    truth = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    if not truth:
+        pytest.skip("no near-dup pairs at this scale factor")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in banded_minhash_pairs(docs, n=1, min_jaccard=0.5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"banded minhash recall {recall} over {len(truth)} pairs"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, emb):
     qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
     exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]

@@ -22,8 +22,13 @@ collect to the driver.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..plans import ensure_parallelism
 
 SIMHASH_BITS = 60  # stay clear of the sign bit of int64
 
@@ -60,30 +65,33 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Each token votes ±1 on every bit of md5(token); fingerprint bit b is 1
     iff the vote sum is positive. Term frequency weights votes naturally
-    (each occurrence votes). Fully relational: explode tokens × explode
-    bits → two hash aggregations; ~64× token-count intermediate rows but
-    map-side partial aggregation collapses them before the shuffle.
+    (each occurrence votes). The top 60 bits of md5 are parsed ONCE per
+    token (``conv(hex, 16, 10)``), then a single hash aggregation computes
+    all 60 vote sums — one shuffle on the doc key with map-side partial
+    aggregation, no bit-explosion (bit b of token hash h is
+    ``(h >> (59-b)) & 1`` — hex digit ``b div 4``, MSB-first in nibble).
     """
-    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("w"))
-    hashed = tok.select(id_col, F.md5("w").alias("m"))
-    bit_rows = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "m",
+    tok = ensure_parallelism(df).select(
+        id_col, F.explode(F.split(text_col, " ")).alias("w")
     )
-    # nibble value of the hex digit holding bit b, then extract the bit
-    bit = F.expr(
-        "shiftright(instr('0123456789abcdef', substring(m, CAST(b div 4 AS INT) + 1, 1)) - 1,"
-        " 3 - b % 4) & 1"
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    hashed = tok.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", bits - 1 - b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ],
     )
-    votes = (
-        bit_rows.select(id_col, "b", F.when(bit == 1, 1).otherwise(-1).alias("vote"))
-        .groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END")).alias("simhash")
-    )
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
 
 
 def shingles(text: str | Column, n: int = 3) -> Column:
@@ -111,7 +119,7 @@ def ngram_jaccard_pairs(
     shingle table is computed once and joined twice; set ops stay JVM-side
     (array_intersect / array_union).
     """
-    sh = df.filter(F.size(F.split(text_col, " ")) >= n).select(
+    sh = ensure_parallelism(df.filter(F.size(F.split(text_col, " ")) >= n)).select(
         F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh")
     )
     a = sh.select(F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -168,6 +176,71 @@ def minhash_lsh_pairs(
             F.col(f"datasetB.{id_col}").alias("doc_b"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
+    )
+
+
+def banded_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 9,
+    rows_per_band: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via hand-rolled banded MinHash — the 100 TB path.
+
+    shingle → k=bands·rows minhash signature (one ``array_min∘transform``
+    fold per permutation, seeded ``xxhash64`` — all JVM-side, zero
+    shuffles) → band keys → bucket self-join on (band, key) → candidate
+    pairs verified with exact shingle Jaccard, keep ≥ ``min_jaccard``.
+
+    Candidate cost is Σ|bucket|² per band, not |corpus|²; the verify join
+    touches only candidates. With r=2 rows/band, b=9 bands the match
+    probability is 1-(1-s²)⁹ — ≈97% recall at s=0.5, near-0 below s=0.2.
+    Unlike MLlib's ``approxSimilarityJoin`` there is no model fit, no
+    sparse-vector materialization, and no UDF distance in the hot path.
+    """
+    k = bands * rows_per_band
+    base = ensure_parallelism(df.filter(F.size(F.split(text_col, " ")) >= n)).select(
+        id_col, shingles(text_col, n).alias("sh")
+    )
+    # hash each shingle string ONCE; permutations then fold over longs
+    hashed = base.select(
+        id_col, F.transform("sh", lambda s: F.xxhash64(s)).alias("shh")
+    )
+
+    # NB: a 2-arg lambda would be read by F.transform as (element, index) —
+    # bind the permutation seed via a 1-arg closure factory instead.
+    def _perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    sig = hashed.select(
+        id_col,
+        F.array(
+            *[F.array_min(F.transform("shh", _perm(i))) for i in range(k)]
+        ).alias("sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig")[j] for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, F.posexplode(band_keys).alias("band", "key"))
+    left = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n).filter(
+        F.col("jaccard") >= min_jaccard
     )
 
 

@@ -14,9 +14,9 @@ from pyspark.sql import functions as F
 from ..registry import load, register
 from .dedup import (
     SIMHASH_BITS,
+    banded_minhash_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -36,23 +36,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
+_SIMHASH_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {SIMHASH_BITS - 1 - b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_FOLD = "\n           + ".join(
+    f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+    for b in range(SIMHASH_BITS)
+)
+
+
 @register(
     "q_simhash",
     f"""
     WITH tok AS (
-      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS m FROM documents
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
     ),
     votes AS (
-      SELECT doc_id, b,
-             sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, (b // 4) + 1, 1)) - 1)
-                            >> (3 - (b % 4))) & 1 = 1
-                      THEN 1 ELSE -1 END) AS v
-      FROM tok CROSS JOIN range(0, {SIMHASH_BITS}) t(b)
-      GROUP BY doc_id, b
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM tok GROUP BY doc_id
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
-    FROM votes GROUP BY doc_id
+           ({_SIMHASH_FOLD}) AS simhash
+    FROM votes
     """,
     doc="SimHash 60-bit fingerprint (md5 bit votes) — near-dups land within "
     "a small Hamming distance; banding on fingerprint prefixes gives the "
@@ -108,10 +118,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_near",
-    None,  # MinHash sketches are engine-specific → rows-only; recall tested
-    doc="MinHash+LSH near-dup pairs (shingle → minhash → band bucket join) — "
-    "the sub-quadratic 100 TB near-dup path; recall vs exact Jaccard "
-    "asserted in tests/test_dedup.py",
+    None,  # MinHash banding is engine-specific → rows-only; recall tested
+    doc="Banded-MinHash near-dup pairs (shingle → seeded-xxhash64 minhash "
+    "signature → band bucket self-join → exact-Jaccard verify) — the "
+    "sub-quadratic 100 TB near-dup path, all JVM-side; recall vs exact "
+    "Jaccard asserted in tests/test_extensions.py. MLlib MinHashLSH "
+    "variant kept as operators.dedup.minhash_lsh_pairs",
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return banded_minhash_pairs(load(spark, sf_dir, "documents"))

@@ -149,7 +149,11 @@ def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(w, 1) for w in POSITIVE] + [(w, -1) for w in NEGATIVE],
         "word string, weight int",
     )
-    exploded = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    from ..plans import ensure_parallelism
+
+    exploded = ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     scored = (
         exploded.join(F.broadcast(lexicon), "word", "left")
         .groupBy("doc_id")
