@@ -1,0 +1,117 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, determinism, and
+hand-computed feature values on the deterministic fake decode path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructType
+
+from trading_data_pipeline_spark.operators.multimodal import (
+    attach_payload,
+    audio_features,
+    decode_image,
+    fake_decode,
+    frame_sample,
+    image_features,
+    resize_nearest,
+)
+from trading_data_pipeline_spark.registry import load
+
+
+@pytest.fixture(scope="module")
+def mm(spark, sf_dir):
+    return attach_payload(load(spark, sf_dir, "documents"))
+
+
+def test_payload_schema(mm):
+    assert isinstance(mm.schema["payload"].dataType, BinaryType)
+    meta = mm.schema["meta"].dataType
+    assert isinstance(meta, StructType)
+    assert [f.name for f in meta.fields] == [
+        "media_type", "byte_len", "sha256", "width", "height",
+    ]
+
+
+def test_payload_roundtrip_matches_text(spark, sf_dir, mm):
+    docs = load(spark, sf_dir, "documents")
+    row = (
+        mm.join(docs, "doc_id")
+        .select("payload", "text")
+        .first()
+    )
+    assert bytes(row.payload).decode("utf-8") == row.text
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", 4, 4)
+
+
+def test_fake_decode_deterministic_and_shaped():
+    a = fake_decode(b"hello world", 20, 10)
+    b = fake_decode(b"hello world", 20, 10)
+    assert a.shape == (10, 20, 3) and a.dtype == np.uint8
+    assert (a == b).all()
+    assert (fake_decode(b"other", 20, 10) != a).any()
+
+
+def test_resize_nearest_shape_and_identity():
+    img = fake_decode(b"x", 16, 16)
+    assert resize_nearest(img, 8, 4).shape == (4, 8, 3)
+    assert (resize_nearest(img, 16, 16) == img).all()
+
+
+def test_image_features_rows_and_ranges(mm):
+    feats = image_features(mm)
+    rows = feats.collect()
+    assert len(rows) == mm.count()
+    for r in rows[:50]:
+        assert 16 <= r.width < 64 and 16 <= r.height < 48
+        assert 0.0 <= r.brightness <= 255.0
+        np.testing.assert_allclose(
+            r.brightness, (r.mean_r + r.mean_g + r.mean_b) / 3, rtol=1e-9
+        )
+
+
+def test_image_features_deterministic(mm):
+    one = {r.doc_id: r.brightness for r in image_features(mm).collect()}
+    two = {r.doc_id: r.brightness for r in image_features(mm).collect()}
+    assert one == two
+
+
+def test_frame_sample_matches_hand_computed(spark, sf_dir, mm):
+    docs = load(spark, sf_dir, "documents")
+    text = docs.filter(F.col("doc_id") == 1).first().text
+    raw = text.encode("utf-8")
+    want = []
+    for idx in range(0, max(1, len(raw) // 64), 4):
+        chunk = raw[idx * 64 : (idx + 1) * 64]
+        want.append((1, idx, hashlib.sha256(chunk).hexdigest(), len(chunk)))
+    got = [
+        tuple(r)
+        for r in frame_sample(mm.filter(F.col("doc_id") == 1))
+        .orderBy("frame_idx")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_audio_features_values(mm):
+    out = {r.doc_id: r for r in audio_features(mm).collect()}
+    meta = {r.doc_id: r.byte_len for r in mm.select("doc_id", "meta.byte_len").collect()}
+    assert set(out) == set(meta)
+    some = list(out.values())[0]
+    assert some.n_samples == max(1, meta[some.doc_id] // 2)
+    assert some.rms >= 0.0 and some.zero_crossings >= 0
+
+
+def test_feature_stage_is_narrow(mm):
+    """mapInPandas must not introduce an exchange — features are computed
+    where the payload partitions live (at 100 TB a shuffle here would move
+    the media bytes)."""
+    plan = image_features(mm)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

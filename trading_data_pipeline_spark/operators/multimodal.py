@@ -1,0 +1,203 @@
+"""Multimodal columns (extension E7): opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``BinaryType`` columns carried
+through the relational plan untouched, with a typed metadata struct
+alongside (media_type, byte_len, content hash, declared dims). Heavy
+per-item work — decode, feature extraction, resize, frame sampling — runs
+as Arrow-batched ``mapInPandas`` stages so payload bytes never take the
+row-at-a-time Python path.
+
+The real codec step is STUBBED: image/audio libraries are not available
+in this environment, so :func:`decode_image` raises ``NotImplementedError``
+and the pipeline substitutes :func:`fake_decode` — a deterministic
+payload-seeded pixel/sample generator. Everything AROUND the codec is
+real and tested: schemas, Arrow batch shapes, partition-preserving
+execution, and the numpy feature math itself (it runs on the fake pixels
+exactly as it would on real ones).
+
+Scale notes: payloads are the widest column by orders of magnitude — the
+plan keeps them out of every shuffle (metadata-only projections for
+joins/aggs; ``mapInPandas`` is a narrow transformation so feature
+extraction never repartitions). ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` bounds batch memory for big payloads.
+
+No reference parallel (the reference is tabular-only — SURVEY.md §2.e);
+this is north-star scope from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+# Declared (not decoded) dimensions — derived deterministically from the
+# payload length so the DuckDB oracle can reproduce them in pure SQL.
+FAKE_W_MOD, FAKE_H_MOD = 48, 32
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, brightness double"
+)
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_sha256 string, frame_bytes int"
+
+AUDIO_SCHEMA = "doc_id long, n_samples int, rms double, zero_crossings int"
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → multimodal table: binary payload + typed metadata struct.
+
+    In production the payload arrives from ``spark.read.format('binaryFile')``
+    or a parquet binary column; here it is derived from the text column so
+    the synthetic corpus exercises the same plumbing.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("media_type"),
+            F.octet_length(payload).alias("byte_len"),
+            F.sha2(payload, 256).alias("sha256"),
+            (F.octet_length(payload) % FAKE_W_MOD + 16).cast("int").alias("width"),
+            (F.octet_length(payload) % FAKE_H_MOD + 16).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real codec hook — requires an image library (PIL/cv2), absent here.
+
+    Swap this in for :func:`fake_decode` in environments with codecs; the
+    surrounding Spark plumbing is identical.
+    """
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "the pipeline uses fake_decode (deterministic payload-seeded pixels)"
+    )
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decode: payload-seeded uint8 HxWx3 pixels.
+
+    Same payload → same pixels, so feature tests are reproducible and the
+    numpy feature math downstream is exercised on realistic shapes.
+    """
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize in pure numpy (no codec dependency)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows][:, cols]
+
+
+def image_features(
+    mm: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Decode → resize → channel stats, as one Arrow-batched mapInPandas stage.
+
+    Narrow transformation: no shuffle, runs wherever the payload partitions
+    already live. Output drops the payload (features only), so everything
+    downstream shuffles kilobytes, not media bytes.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = fake_decode(bytes(payload), meta["width"], meta["height"])
+                small = resize_nearest(img, out_w, out_h)
+                means = small.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": meta["media_type"],
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "brightness": float(means.mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.split(" ")[0] for f in FEATURE_SCHEMA.split(", ")],
+            )
+
+    return mm.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    mm: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """'Video' frame sampling: chunk the payload into fixed-size frames,
+    keep every ``every``-th, fingerprint each kept frame.
+
+    The chunk/stride/fingerprint plumbing is the real thing; only the
+    notion that a frame is ``frame_bytes`` of payload is the stand-in for
+    a container demuxer. One input row fans out to many output rows —
+    mapInPandas handles 1:N natively (no explode of materialized arrays).
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_sha256": [], "frame_bytes": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for idx in range(0, n_frames, every):
+                    chunk = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def audio_features(mm: DataFrame) -> DataFrame:
+    """'Audio' features: payload bytes as a fake int16 waveform → RMS +
+    zero-crossing count, vectorized numpy per Arrow batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "rms": [], "zero_crossings": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                raw = raw[: len(raw) - (len(raw) % 2)] or b"\0\0"
+                wave = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(wave))
+                out["rms"].append(float(np.sqrt(np.mean(wave**2))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(wave))))
+                )
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(extract, schema=AUDIO_SCHEMA)

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         io_queries,
         meta_queries,
+        multimodal_queries,
         relational_queries,
         report1_queries,
         similarity_queries,
