@@ -1,0 +1,101 @@
+"""Physical-plan assertions: lock in the properties that make these
+operators survive a 100 TB scale-up (broadcast joins, pushdown, partial
+aggregation, top-k without full sort). A regression here can stay
+correctness-green while silently becoming a cluster-killer — these tests
+make the plan shape part of the contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.registry import all_queries, load
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan_of(df) -> str:
+    """explain('formatted') output — unlike toString(), it never truncates
+    the aggregate-function lists."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_small_dim_join_is_broadcast(spark, sf_dir, queries):
+    plan = plan_of(queries["q_join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_join_broadcasts_all_dims(spark, sf_dir, queries):
+    """region/nation/customer are dimension-sized next to lineitem/orders —
+    none of them may trigger a sort-merge join (which would shuffle the
+    fact table once per dim at scale)."""
+    plan = plan_of(queries["q_join_multi"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+
+
+def test_parquet_column_pruning(spark, sf_dir):
+    """A 2-column projection must reach the scan as a 2-column ReadSchema —
+    reading all 16 lineitem columns for it would multiply scan bytes at
+    100 TB."""
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in scan_line and "l_quantity" in scan_line
+    assert "l_comment" not in scan_line and "l_extendedprice" not in scan_line
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir, queries):
+    """Map-side combine: the OHLC aggregation must run partial_min/max/sum
+    before the shuffle, or the exchange carries every raw row."""
+    plan = formatted_plan_of(queries["q_groupby_agg"].fn(spark, sf_dir))
+    assert "partial_min" in plan and "partial_max" in plan and "partial_count" in plan
+
+
+def test_topn_avoids_global_sort(spark, sf_dir, queries):
+    plan = plan_of(queries["q_topn"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_join_physical(spark, sf_dir, queries):
+    assert "LeftSemi" in plan_of(queries["q_semi_join"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan_of(queries["q_anti_join"].fn(spark, sf_dir))
+
+
+def test_report1_shuffle_budget(spark, sf_dir, queries):
+    """The flagship pipeline needs exactly two logical repartitionings:
+    (user_id, date) for the OHLC windows+agg and (user_id) for the lag.
+    More exchanges than that means a window lost partitioning reuse."""
+    plan = plan_of(queries["q_report1"].fn(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"report1 shuffles {n_exchanges}×, expected ≤2:\n{plan}"
+
+
+def test_window_reuses_groupby_partitioning(spark, sf_dir, queries):
+    """first/last window over (user_id, date) and the groupBy on the same
+    keys must share one exchange."""
+    plan = plan_of(queries["q_window_first"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
