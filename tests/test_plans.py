@@ -85,6 +85,16 @@ def test_semi_and_anti_join_physical(spark, sf_dir, queries):
     assert "LeftAnti" in plan_of(queries["q_anti_join"].fn(spark, sf_dir))
 
 
+def test_exists_subquery_becomes_semi_join(spark, sf_dir, queries):
+    """Correlated EXISTS must decorrelate to a semi join, not a per-row
+    subquery."""
+    assert "LeftSemi" in plan_of(queries["q_exists_subquery"].fn(spark, sf_dir))
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_dir, queries):
+    assert "BroadcastHashJoin" in plan_of(queries["q_tpch_q3"].fn(spark, sf_dir))
+
+
 def test_report1_shuffle_budget(spark, sf_dir, queries):
     """The flagship pipeline needs exactly two logical repartitionings:
     (user_id, date) for the OHLC windows+agg and (user_id) for the lag.

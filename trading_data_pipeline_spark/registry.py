@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         meta_queries,
         multimodal_queries,
         relational_queries,
+        relational_queries2,
         report1_queries,
         similarity_queries,
         text_queries,
