@@ -1,0 +1,77 @@
+"""Streaming/batch equivalence for the stateful operators.
+
+The unified-API claim this engine makes (one expression tree, batch AND
+streaming) is only real if tested: each test stages the events table as a
+file-source stream, runs the streaming form to completion (availableNow),
+and compares against the batch form on identical input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.windows import session_agg
+from trading_data_pipeline_spark.registry import load
+from trading_data_pipeline_spark.streaming.jobs import (
+    session_stream,
+    stream_events,
+)
+from trading_data_pipeline_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir, tmp_path_factory):
+    """events table rewritten as micro-batch-friendly parquet (4 files so
+    availableNow exercises multiple input splits)."""
+    src = str(tmp_path_factory.mktemp("stream") / "events")
+    load(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    return src
+
+
+def run_to_completion(stream_df, name: str, mode: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in 180s"
+    return spark.table(name)
+
+
+def test_streaming_sessions_equal_batch(spark, staged_events):
+    batch = session_agg(spark.read.parquet(staged_events))
+    stream = session_stream(stream_events(spark, staged_events))
+    got = run_to_completion(stream, "t_sessions", "complete", spark)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_running_totals_converge_to_batch(spark, staged_events):
+    """applyInPandasWithState totals (update mode, last update per user)
+    must converge to the batch groupBy aggregate."""
+    events = stream_events(spark, staged_events)
+    got_df = run_to_completion(
+        running_user_totals(events), "t_totals", "update", spark
+    )
+    # update mode re-emits a row per user per micro-batch; totals grow
+    # monotonically, so the final state is the row with max n_events
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in got_df.orderBy("n_events").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.parquet(staged_events)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, total) in want.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 0.05  # float fold-order tolerance

@@ -38,3 +38,18 @@ def tumbling_stream(
     """Watermarked streaming tumbling aggregation — same expression tree as
     the batch ``tumbling_agg``."""
     return tumbling_agg(events.withWatermark(ts_col, watermark), duration, ts_col=ts_col)
+
+
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked streaming sessionization — same ``session_window``
+    expression as the batch ``session_agg``; the watermark bounds how long
+    an open session can wait for a late event before the state store may
+    finalize it."""
+    from ..operators.windows import session_agg
+
+    return session_agg(events.withWatermark(ts_col, watermark), gap, ts_col=ts_col)
