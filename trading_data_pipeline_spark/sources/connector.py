@@ -97,7 +97,14 @@ class FileSystemConnector:
         return self.spark.read.parquet(*[self._abs(p) for p in paths])
 
     def _abs(self, p: str) -> str:
-        return p if "://" in p or p.startswith("/") else f"{self.root}/{p}"
+        # Hadoop returns scheme URIs both as "file:///x" and "file:/x" —
+        # treat any "scheme:/" prefix (or an absolute local path) as already
+        # resolved.
+        import re
+
+        if p.startswith("/") or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", p):
+            return p
+        return f"{self.root}/{p}"
 
     # -- writes (ref s3.py:84-107) -----------------------------------------
     def write(
