@@ -48,6 +48,45 @@ def test_streaming_sessions_equal_batch(spark, staged_events):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stream_sink_writes_partitioned_parquet_and_meta(
+    spark, staged_events, tmp_path
+):
+    """foreachBatch sink: date-partitioned append + meta dates visible to
+    the batch ETL's incremental protocol."""
+    from trading_data_pipeline_spark.meta import return_date_list
+    from trading_data_pipeline_spark.sources.connector import FileSystemConnector
+    from trading_data_pipeline_spark.streaming.sinks import write_stream_with_meta
+
+    conn = FileSystemConnector(spark, str(tmp_path / "lake"))
+    q = write_stream_with_meta(
+        stream_events(spark, staged_events),
+        conn,
+        data_key="events_lake",
+        meta_key="meta/events_meta.csv",
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    written = spark.read.parquet(str(tmp_path / "lake" / "events_lake"))
+    src = spark.read.parquet(staged_events)
+    assert written.count() == src.count()
+    # date partitioning materialized as directories (pruning-effective)
+    parts = [p.name for p in (tmp_path / "lake" / "events_lake").iterdir()
+             if p.name.startswith("date=")]
+    assert len(parts) > 1
+    # meta file records every event date → batch protocol sees no gap
+    event_dates = {
+        r.d.isoformat() for r in src.select(F.to_date("ts").alias("d")).distinct().collect()
+    }
+    from trading_data_pipeline_spark.streaming.sinks import _meta_dates
+
+    recorded = _meta_dates(conn, "meta/events_meta.csv")
+    assert event_dates <= recorded
+    # and the batch protocol parses the streamed meta without error
+    return_date_list(conn, min(event_dates), "meta/events_meta.csv")
+
+
 def test_stateful_running_totals_converge_to_batch(spark, staged_events):
     """applyInPandasWithState totals (update mode, last update per user)
     must converge to the batch groupBy aggregate."""

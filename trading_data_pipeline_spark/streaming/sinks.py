@@ -1,0 +1,100 @@
+"""Streaming sinks: checkpointed partitioned parquet, and a foreachBatch
+bridge into the engine's incremental meta protocol.
+
+The reference's incrementality is pull-based (meta file says which dates
+to extract — meta_process.py:61-125). Structured Streaming inverts that:
+the checkpoint owns exactly-once progress, and the meta file becomes a
+downstream artifact other (batch) consumers can keep reading. The
+``foreachBatch`` sink writes each micro-batch partitioned by date and
+appends the batch's dates to the same meta file the batch ETL uses — so
+batch and streaming ingestion are interchangeable behind one protocol.
+
+Scale: partitioned append parquet + checkpointing is the standard
+streaming lakehouse layout; one directory per event date keeps partition
+pruning effective for every downstream batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.connector import FileSystemConnector
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Plain checkpointed parquet sink (append mode)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_with_meta(
+    events: DataFrame,
+    connector: FileSystemConnector,
+    data_key: str,
+    meta_key: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """foreachBatch sink: date-partitioned parquet append + meta-file update.
+
+    Each micro-batch appends under ``data_key/date=YYYY-MM-DD/`` and
+    records its distinct event dates in the meta file — the exact state
+    the batch ETL's ``return_date_list`` consumes, so a batch job can take
+    over (or audit) the stream at any point.
+    """
+    from ..meta import update_meta_file
+
+    with_date = events.withColumn("date", F.to_date(F.col(ts_col)))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cached = batch_df.persist()
+        try:
+            connector.write(cached, data_key, "parquet", mode="append",
+                            partition_by=["date"])
+            dates = sorted(
+                r.date.isoformat() for r in cached.select("date").distinct().collect()
+            )
+            existing = _meta_dates(connector, meta_key)
+            new_dates = [d for d in dates if d not in existing]
+            if new_dates:
+                update_meta_file(connector, meta_key, new_dates)
+        finally:
+            cached.unpersist()
+
+    writer = (
+        with_date.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _meta_dates(connector: FileSystemConnector, meta_key: str) -> set[str]:
+    from ..meta import _read_meta
+
+    meta = _read_meta(connector, meta_key)
+    if meta is None:
+        return set()
+    return {r[0] for r in meta.select("source_date").collect()}
