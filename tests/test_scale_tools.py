@@ -79,3 +79,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_range_join_bucketed_equals_naive(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.rangejoin import range_join_bucketed
+
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 123_456.0), ("b", 123_456.0, 222_222.0),
+         ("c", 222_222.0, 1_000_000.0)],
+        "band string, lo double, hi double",
+    )
+    naive = orders.join(
+        bands,
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    ).select("o_orderkey", "band")
+    bucketed = range_join_bucketed(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=75_000.0
+    ).select("o_orderkey", "band")
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
+    # and it is a hash join on the bucket key, not a nested loop
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
