@@ -107,6 +107,16 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert overlap >= 0.5, f"ANN overlap {overlap}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, emb):
+    from trading_data_pipeline_spark.operators.similarity import ivf_topk
+
+    qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, qvec, k=10, n_cells=8, n_probe=3).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF overlap {overlap}"
+
+
 def test_asof_strategies_agree(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(

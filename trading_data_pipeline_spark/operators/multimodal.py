@@ -28,16 +28,12 @@ this is north-star scope from BASELINE.json.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-if TYPE_CHECKING:  # pragma: no cover
-    pass
 
 # Declared (not decoded) dimensions — derived deterministically from the
 # payload length so the DuckDB oracle can reproduce them in pure SQL.

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import load, register
-from .similarity import brute_force_topk, lsh_topk
+from .similarity import brute_force_topk, ivf_topk, lsh_topk
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -54,3 +54,16 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=TOP_K)
+
+
+@register(
+    "q_ann_ivf",
+    None,  # k-means cell assignment is engine-specific → rows-only
+    doc="Approximate NN via IVF (k-means cells, n_probe nearest cells "
+    "searched exactly) — the prebuilt-index layout for 100 TB: store the "
+    "corpus partitioned by cell, a query scans n_probe directories; "
+    "recall vs brute force asserted in tests/test_extensions.py",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=TOP_K, n_cells=8, n_probe=3)
