@@ -95,6 +95,27 @@ def test_tpch_q3_broadcasts_customer(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan_of(queries["q_tpch_q3"].fn(spark, sf_dir))
 
 
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a date-partitioned layout must
+    become a PartitionFilter (scan skips directories), not a row filter —
+    at 100 TB this is the difference between reading one day and reading
+    the lake."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "date", F.to_date("ts").cast("string")
+    )
+    root = str(tmp_path / "events_partitioned")
+    events.write.partitionBy("date").parquet(root)
+
+    some_date = events.select("date").first().date
+    df = spark.read.parquet(root).filter(F.col("date") == some_date)
+    plan = plan_of(df)
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "isnotnull(date" in scan_line, scan_line
+    n_read = df.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(root).select(F.input_file_name()).distinct().count()
+    assert n_read < all_files
+
+
 def test_report1_shuffle_budget(spark, sf_dir, queries):
     """The flagship pipeline needs exactly two logical repartitionings:
     (user_id, date) for the OHLC windows+agg and (user_id) for the lag.
