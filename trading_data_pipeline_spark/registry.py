@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         rangejoin_queries,
         relational_queries,
         relational_queries2,
+        relational_queries3,
         report1_queries,
         similarity_queries,
         text_queries,
