@@ -100,3 +100,23 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conn.write(li, "sink_parquet/lineitem", "parquet")
     return conn.read_parquet("sink_parquet/lineitem")
+
+
+@register(
+    "q_sink_json",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders",
+    doc="JSON-lines sink + scan round-trip (engine extension beyond the "
+    "reference's csv/parquet allowlist); integer/string columns only so "
+    "the text round-trip is exact by construction",
+)
+def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    conn.write(orders, "sink_json/orders", "json")
+    return conn.read_json(
+        "sink_json/orders",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string",
+    )

@@ -27,7 +27,9 @@ from pyspark.sql.types import StructType
 
 from ..exceptions import WrongFormatException
 
-SUPPORTED_FORMATS = ("csv", "parquet")
+SUPPORTED_FORMATS = ("csv", "parquet", "json")  # json: engine extension
+# (the reference supports only csv/parquet — s3.py:96-103; anything else
+# still raises WrongFormatException, same contract, wider allowlist)
 
 
 class FileSystemConnector:
@@ -96,6 +98,18 @@ class FileSystemConnector:
             paths = [paths]
         return self.spark.read.parquet(*[self._abs(p) for p in paths])
 
+    def read_json(
+        self, paths: str | list[str], schema: StructType | str | None = None
+    ) -> DataFrame:
+        """JSON-lines scan (engine extension; explicit schema avoids the
+        inference pass, same as read_csv)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if isinstance(paths, str):
+            paths = [paths]
+        return reader.json([self._abs(p) for p in paths])
+
     def _abs(self, p: str) -> str:
         # Hadoop returns scheme URIs both as "file:///x" and "file:/x" —
         # treat any "scheme:/" prefix (or an absolute local path) as already
@@ -137,6 +151,8 @@ class FileSystemConnector:
         target = self._abs(key)
         if file_format == "csv":
             writer.option("header", True).csv(target)
+        elif file_format == "json":
+            writer.json(target)
         else:
             writer.parquet(target)
         return True
