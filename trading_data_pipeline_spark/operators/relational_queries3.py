@@ -168,3 +168,33 @@ def q_lead_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_order_price"
         ),
     )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) + 1 AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    doc="Value histogram via width_bucket (oracle: the equivalent "
+    "floor-division — DuckDB lacks width_bucket; in-range data makes the "
+    "two identical): single hash aggregation on the bucket id — the "
+    "scalable histogram (vs sort-based quantiles)",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500_000), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
