@@ -25,7 +25,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans import ensure_parallelism
@@ -187,6 +187,7 @@ def banded_minhash_pairs(
     bands: int = 9,
     rows_per_band: int = 2,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs via hand-rolled banded MinHash — the 100 TB path.
 
@@ -200,6 +201,14 @@ def banded_minhash_pairs(
     probability is 1-(1-s²)⁹ — ≈97% recall at s=0.5, near-0 below s=0.2.
     Unlike MLlib's ``approxSimilarityJoin`` there is no model fit, no
     sparse-vector materialization, and no UDF distance in the hot path.
+
+    ``max_bucket`` drops buckets larger than that many docs before the
+    self-join — a cluster of k near-identical docs otherwise produces
+    k²/2 candidate pairs in EVERY band, the classic LSH hot-bucket blow-up
+    at corpus scale. Dropped buckets are almost always exact-duplicate
+    clusters (handled by :func:`exact_dedup` upstream) or degenerate
+    boilerplate; pair the cap with exact dedup, don't rely on it alone.
+    ``None`` disables the cap (exhaustive, small corpora only).
     """
     k = bands * rows_per_band
     base = ensure_parallelism(df.filter(F.size(F.split(text_col, " ")) >= n)).select(
@@ -231,6 +240,13 @@ def banded_minhash_pairs(
         ]
     )
     buckets = sig.select(id_col, F.posexplode(band_keys).alias("band", "key"))
+    if max_bucket is not None:
+        bucket_w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_bsize", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("_bsize") <= max_bucket)
+            .drop("_bsize")
+        )
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
     cand = (
