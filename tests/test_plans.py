@@ -130,3 +130,19 @@ def test_window_reuses_groupby_partitioning(spark, sf_dir, queries):
     keys must share one exchange."""
     plan = plan_of(queries["q_window_first"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_curation_filters_are_scan_only(spark, sf_dir, queries):
+    """Quality filter, dataset split, and stratified sample are pure
+    column arithmetic — at 100 TB they must run at scan speed with zero
+    exchanges (any shuffle here is a plan regression)."""
+    for name in ("q_quality_filter", "q_dataset_split", "q_stratified_sample"):
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_repetition_shuffle_budget(spark, sf_dir, queries):
+    """Bigram repetition needs exactly two aggregations (per-bigram count,
+    per-doc max); both hash-partition by doc_id-prefixed keys."""
+    plan = plan_of(queries["q_quality_repetition"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

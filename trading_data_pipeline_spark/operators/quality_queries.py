@@ -1,0 +1,216 @@
+"""Training-data curation queries: repetition signals, quality filtering,
+deterministic dataset splitting, stratified sampling, corpus stats.
+
+These are the curation ops a 100 TB LLM-data pipeline runs between raw
+scrape and tokenizer (Gopher/C4-style rules): repetition ratios catch
+boilerplate/spam, composite threshold filters gate documents, and
+hash-based splits/samples must be deterministic so re-runs and backfills
+assign every document to the same shard without coordination.
+
+Scale notes:
+- Repetition uses explode + two-level groupBy — the distributed path; an
+  all-in-array variant would be O(n²) per doc and die on long documents.
+- Split/sample are pure arithmetic on ``doc_id`` (no shuffle, no state,
+  no RNG): a linear-congruential mix kept within int64 so Spark and
+  DuckDB (and any engine) compute bit-identical buckets. Production
+  would use ``xxhash64(stable_doc_key)``; the LCG stands in because the
+  oracle needs cross-engine-identical arithmetic.
+- Filters are single-pass codegen'd column expressions — no UDF, no
+  shuffle; at scale they run at scan speed and combine with parquet
+  predicate pushdown when materialized as a column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, punct_ratio, stopword_ratio
+from ..plans import ensure_parallelism
+from ..registry import load, register
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# LCG-style mixers (Knuth/numerical-recipes constants), mod 2^32 so the
+# product stays far inside int64 for any realistic doc_id.
+_SPLIT_A, _SPLIT_C = 2654435761, 1013904223
+_SAMPLE_A, _SAMPLE_C = 2246822519, 3266489917
+_MOD32 = 4294967296
+
+
+def _hash_bucket(doc_id: Column | str, a: int, c: int) -> Column:
+    """Deterministic bucket in [0, 100) from an integer id — identical
+    arithmetic on every engine (no engine-specific hash function)."""
+    return ((F.col(doc_id) * a + c) % _MOD32) % 100
+
+
+@register(
+    "q_quality_repetition",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+             unnest(list_transform(range(len(toks) - 1),
+                                   i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS c
+      FROM b GROUP BY ALL
+    )
+    SELECT doc_id, n_tokens,
+           round(n_distinct * 1.0 / n_tokens, 4) AS distinct_frac,
+           round(max(c) * 1.0 / (n_tokens - 1), 4) AS top_bigram_frac
+    FROM c GROUP BY doc_id, n_tokens, n_distinct
+    """,
+    doc="Gopher-style repetition signals: distinct-token fraction + "
+    "top-bigram fraction via explode + two-level groupBy (the distributed "
+    "path — per-doc O(n²) array scans would die on long documents)",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = ensure_parallelism(docs).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("toks"),
+    ).filter(F.col("n_tokens") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "n_tokens", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max("c").alias("maxbg")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_frac"),
+        F.round(F.col("maxbg") / (F.col("n_tokens") - 1), 4).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q_quality_filter",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOP_SQL}))) * 1.0
+               / len(string_split(text, ' ')) AS stop_r,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+               / length(lower(text)) AS punct_r,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_r
+      FROM documents)
+    SELECT doc_id,
+           n_tokens BETWEEN 5 AND 5000 AS ok_len,
+           stop_r >= 0.01 AS ok_stopword,
+           punct_r <= 0.25 AS ok_punct,
+           distinct_r >= 0.2 AS ok_repetition,
+           (n_tokens BETWEEN 5 AND 5000) AND stop_r >= 0.01
+             AND punct_r <= 0.25 AND distinct_r >= 0.2 AS keep
+    FROM s
+    """,
+    doc="Composite C4/Gopher-style quality gate: length, stopword, "
+    "punctuation, repetition thresholds — one codegen'd pass, no shuffle; "
+    "thresholds compare unrounded IEEE doubles (identical on both engines "
+    "because numerator/denominator are identical longs)",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    distinct_r = F.size(F.array_distinct(toks)) / n_tokens
+    ok_len = n_tokens.between(5, 5000)
+    ok_stop = stopword_ratio("text") >= 0.01
+    ok_punct = punct_ratio("text") <= 0.25
+    ok_rep = distinct_r >= 0.2
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_stop.alias("ok_stopword"),
+        ok_punct.alias("ok_punct"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_stop & ok_punct & ok_rep).alias("keep"),
+    )
+
+
+@register(
+    "q_dataset_split",
+    f"""
+    SELECT doc_id,
+           ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 AS bucket,
+           CASE WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 80 THEN 'train'
+                WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/valid/test split (80/10/10) via arithmetic "
+    "hash of doc_id — no RNG, no shuffle, no coordination; every re-run "
+    "and backfill assigns each doc to the same shard",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((doc_id * {_SAMPLE_A} + {_SAMPLE_C}) % {_MOD32}) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20 ELSE 10 END
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates via "
+    "arithmetic hash threshold — a pushed-down filter, not a shuffle; "
+    "rates are per-stratum (en 50%, de 30%, fr 20%, other 10%)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 30)
+        .when(F.col("lang") == "fr", 20)
+        .otherwise(10)
+    )
+    return docs.filter(_hash_bucket("doc_id", _SAMPLE_A, _SAMPLE_C) < rate).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q_source_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source corpus stats (docs, avg length, language spread) — "
+    "partial-agg groupBy; at scale this is the per-domain/per-crawl "
+    "monitoring rollup",
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_queries,
         meta_queries,
         multimodal_queries,
+        quality_queries,
         rangejoin_queries,
         relational_queries,
         relational_queries2,
