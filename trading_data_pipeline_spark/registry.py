@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries,
         relational_queries2,
         relational_queries3,
+        relational_queries4,
         report1_queries,
         similarity_queries,
         text_queries,
