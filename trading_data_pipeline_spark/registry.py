@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries2,
         relational_queries3,
         relational_queries4,
+        relational_queries5,
         report1_queries,
         similarity_queries,
         text_queries,
