@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import load, register
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
@@ -67,3 +68,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=TOP_K, n_cells=8, n_probe=3)
+
+
+@register(
+    "q_vector_stats",
+    """
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) / len(embedding), 6)    AS mean_comp,
+           round(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6)                      AS max_comp
+    FROM embeddings
+    """,
+    doc="Per-vector statistics (dimension, L2 norm, component mean/max) "
+    "via higher-order array folds - the sanity-check pass before any "
+    "similarity work (catches NaN/zero/denormalized vectors). Per-row "
+    "left-to-right folds in double precision are bit-identical across "
+    "engines (no cross-row accumulation ordering involved); zero shuffle",
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("l2_norm"),
+        F.round(s / F.size("embedding"), 6).alias("mean_comp"),
+        F.round(F.array_max(v), 6).alias("max_comp"),
+    )

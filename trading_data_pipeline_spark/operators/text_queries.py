@@ -202,3 +202,26 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array("tfidf")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
     return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))
+
+
+@register(
+    "q_redact",
+    r"""
+    SELECT event_id,
+           regexp_replace(props, '"(k|v)":', '"<KEY>":', 'g')   AS props_keymasked,
+           regexp_replace(props, '-?\d+\.?\d*', '<NUM>', 'g')   AS props_nummasked
+    FROM events
+    """,
+    doc="PII-style masking via global regexp_replace on the events.props "
+    "JSON strings: key-name masking and numeric-literal redaction. The "
+    "curation building block for scrubbing emails/phones/ids from a "
+    "training corpus - per-row regex, zero shuffle, scan-parallel "
+    "(Spark's regexp_replace is global by default; DuckDB needs 'g')",
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", '"(k|v)":', '"<KEY>":').alias("props_keymasked"),
+        F.regexp_replace("props", r"-?\d+\.?\d*", "<NUM>").alias("props_nummasked"),
+    )
