@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from ..registry import load, register
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    # built lazily: constructing Column expressions at import time requires
+    # an active SparkContext, which the driver may not have created yet
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -101,7 +104,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 
@@ -144,7 +147,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    vol = _REVENUE
+    vol = _revenue()
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -184,10 +187,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     p = load(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", _REVENUE).otherwise(0.0)
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(_REVENUE), 4).alias("promo_revenue"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue"))
     )
 
 
@@ -219,7 +222,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier")
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_REVENUE.cast("decimal(18,4)")).alias("total_revenue")
+        F.sum(_revenue().cast("decimal(18,4)")).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
@@ -292,7 +295,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 
