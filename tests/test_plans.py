@@ -146,3 +146,26 @@ def test_repetition_shuffle_budget(spark, sf_dir, queries):
     per-doc max); both hash-partition by doc_id-prefixed keys."""
     plan = plan_of(queries["q_quality_repetition"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_batch5_shuffle_budgets(spark, sf_dir, queries):
+    """Batch-5 coverage queries keep their minimal plan shapes: per-row
+    projections (unpivot / try-arith / redact / vector stats) must be
+    zero-exchange scan-parallel maps; single-table aggregates exactly one
+    exchange (map-side partial + final); the outer join of two aggregates
+    two (one per grouping)."""
+    budgets = {
+        "q_unpivot": 0,
+        "q_try_arith": 0,
+        "q_redact": 0,
+        "q_vector_stats": 0,
+        "q_union_distinct": 1,
+        "q_bitwise_agg": 1,
+        "q_stats_agg": 1,
+        "q_regr": 1,
+        "q_join_outer": 2,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        n = plan.count("Exchange")
+        assert n <= budget, f"{name} shuffles {n}x, expected <={budget}:\n{plan}"
