@@ -268,3 +268,81 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("price_per_disc"),
         F.round(F.coalesce(ratio, F.lit(-1.0)), 4).alias("price_per_disc_filled"),
     )
+
+
+@register(
+    "q_array_funcs",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' '))                       AS n_tok,
+           string_split(text, ' ')[1]                         AS first_tok,
+           list_contains(string_split(text, ' '), 'the')      AS has_the,
+           coalesce(list_position(string_split(text, ' '), 'the'), 0)
+                                                              AS pos_the,
+           array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), '|')
+                                                              AS first3_sorted
+    FROM documents
+    """,
+    doc="Array-function surface over tokenized text: size / element_at / "
+    "array_contains / array_position / concat_ws(slice(array_sort)) - per-row "
+    "higher-order ops, zero shuffle. DuckDB's list_position returns NULL "
+    "for absent (Spark: 0), bridged with coalesce in the oracle",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3_sorted"),
+    )
+
+
+@register(
+    "q_date_trunc",
+    """
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Calendar-bucket rollup via date_trunc('month') - the coarse "
+    "partner of q_tumbling_window's fixed-width buckets; one exchange on "
+    "the truncated key, partial aggregation map-side. At 100 TB this is "
+    "the query partition-pruned by a month-partitioned layout",
+)
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_string_pad",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 10, '*')            AS brand_padded,
+           rpad(p_type, 8, '.')              AS type_padded,
+           translate(p_name, 'aeiou', '-----') AS name_devoweled,
+           reverse(p_name)                   AS name_reversed
+    FROM part
+    """,
+    doc="String shaping functions (lpad / rpad / translate / reverse) - "
+    "fixed-width formatting and normalization primitives, per-row, zero "
+    "shuffle, identical semantics on both engines",
+)
+def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lpad("p_brand", 10, "*").alias("brand_padded"),
+        F.rpad("p_type", 8, ".").alias("type_padded"),
+        F.translate("p_name", "aeiou", "-----").alias("name_devoweled"),
+        F.reverse("p_name").alias("name_reversed"),
+    )
