@@ -214,3 +214,73 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "q_curation_pipeline",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOP_SQL}))) * 1.0
+               / len(string_split(text, ' ')) AS stop_r,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+               / length(lower(text)) AS punct_r,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_r
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, source, text FROM s
+      WHERE n_tokens BETWEEN 5 AND 5000 AND stop_r >= 0.01
+        AND punct_r <= 0.25 AND distinct_r >= 0.2),
+    canon AS (
+      SELECT doc_id, lang, source,
+             min(doc_id) OVER (PARTITION BY list_sort(string_split(text, ' ')))
+               AS min_id
+      FROM kept)
+    SELECT doc_id, lang, source,
+           CASE WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 80 THEN 'train'
+                WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM canon WHERE doc_id = min_id
+    """,
+    doc="End-to-end curation manifest: quality gate (scan-speed filter) -> "
+    "exact dedup keeping min doc_id per sorted-token content key (one "
+    "window exchange) -> deterministic 80/10/10 split (pure arithmetic). "
+    "The composition a training-data pipeline runs between raw scrape and "
+    "tokenizer, as ONE lazy plan: Catalyst fuses the gate into the scan "
+    "and the split into the window's output projection, so the whole "
+    "pipeline costs a single shuffle on the content key. At 100 TB swap "
+    "the token-array key for its 8-byte doc_fingerprint to shrink the "
+    "exchange payload; near-dup removal (banded_minhash_pairs) then runs "
+    "on the survivors as a separate anti-join pass",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    keep = (
+        n_tokens.between(5, 5000)
+        & (stopword_ratio("text") >= 0.01)
+        & (punct_ratio("text") <= 0.25)
+        & ((F.size(F.array_distinct(toks)) / n_tokens) >= 0.2)
+    )
+    kept = ensure_parallelism(docs).filter(keep)
+    w = Window.partitionBy(F.sort_array(F.split("text", " ")))
+    bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
+    return (
+        kept.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
