@@ -169,3 +169,16 @@ def test_batch5_shuffle_budgets(spark, sf_dir, queries):
         plan = plan_of(queries[name].fn(spark, sf_dir))
         n = plan.count("Exchange")
         assert n <= budget, f"{name} shuffles {n}x, expected <={budget}:\n{plan}"
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir, queries):
+    """The composed curate query (gate -> dedup window -> split) costs one
+    hash exchange on the content key plus at most the scan-parallelism
+    floor's round-robin repartition (a local-mode artifact: tiny parquet =
+    one split; a real corpus has thousands of splits and the floor
+    no-ops). More means a stage lost fusion."""
+    plan = plan_of(queries["q_curation_pipeline"].fn(spark, sf_dir))
+    n_hash = plan.count("Exchange hashpartitioning")
+    n_total = plan.count("Exchange")
+    assert n_hash <= 1, f"curation pipeline hash-shuffles {n_hash}x:\n{plan}"
+    assert n_total <= 2, f"curation pipeline shuffles {n_total}x:\n{plan}"
