@@ -69,16 +69,23 @@ def make_etl(spark, roots):
 def test_etl_first_run_writes_report_and_meta(spark, roots):
     src_root, trg_root = roots
     etl = make_etl(spark, roots)
-    # no meta → full backfill from first_date - 1 (the LAG warm-up day)
-    assert etl.extract_date == day(4)
+    # no meta → cutoff is first_date itself (ref meta_process.py:118); the
+    # scan list still starts at first_date - 1, the LAG warm-up day
+    assert etl.extract_date == day(3)
     assert etl.extract_date_list[0] == day(4)
+    assert etl.meta_update_list == [day(3), day(2), day(1), day(0)]
 
     assert etl.run() is True
 
     reports = glob.glob(f"{trg_root}/report1/*.parquet")
     assert len(reports) == 1
     report = {r["Date"]: r for r in spark.read.parquet(reports[0]).collect()}
-    assert len(report) == 5
+    # warm-up day day(4) seeds the LAG but is NOT emitted (ref :203-206)
+    assert len(report) == 4
+    assert day(4) not in report
+    # day(3)'s pct change is seeded by the warm-up day's opening:
+    # (18.27 - 20.19) / 20.19 * 100 = -9.51
+    assert report[day(3)]["change_prev_closing_%"] == -9.51
     # golden OHLC + pct-change values (reference golden frame, re-dated)
     r2 = report[day(2)]
     assert (
@@ -89,9 +96,12 @@ def test_etl_first_run_writes_report_and_meta(spark, roots):
     assert report[day(1)]["change_prev_closing_%"] == 1.83
     assert report[day(0)]["change_prev_closing_%"] == 14.58
 
+    # only dates >= the cutoff land in meta — the warm-up day never does,
+    # so a later gap restart re-derives it instead of duplicating it
     meta = spark.read.options(header=True).csv(f"{trg_root}/meta/report1_meta.csv")
     processed = sorted(r.source_date for r in meta.collect())
-    assert processed == sorted(etl.extract_date_list)
+    assert processed == sorted(etl.meta_update_list)
+    assert day(4) not in processed
 
 
 def test_etl_second_run_is_incremental_noop(spark, roots):

@@ -67,9 +67,10 @@ def test_wrong_schema_raises(conn, spark):
 
 
 def test_date_list_no_meta_full_backfill(conn):
-    # ref meta_process.py:116-124 — no meta → from first_date - 1
+    # ref meta_process.py:116-124 — no meta → min date is first_date itself,
+    # the scan list still starts at first_date - 1 (LAG warm-up day)
     start, dates = return_date_list(conn, "2021-04-16", META_KEY, today=TODAY)
-    assert start == "2021-04-15"
+    assert start == "2021-04-16"
     assert dates == [
         "2021-04-15", "2021-04-16", "2021-04-17",
         "2021-04-18", "2021-04-19", "2021-04-20",
@@ -77,10 +78,11 @@ def test_date_list_no_meta_full_backfill(conn):
 
 
 def test_date_list_partial_meta(conn):
-    # ref meta_process.py:88-107 — gap → restart from min(missing) - 1
+    # ref meta_process.py:88-107 — gap → min date is min(missing) (:100-102);
+    # the scan list starts one day earlier so LAG sees the previous close
     update_meta_file(conn, META_KEY, ["2021-04-16", "2021-04-17"], NOW)
     start, dates = return_date_list(conn, "2021-04-16", META_KEY, today=TODAY)
-    assert start == "2021-04-17"
+    assert start == "2021-04-18"
     assert dates == ["2021-04-17", "2021-04-18", "2021-04-19", "2021-04-20"]
 
 

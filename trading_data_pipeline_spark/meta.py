@@ -9,9 +9,12 @@ that records which source dates were already processed. Two operations:
   (meta_process.py:20-59).
 - ``return_date_list``: compute which dates still need extraction — build a
   date spine from ``first_date - 1 day`` through today, subtract the dates
-  already in the meta file, return ``(min_missing - 1 day, all spine dates
-  >= that)``; sentinel ``2200-01-01`` + empty list when nothing is missing
-  (meta_process.py:61-125).
+  already in the meta file, return ``(min_missing, all spine dates >=
+  min_missing - 1 day)``: the returned *min date* is the output cutoff
+  (ref meta_process.py:100-102 returns ``min_date + 1 day``), while the
+  returned *date list* still starts one day earlier so the LAG warm-up row
+  is scanned but never re-emitted or re-appended to the meta file; sentinel
+  ``2200-01-01`` + empty list when nothing is missing (meta_process.py:61-125).
 
 Design: the date arithmetic is pure driver-side Python (the spine is at most
 a few thousand elements — SURVEY.md §2 row 21); the table I/O goes through
@@ -105,16 +108,20 @@ def return_date_list(
 ) -> tuple[str, list[str]]:
     """(extract start date, list of dates to process) — ref :61-125.
 
-    - no meta file → full backfill from ``first_date - 1`` (:116-124)
-    - partial meta → restart from ``min(missing) - 1 day`` so the LAG
-      warm-up row is always present (:88-107)
-    - everything processed → sentinel ``2200-01-01``, empty list (:108-115)
+    The min date is the OUTPUT cutoff: ``first_date`` on first run (:118)
+    or ``min(missing)`` on a gap restart (:98-102, ``min_date + 1 day``).
+    The date LIST starts one day earlier (the LAG warm-up day, :103-107 /
+    :119-124) — it is scanned so pct-change has its previous close, but
+    rows before the cutoff are filtered out of the report and never
+    re-appended to the meta file (``meta_update_list`` keeps only dates
+    ``>= extract_date``). Everything processed → sentinel ``2200-01-01``,
+    empty list (:108-115).
     """
     spine = date_spine(first_date, today)
     meta_df = _read_meta(connector, meta_key)
     if meta_df is None:
-        return_min = spine[0]
-        dates = spine
+        # ref :118 returns first_date itself; the list still starts a day early
+        return first_date, [d.strftime(META_DATE_FORMAT) for d in spine]
     else:
         processed = {
             datetime.strptime(r[0], META_DATE_FORMAT).date()
@@ -123,8 +130,9 @@ def return_date_list(
         missing = sorted(set(spine[1:]) - processed)
         if not missing:
             return "2200-01-01", []
-        return_min = min(missing) - timedelta(days=1)
-        dates = [d for d in spine if d >= return_min]
+        return_min = min(missing)
+        warmup = return_min - timedelta(days=1)
+        dates = [d for d in spine if d >= warmup]
     return (
         return_min.strftime(META_DATE_FORMAT),
         [d.strftime(META_DATE_FORMAT) for d in dates],
