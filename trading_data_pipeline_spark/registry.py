@@ -64,6 +64,47 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The driver's correctness harness checks the FIRST 50 entries of
+# ``queries()``.  Insertion order therefore decides which operators get a
+# driver-verified row each round.  This list pins the SURVEY.md §2
+# component-mapped queries (flagship report1 pipeline + its micro-queries,
+# event-time windows, io/meta protocol, dedup family, similarity, text,
+# multimodal, curation, as-of) into that window; everything not listed
+# follows in module-registration order and is still covered by the local
+# oracle harness (``tools/parity.py``) and pytest.
+_PRIORITY: tuple[str, ...] = (
+    # §2.b/§2.c flagship + micro-queries (ref xetra_transformer.py:127-208)
+    "q_report1", "q_project", "q_dropna", "q_rename", "q_round",
+    "q_filter_date", "q_window_first", "q_window_last", "q_groupby_agg",
+    "q_window_lag",
+    # event-time windows
+    "q_tumbling_window", "q_session_window",
+    # §2.a io (ref s3.py list/read/write)
+    "q_scan_partition", "q_scan_csv", "q_sink_csv", "q_sink_parquet",
+    "q_union_all",
+    # §2.d meta protocol (ref meta_process.py)
+    "q_date_spine", "q_anti_join_dates", "q_lit_frame", "q_checked_union",
+    # as-of join
+    "q_asof_join", "q_asof_pandas",
+    # dedup family (q_dedup_near is rows-only by design: no SQL oracle)
+    "q_dedup_exact", "q_simhash", "q_dedup_ngram", "q_dedup_embed",
+    "q_dedup_near",
+    # similarity
+    "q_topk_cosine",
+    # text analysis
+    "q_text_stats", "q_token_count", "q_lang_id", "q_fingerprint",
+    "q_sentiment_lexicon", "q_json_extract", "q_redact",
+    # multimodal
+    "q_multimodal_meta", "q_frame_sample",
+    # curation suite
+    "q_quality_repetition", "q_quality_filter", "q_dataset_split",
+    "q_stratified_sample", "q_source_stats", "q_curation_pipeline",
+    # relational core
+    "q_range_join", "q_tpch_q1", "q_join_multi", "q_topn", "q_rollup",
+    "q_window_rank",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from .operators import (  # noqa: F401
@@ -85,4 +126,10 @@ def all_queries() -> dict[str, QuerySpec]:
         window_queries,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
