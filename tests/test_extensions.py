@@ -157,3 +157,45 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.table("t_tumbling").collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_hash_bucket_overflow_free_across_int64_domain(spark):
+    """Spark, DuckDB, and pure-Python arithmetic must agree on split
+    buckets for ids far beyond int32 — the pre-fix form overflowed int64
+    past doc_id ~3.47e9 (silent negative buckets on Spark, error on ANSI
+    engines)."""
+    import random
+
+    import duckdb
+
+    from trading_data_pipeline_spark.operators.quality_queries import (
+        _SPLIT_A,
+        _SPLIT_C,
+        _bucket_sql,
+        _hash_bucket,
+    )
+
+    rng = random.Random(7)
+    ids = [0, 1, 2**31 - 1, 2**31, 3_470_000_000, 2**40, 2**40 + 123,
+           2**62, 2**63 - 1] + [rng.randrange(2**63) for _ in range(50)]
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in sdf.select(
+            "doc_id", _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C).alias("b")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    expr = _bucket_sql(_SPLIT_A, _SPLIT_C)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {expr} FROM (SELECT unnest(?::BIGINT[]) AS doc_id)",
+            [ids],
+        ).fetchall()
+    )
+    ref = {i: (((i % 2**31) * _SPLIT_A + _SPLIT_C) % 2**32) % 100 for i in ids}
+
+    assert got == want == ref
+    assert all(0 <= b < 100 for b in got.values())

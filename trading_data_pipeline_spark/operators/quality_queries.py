@@ -31,17 +31,34 @@ from ..registry import load, register
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-# LCG-style mixers (Knuth/numerical-recipes constants), mod 2^32 so the
-# product stays far inside int64 for any realistic doc_id.
+# LCG-style mixers (Knuth/numerical-recipes constants). The id is reduced
+# mod 2^31 BEFORE the multiply so the product is at most
+# (2^31)·2654435761 ≈ 5.7e18 < int64 max ≈ 9.22e18 — no overflow for ANY
+# non-negative doc_id (the pre-fix form overflowed past doc_id ≈ 3.47e9,
+# silently wrapping negative on Spark while erroring on ANSI engines).
+# For doc_id < 2^31 the reduction is the identity, so buckets are
+# unchanged. Production would use pmod(xxhash64(key), 100); the LCG stands
+# in because the DuckDB oracle needs cross-engine-identical arithmetic.
 _SPLIT_A, _SPLIT_C = 2654435761, 1013904223
 _SAMPLE_A, _SAMPLE_C = 2246822519, 3266489917
+_MOD31 = 2147483648
 _MOD32 = 4294967296
 
 
 def _hash_bucket(doc_id: Column | str, a: int, c: int) -> Column:
-    """Deterministic bucket in [0, 100) from an integer id — identical
-    arithmetic on every engine (no engine-specific hash function)."""
-    return ((F.col(doc_id) * a + c) % _MOD32) % 100
+    """Deterministic bucket in [0, 100) from a non-negative integer id —
+    identical arithmetic on every engine (no engine-specific hash), and
+    overflow-free across the full non-negative int64 domain."""
+    return (((F.col(doc_id) % _MOD31) * a + c) % _MOD32) % 100
+
+
+def _bucket_sql(a: int, c: int) -> str:
+    """The oracle-side rendering of :func:`_hash_bucket` — keep in lockstep."""
+    return f"(((doc_id % {_MOD31}) * {a} + {c}) % {_MOD32}) % 100"
+
+
+_SPLIT_B = _bucket_sql(_SPLIT_A, _SPLIT_C)
+_SAMPLE_B = _bucket_sql(_SAMPLE_A, _SAMPLE_C)
 
 
 @register(
@@ -148,9 +165,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dataset_split",
     f"""
     SELECT doc_id,
-           ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 AS bucket,
-           CASE WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 80 THEN 'train'
-                WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 90 THEN 'valid'
+           {_SPLIT_B} AS bucket,
+           CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                WHEN {_SPLIT_B} < 90 THEN 'valid'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -173,7 +190,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE ((doc_id * {_SAMPLE_A} + {_SAMPLE_C}) % {_MOD32}) % 100 <
+    WHERE {_SAMPLE_B} <
           CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20 ELSE 10 END
     """,
     doc="Deterministic stratified sampling: per-language keep rates via "
@@ -240,8 +257,8 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS min_id
       FROM kept)
     SELECT doc_id, lang, source,
-           CASE WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 80 THEN 'train'
-                WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_C}) % {_MOD32}) % 100 < 90 THEN 'valid'
+           CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                WHEN {_SPLIT_B} < 90 THEN 'valid'
                 ELSE 'test' END AS split
     FROM canon WHERE doc_id = min_id
     """,
