@@ -182,3 +182,13 @@ def test_curation_pipeline_shuffle_budget(spark, sf_dir, queries):
     n_total = plan.count("Exchange")
     assert n_hash <= 1, f"curation pipeline hash-shuffles {n_hash}x:\n{plan}"
     assert n_total <= 2, f"curation pipeline shuffles {n_total}x:\n{plan}"
+
+
+def test_ntile_has_no_global_window_funnel(spark, sf_dir, queries):
+    """Global ntile must NOT route the table through a SinglePartition
+    exchange (the classic one-task window funnel): the two-pass quantile
+    bucketing keeps the window partitioned by bucket, so the only wide
+    exchange is the hash partition on the bucket id."""
+    plan = plan_of(queries["q_ntile"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
