@@ -199,3 +199,23 @@ def test_hash_bucket_overflow_free_across_int64_domain(spark):
 
     assert got == want == ref
     assert all(0 <= b < 100 for b in got.values())
+
+
+def test_asof_null_payload_and_non_double_dtype(spark):
+    """A right row whose payload is NULL must win over an older non-null
+    row (merge_asof semantics), and a non-double value column must come
+    through with its own dtype, for BOTH strategies."""
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("k", 25), ("q", 10)], "id string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 10, None), ("k", 20, "c")],
+        "id string, ts int, tag string",
+    )
+    want = {("k", 5): "a", ("k", 15): None, ("k", 25): "c", ("q", 10): None}
+    for fn in (asof_join_union, asof_join_pandas):
+        out = fn(left, right, on="id", ts_col="ts", value_col="tag",
+                 value_alias="tag_asof")
+        assert dict(out.dtypes)["tag_asof"] == "string", fn.__name__
+        got = {(r["id"], r["ts"]): r["tag_asof"] for r in out.collect()}
+        assert got == want, fn.__name__

@@ -34,12 +34,24 @@ def asof_join_union(
     """Left as-of join via union + ignore-nulls last over one window.
 
     ``left`` keeps all its columns; ``right`` contributes ``value_col`` as
-    ``value_alias`` (null when no right row at or before the left ts).
+    ``value_alias`` — typed as the right side's actual dtype — and is null
+    only when NO right row exists at or before the left ts. The payload
+    rides inside a one-field struct so ``last(ignorenulls)`` tracks the
+    latest right ROW, not the latest non-null VALUE: a right row whose
+    payload is NULL yields NULL (as pandas ``merge_asof`` and DuckDB ASOF
+    do) instead of falling through to an older row.
     """
     lcols = left.columns
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast("double"))
+    rtype = dict(right.dtypes)[value_col]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(f"struct<v:{rtype}>")
+    )
     r_tag = (
-        right.select(on, ts_col, F.col(value_col).alias("_rv"))
+        right.select(
+            on,
+            ts_col,
+            F.struct(F.col(value_col).alias("v")).alias("_rv"),
+        )
         .withColumn("_side", F.lit(0))
     )
     # align schemas: right side gets nulls for left-only columns
@@ -53,9 +65,9 @@ def asof_join_union(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn(value_alias, F.last("_rv", ignorenulls=True).over(w))
+        unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(*lcols, value_alias)
+        .select(*lcols, F.col("_m.v").alias(value_alias))
     )
 
 
@@ -68,10 +80,10 @@ def asof_join_pandas(
     value_alias: str = "asof_value",
 ) -> DataFrame:
     """Same semantics via applyInPandas + merge_asof (cogrouped by key)."""
-    import numpy as np
     import pandas as pd
 
-    out_schema = ", ".join(f"`{n}` {t}" for n, t in left.dtypes) + f", {value_alias} double"
+    rtype = dict(right.dtypes)[value_col]
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in left.dtypes) + f", {value_alias} {rtype}"
     out_cols = [*left.columns, value_alias]
 
     # When both sides derive from the same scan (self-cogroup), Spark dedups
@@ -91,7 +103,7 @@ def asof_join_pandas(
         l_sorted = l_pdf.sort_values(ts_col)
         if r_pdf.empty:
             out = l_sorted.copy()
-            out[value_alias] = np.nan
+            out[value_alias] = None
             return out
         r_sorted = (
             r_pdf[["_r_ts", "_r_value"]]
