@@ -62,6 +62,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # Isolation between queries: drop cached plans and force a JVM GC so
+        # broadcast/shuffle debt from one query can't tax the next one's
+        # timings (late-in-list queries otherwise inherit heap pressure —
+        # observed as a 5x wall-clock swing on q_dedup_near with no code
+        # change between rounds).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
