@@ -40,11 +40,12 @@ def test_small_dim_join_is_broadcast(spark, sf_dir, queries):
 
 
 def test_multi_join_broadcasts_all_dims(spark, sf_dir, queries):
-    """region/nation/customer are dimension-sized next to lineitem/orders —
-    none of them may trigger a sort-merge join (which would shuffle the
-    fact table once per dim at scale)."""
+    """The true dims (nation/region, bounded cardinality) must broadcast;
+    customer carries no hint (it grows with the data — AQE decides), but
+    at test SF every dim is broadcast-sized, so no sort-merge join may
+    appear for any of them."""
     plan = plan_of(queries["q_join_multi"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
 
 
 def test_parquet_filter_pushdown(spark, sf_dir):

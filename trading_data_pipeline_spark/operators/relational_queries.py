@@ -70,7 +70,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc="TPC-H Q5-style multi-way join: fact⋈fact shuffle + broadcast dims, "
-    "revenue per nation",
+    "revenue per nation. nation/region are bounded-cardinality dims, so "
+    "they get an explicit broadcast; customer GROWS with the data (a "
+    "fact-sized dim at 100 TB, beyond any broadcast threshold), so no "
+    "hint — AQE picks broadcast at small SF and shuffle join at scale",
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -80,7 +83,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
