@@ -70,3 +70,17 @@ def test_multi_path_scan_unions(conn, df2):
     conn.write(df2, "d2/part", "csv")
     both = conn.read_csv(["d1/part", "d2/part"], schema="col1 string, col2 string")
     assert both.count() == 4
+
+
+def test_write_single_object_overwrites_atomically(conn, spark, tmp_path):
+    """Rewriting an existing key must swap content without a window in
+    which the key is absent (delete-then-rename would leave one; a
+    concurrent meta reader would plan a full backfill)."""
+    df_a = spark.createDataFrame([("old",)], "v string")
+    df_b = spark.createDataFrame([("new",)], "v string")
+    assert conn.write_single_object(df_a, "meta/m.csv", "csv") is True
+    assert conn.write_single_object(df_b, "meta/m.csv", "csv") is True
+    target = tmp_path / "meta/m.csv"
+    assert target.is_file()
+    back = conn.read_csv("meta/m.csv", schema="v string")
+    assert [r.v for r in back.collect()] == ["new"]

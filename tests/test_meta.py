@@ -101,3 +101,10 @@ def test_date_list_up_to_date_sentinel(conn):
 def test_meta_columns_names():
     assert META_DATE_COL == "source_date"
     assert META_PROCESS_COL == "datetime_of_processing"
+
+def test_date_list_no_meta_normalizes_unpadded_date(conn):
+    # a parseable-but-unpadded config date must come back zero-padded, or
+    # the lexicographic Date >= cutoff filters downstream drop every row
+    start, dates = return_date_list(conn, "2021-4-16", META_KEY, today=TODAY)
+    assert start == "2021-04-16"
+    assert dates[0] == "2021-04-15"

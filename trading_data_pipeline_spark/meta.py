@@ -120,8 +120,15 @@ def return_date_list(
     spine = date_spine(first_date, today)
     meta_df = _read_meta(connector, meta_key)
     if meta_df is None:
-        # ref :118 returns first_date itself; the list still starts a day early
-        return first_date, [d.strftime(META_DATE_FORMAT) for d in spine]
+        # ref :118 returns first_date itself; the list still starts a day
+        # early. Re-format through strptime so a parseable-but-unpadded
+        # config date ('2021-4-16') yields the same normalized form as the
+        # spine strings — the downstream Date >= cutoff filters compare
+        # lexicographically and would silently drop every row otherwise.
+        normalized = datetime.strptime(first_date, META_DATE_FORMAT).strftime(
+            META_DATE_FORMAT
+        )
+        return normalized, [d.strftime(META_DATE_FORMAT) for d in spine]
     else:
         processed = {
             datetime.strptime(r[0], META_DATE_FORMAT).date()

@@ -183,8 +183,18 @@ class FileSystemConnector:
         if part is None:  # pragma: no cover — write() above always emits one
             raise WrongFormatException(f"no part file produced under {tmp_dir}")
         dest = jvm.org.apache.hadoop.fs.Path(self._abs(key))
-        if fs.exists(dest):
-            fs.delete(dest, False)
-        fs.rename(part, dest)
+        # Atomic overwrite-rename: FileContext.rename(OVERWRITE) replaces
+        # dest in one metadata operation on HDFS/file — no delete-then-rename
+        # window in which a concurrent reader (e.g. return_date_list on the
+        # meta file) sees "no object" and plans a full backfill. On S3-style
+        # stores rename is copy+delete, so the swap is only best-effort
+        # there; readers still never observe a missing key, only old-or-new
+        # content, because the copy lands before the source delete.
+        hconf = self.spark._jsc.hadoopConfiguration()
+        gw = self.spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri(), hconf)
+        overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(part, dest, overwrite)
         fs.delete(tmp_path, True)
         return True
