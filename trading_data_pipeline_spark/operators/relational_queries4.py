@@ -343,3 +343,69 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q9",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN part p     ON p.p_partkey  = l.l_partkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 product-type profit (adapted: no partsupp table, so "
+    "profit is gross revenue without the ps_supplycost term): fact joins "
+    "broadcast part/supplier/nation dims; the LIKE filter prunes part "
+    "BEFORE its join so only matching partkeys reach the fact shuffle",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 customer order-count distribution (adapted: no "
+    "o_comment column, so the NOT-LIKE clerk filter is dropped): left "
+    "outer join preserves zero-order customers, then a two-level "
+    "aggregation — the second groupBy is on the tiny distinct-count "
+    "domain, so the heavy shuffle happens exactly once on c_custkey",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
