@@ -219,3 +219,16 @@ def test_asof_null_payload_and_non_double_dtype(spark):
         assert dict(out.dtypes)["tag_asof"] == "string", fn.__name__
         got = {(r["id"], r["ts"]): r["tag_asof"] for r in out.collect()}
         assert got == want, fn.__name__
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Chained pairs must collapse into one component labeled by its min
+    id; disjoint components stay separate."""
+    from trading_data_pipeline_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}

@@ -329,3 +329,60 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Turns the pair stream (:func:`banded_minhash_pairs` etc.) into
+    deduplication GROUPS: every doc in a transitively-connected cluster
+    gets ``cluster_id = min(doc_id in cluster)``, so "keep one doc per
+    cluster" is a single ``filter(doc_id == cluster_id)`` afterwards.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup graphs are unions of small cliques, so
+    typically 2-3. Per round: one join on the (tiny, pairs-sized) edge
+    set + one groupBy — no full-corpus shuffle; ``localCheckpoint``
+    truncates the lineage so the plan doesn't grow exponentially.
+    Driver-side work per round is a single changed-count scalar, never
+    the data. Only docs appearing in at least one pair are returned
+    (unpaired docs are their own singleton cluster by definition).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -127,3 +127,20 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_minhash_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_clusters",
+    None,  # iterative fixpoint — not SQL-expressible; closure tested in unit
+    doc="Near-dup clustering: banded-MinHash pairs -> connected components "
+    "via iterative min-label propagation (O(diameter) rounds, edge-sized "
+    "joins only, localCheckpoint-truncated lineage). Output (doc_id, "
+    "cluster_id=min id in component) makes canonical-doc selection a "
+    "single filter. Transitive-closure semantics pinned by "
+    "tests/test_extensions.py",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dup_clusters
+
+    pairs = banded_minhash_pairs(load(spark, sf_dir, "documents"))
+    return dup_clusters(pairs)

@@ -301,3 +301,56 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@register(
+    "q_contamination",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(tk) - 7),
+                    i -> array_to_string(tk[i+1:i+8], ' ')))) AS g
+      FROM tok WHERE len(tk) >= 8
+    ), ev AS (
+      SELECT doc_id, g FROM sh WHERE source = 'src0'
+    ), tr AS (
+      SELECT doc_id, g FROM sh WHERE source <> 'src0'
+    )
+    SELECT ev.doc_id, count(DISTINCT tr.doc_id) AS n_contaminating
+    FROM ev JOIN tr ON ev.g = tr.g
+    GROUP BY ev.doc_id
+    """,
+    doc="Eval-set decontamination: for each eval document (source src0), "
+    "the number of train documents sharing at least one 8-gram — the "
+    "GPT-3-style n-gram overlap check run before training. The eval side "
+    "is tiny next to the train corpus, so it broadcasts and the train "
+    "scan never shuffles its shingles; only the post-join (eval_doc, "
+    "train_doc) pairs — a vanishingly small set — reach the aggregation "
+    "exchange. At 100 TB, hash the shingles (xxhash64) instead of "
+    "carrying strings; literal strings here keep the oracle engine-exact",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 8),"
+            " i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+        )
+    )
+    sh = (
+        ensure_parallelism(docs.filter(F.size(F.split("text", " ")) >= 8))
+        .select("doc_id", "source", F.explode(grams).alias("g"))
+    )
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    tr = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(F.col("eval_doc").alias("doc_id"))
+        .agg(F.countDistinct("train_doc").alias("n_contaminating"))
+    )
