@@ -193,3 +193,14 @@ def test_ntile_has_no_global_window_funnel(spark, sf_dir, queries):
     plan = plan_of(queries["q_ntile"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir, queries):
+    """Decontamination joins a huge train shingle stream against a tiny
+    eval set: the eval side must broadcast (train shingles never hash-
+    shuffle before the join); the only hash exchanges carry post-join
+    (eval_doc, train_doc) pairs."""
+    plan = plan_of(queries["q_contamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
