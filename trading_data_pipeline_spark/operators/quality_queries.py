@@ -354,3 +354,48 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("eval_doc").alias("doc_id"))
         .agg(F.countDistinct("train_doc").alias("n_contaminating"))
     )
+
+
+@register(
+    "q_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512) AS INT) AS pack_id
+    FROM t
+    """,
+    doc="Sequence packing for training batches: docs are packed into "
+    "fixed 512-token budgets per source shard by cumulative token count "
+    "over a deterministic order (doc_id) — pack_id = floor(preceding "
+    "tokens / budget). One window exchange on the shard key, no RNG, no "
+    "state: every re-run assigns identical packs, and shards pack "
+    "independently so the operator scales with the shard count (the "
+    "per-shard window sorts only that shard's docs). The greedy "
+    "first-fit-by-order policy is the standard streaming-friendly "
+    "packing; bin-optimal packing would need global state for ~2% "
+    "density gain",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    preceding = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(preceding / 512).cast("int").alias("pack_id"),
+    )
