@@ -114,3 +114,22 @@ def test_stateful_running_totals_converge_to_batch(spark, staged_events):
     for uid, (n, total) in want.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 0.05  # float fold-order tolerance
+
+
+def test_streaming_dedup_equals_batch_key_set(spark, staged_events):
+    """Watermarked streaming dedup must emit exactly one row per key and
+    cover the same key set as batch dropDuplicates over the same files."""
+    from trading_data_pipeline_spark.streaming.jobs import dedup_stream, stream_events
+
+    stream = dedup_stream(stream_events(spark, staged_events))
+    run_to_completion(stream, "t_dedup", "append", spark)
+    got = spark.table("t_dedup").groupBy("user_id", "event_type").count()
+    assert got.filter("count > 1").count() == 0  # one emission per key
+    want = (
+        spark.read.parquet(staged_events)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    got_keys = {(r.user_id, r.event_type) for r in got.collect()}
+    want_keys = {(r.user_id, r.event_type) for r in want.collect()}
+    assert got_keys == want_keys

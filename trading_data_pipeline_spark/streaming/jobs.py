@@ -53,3 +53,22 @@ def session_stream(
     from ..operators.windows import session_agg
 
     return session_agg(events.withWatermark(ts_col, watermark), gap, ts_col=ts_col)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming counterpart of batch
+    ``exact_dedup`` (extension E1): emit the first event per key, with
+    dedup state BOUNDED by the watermark horizon instead of growing
+    forever. ``dropDuplicatesWithinWatermark`` evicts a key's state once
+    the watermark passes its event time, so at 100 TB/day the state store
+    holds only the horizon's keys, not history; a replayed/duplicated
+    event inside the horizon (the at-least-once delivery case this op
+    exists for) is dropped exactly like the batch form would."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
