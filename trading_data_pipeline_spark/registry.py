@@ -99,9 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     # curation suite
     "q_quality_repetition", "q_quality_filter", "q_dataset_split",
     "q_stratified_sample", "q_source_stats", "q_curation_pipeline",
+    "q_contamination", "q_sequence_packing",
     # relational core
-    "q_range_join", "q_tpch_q1", "q_join_multi", "q_topn", "q_rollup",
-    "q_window_rank",
+    "q_range_join", "q_tpch_q1", "q_join_multi", "q_topn",
 )
 
 
