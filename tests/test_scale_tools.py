@@ -101,3 +101,32 @@ def test_range_join_bucketed_equals_naive(spark, sf_dir):
     # and it is a hash join on the bucket key, not a nested loop
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_ntile_matches_window_ntile_on_random_data(spark):
+    """Property: the two-pass bucketed ntile must agree bit-for-bit with
+    Spark's own single-partition ntile window (the semantics oracle) on
+    random sizes, duplicates, and tile counts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.plans.global_rank import global_ntile
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n_rows = rng.choice([1, 2, 3, 7, 50, 315])
+        n_tiles = rng.choice([2, 3, 4, 7, 10])
+        rows = [(i, float(rng.randint(0, 9))) for i in range(n_rows)]  # heavy ties
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            r["id"]: r["tile"]
+            for r in global_ntile(df, n_tiles, ["v", "id"]).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(n_tiles).over(w).alias("t")).collect()
+        }
+        assert got == want, (trial, n_rows, n_tiles)

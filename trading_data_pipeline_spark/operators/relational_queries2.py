@@ -213,46 +213,17 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the driver) turn local ranks into exact global ranks; the ntile "
     "quota formula then reproduces ntile(4) semantics bit-for-bit. One "
     "hash exchange on the bucket id — no SinglePartition funnel, so the "
-    "plan survives 100x scale (asserted in tests/test_plans.py)",
+    "plan survives 100x scale (asserted in tests/test_plans.py). Core in "
+    "plans/global_rank.py:global_ntile, property-tested vs the window "
+    "form on random data",
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    n_buckets = max(spark.sparkContext.defaultParallelism, 16)
-    probs = ", ".join(str((i + 1) / n_buckets) for i in range(n_buckets - 1))
-    cuts = orders.select(
-        F.expr(f"approx_percentile(o_totalprice, array({probs}), 10000)").alias("c")
-    ).first()["c"] or []
-    # monotone bucket id: number of cut points strictly below this row's key
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col("o_totalprice") > F.lit(c), 1).otherwise(0)
-    bucketed = orders.select("o_orderkey", "o_totalprice", bucket.alias("bkt"))
-    w = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
-    ranked = bucketed.withColumn("lr", F.row_number().over(w))
+    from ..plans.global_rank import global_ntile
 
-    # pass 1: per-bucket sizes (≤ n_buckets rows) → exact global-rank offsets
-    sizes = {r["bkt"]: r["n"] for r in bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()}
-    n = sum(sizes.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(sizes):
-        offsets[b] = acc
-        acc += sizes[b]
-    if not offsets:
-        return orders.select("o_orderkey", F.lit(0).cast("int").alias("quartile"))
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    rank = F.element_at(off_map, F.col("bkt")) + F.col("lr")
-
-    # ntile(4): first (n % 4) tiles get floor(n/4)+1 rows, the rest floor(n/4)
-    base, rem = n // 4, n % 4
-    if base == 0:
-        quartile = rank
-    else:
-        head = rem * (base + 1)
-        quartile = F.when(
-            F.lit(rem > 0) & (rank <= head), ((rank - 1) / (base + 1)).cast("long") + 1
-        ).otherwise(F.lit(rem) + ((rank - F.lit(head) - 1) / base).cast("long") + 1)
-    return ranked.select("o_orderkey", quartile.cast("int").alias("quartile"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_ntile(
+        orders, 4, ["o_totalprice", "o_orderkey"], out_col="quartile"
+    ).select("o_orderkey", "quartile")
 
 
 @register(
