@@ -10,7 +10,7 @@
 # Build:  docker build -t trading-data-pipeline-spark .
 # Run:    docker run -e AWS_ACCESS_KEY_ID -e AWS_SECRET_ACCESS_KEY \
 #             trading-data-pipeline-spark \
-#             --config /code/configs/report1_local.yaml
+#             /code/configs/report1_local.yaml
 FROM apache/spark:4.0.0-python3
 
 USER root
