@@ -130,3 +130,18 @@ def test_global_ntile_matches_window_ntile_on_random_data(spark):
             for r in df.select("id", F.ntile(n_tiles).over(w).alias("t")).collect()
         }
         assert got == want, (trial, n_rows, n_tiles)
+
+
+def test_global_ntile_and_dup_clusters_handle_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.dedup import dup_clusters
+    from trading_data_pipeline_spark.plans.global_rank import global_ntile
+
+    empty_vals = spark.createDataFrame([], "id long, v double")
+    assert global_ntile(empty_vals, 4, ["v", "id"]).count() == 0
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dup_clusters(empty_pairs)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
