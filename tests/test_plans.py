@@ -204,3 +204,11 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir, queries):
+    """Packing is one window over the shard key: exactly one hash
+    exchange (shards pack independently — no global coordination)."""
+    plan = plan_of(queries["q_sequence_packing"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
