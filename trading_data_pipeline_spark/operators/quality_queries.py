@@ -399,3 +399,92 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(preceding / 512).cast("int").alias("pack_id"),
     )
+
+
+@register(
+    "q_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT source, token, count(*) AS n FROM tok GROUP BY source, token
+    ), ranked AS (
+      SELECT source, token, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+      FROM counts
+    )
+    SELECT source, token, n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="Per-source heavy-hitter tokens (top-5 by count, deterministic "
+    "token tie-break) — the boilerplate/vocabulary drift monitor a "
+    "crawl pipeline runs per domain. explode + partial-agg groupBy, then "
+    "the rank window runs over the already-aggregated (source, token) "
+    "counts — orders of magnitude smaller than the token stream. At "
+    "100 TB swap exact counts for count-min sketches per shard if the "
+    "token domain itself explodes",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        ensure_parallelism(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "token", "n", "rk")
+    )
+
+
+@register(
+    "q_split_leakage",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                  WHEN {_SPLIT_B} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS ck
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.split AS split_a, b.split AS split_b
+    FROM keyed a JOIN keyed b
+      ON a.ck = b.ck AND a.doc_id < b.doc_id AND a.split <> b.split
+    """,
+    doc="Cross-split leakage detection: pairs of docs with the same "
+    "TOKEN-SET canonical key (sorted distinct tokens — catches "
+    "reordered/repetition-edited copies, which is what this corpus "
+    "contains; the strict multiset key matches nothing here and would "
+    "prove nothing) that landed in DIFFERENT train/valid/test shards — "
+    "the eval-integrity check run after splitting. One self-join on the "
+    "content key: both sides hash-partition on ck so matches co-locate "
+    "and only key-equal pairs materialize. At 100 TB use the 8-byte "
+    "fingerprint as ck; compose with q_dedup_near's pairs for "
+    "near-dup-level leakage",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
+    keyed = ensure_parallelism(docs).select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ").alias("ck"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"), "ck"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"), "ck"
+    )
+    return (
+        a.join(b, "ck")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("split_a") != F.col("split_b")))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
