@@ -212,3 +212,16 @@ def test_sequence_packing_single_exchange(spark, sf_dir, queries):
     plan = plan_of(queries["q_sequence_packing"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_heavy_hitters_and_leakage_shuffle_budgets(spark, sf_dir, queries):
+    """Heavy hitters: token-count groupBy + rank window over the (much
+    smaller) aggregate stream — two hash exchanges, never a global sort.
+    Split leakage: one co-located self-join on the content key plus its
+    two side shuffles at most."""
+    plan = plan_of(queries["q_heavy_hitters"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    plan = plan_of(queries["q_split_leakage"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
