@@ -304,6 +304,62 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_full",
+    None,  # banded-MinHash candidate generation is engine-specific → rows-only;
+    # the exact pair set + cluster semantics are pinned by the golden test
+    # tests/test_extensions.py::test_curation_full_golden
+    doc="FULL curation DAG in one lazy plan: quality gate (scan-speed "
+    "filter) -> exact dedup (min doc_id per sorted-token key, one window "
+    "exchange) -> NEAR-dup removal (banded MinHash pairs -> connected "
+    "components -> keep cluster representative) -> deterministic 80/10/10 "
+    "split. This is the E2E 100 TB shape: the gate and exact-dedup fuse "
+    "into one exchange; near-dup candidates are bucket-bounded (never "
+    "all-pairs); clustering shuffles only the pairs-sized edge set; the "
+    "final keep is a small left join against the cluster table (cluster "
+    "membership is a vanishing fraction of the corpus) + arithmetic "
+    "split. Survivors = docs that pass the gate, win their exact-dup "
+    "group, and are either unpaired or their cluster's min-id "
+    "representative",
+)
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import banded_minhash_pairs, dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    keep = (
+        n_tokens.between(5, 5000)
+        & (stopword_ratio("text") >= 0.01)
+        & (punct_ratio("text") <= 0.25)
+        & ((F.size(F.array_distinct(toks)) / n_tokens) >= 0.2)
+    )
+    kept = ensure_parallelism(docs).filter(keep)
+    w = Window.partitionBy(F.sort_array(F.split("text", " ")))
+    exact = (
+        kept.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    pairs = banded_minhash_pairs(exact, min_jaccard=0.5)
+    clusters = dup_clusters(pairs)
+    survivors = exact.join(clusters, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
+    )
+    bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "q_contamination",
     """
     WITH tok AS (
@@ -465,17 +521,30 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prove nothing) that landed in DIFFERENT train/valid/test shards — "
     "the eval-integrity check run after splitting. One self-join on the "
     "content key: both sides hash-partition on ck so matches co-locate "
-    "and only key-equal pairs materialize. At 100 TB use the 8-byte "
-    "fingerprint as ck; compose with q_dedup_near's pairs for "
-    "near-dup-level leakage",
+    "and only key-equal pairs materialize. The Spark join key is the "
+    "8-byte xxhash64 FINGERPRINT of the sorted-distinct-token string, so "
+    "the exchange carries longs, never document-sized keys (the oracle "
+    "keeps the string form — identical pairs modulo a ~|docs|²/2⁶⁴ "
+    "collision, and the string-vs-fingerprint pair-set equivalence is "
+    "asserted at sf0.01 in tests/test_extensions.py). Compose with "
+    "q_dedup_near's pairs for near-dup-level leakage",
 )
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return split_leakage_pairs(load(spark, sf_dir, "documents"))
+
+
+def split_leakage_pairs(docs: DataFrame, fingerprint_key: bool = True) -> DataFrame:
+    """Same-content cross-split pairs. ``fingerprint_key=True`` joins on
+    ``xxhash64`` of the canonical token-set string (8-byte shuffle key —
+    the 100 TB path); ``False`` joins on the raw string (oracle-shaped,
+    used by the equivalence test)."""
     bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
+    ck_str = F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
+    ck = F.xxhash64(ck_str) if fingerprint_key else ck_str
     keyed = ensure_parallelism(docs).select(
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
-        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ").alias("ck"),
+        ck.alias("ck"),
     )
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"), "ck"

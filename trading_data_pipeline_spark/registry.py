@@ -72,36 +72,39 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # multimodal, curation, as-of) into that window; everything not listed
 # follows in module-registration order and is still covered by the local
 # oracle harness (``tools/parity.py``) and pytest.
+# Round-4 window: the 47 queries never driver-verified in rounds 1-3
+# (VERDICT.md r3 item 1) + two flagship canaries (q_report1, q_dedup_near —
+# keep one green row per round for the headline pipeline and the near-dup
+# path) + the new q_curation_full. Every name outside this window already
+# has a green driver row from r1/r2/r3; after this round all 120 registered
+# queries have driver evidence.
 _PRIORITY: tuple[str, ...] = (
-    # §2.b/§2.c flagship + micro-queries (ref xetra_transformer.py:127-208)
-    "q_report1", "q_project", "q_dropna", "q_rename", "q_round",
-    "q_filter_date", "q_window_first", "q_window_last", "q_groupby_agg",
-    "q_window_lag",
-    # event-time windows
-    "q_tumbling_window", "q_session_window",
-    # §2.a io (ref s3.py list/read/write)
-    "q_scan_partition", "q_scan_csv", "q_sink_csv", "q_sink_parquet",
-    "q_union_all",
-    # §2.d meta protocol (ref meta_process.py)
-    "q_date_spine", "q_anti_join_dates", "q_lit_frame", "q_checked_union",
-    # as-of join
-    "q_asof_join", "q_asof_pandas",
-    # dedup family (q_dedup_near is rows-only by design: no SQL oracle)
-    "q_dedup_exact", "q_simhash", "q_dedup_ngram", "q_dedup_embed",
-    "q_dedup_near",
-    # similarity
-    "q_topk_cosine",
-    # text analysis
-    "q_text_stats", "q_token_count", "q_lang_id", "q_fingerprint",
-    "q_sentiment_lexicon", "q_json_extract", "q_redact",
-    # multimodal
-    "q_multimodal_meta", "q_frame_sample",
-    # curation suite
-    "q_quality_repetition", "q_quality_filter", "q_dataset_split",
-    "q_stratified_sample", "q_source_stats", "q_curation_pipeline",
-    "q_contamination", "q_sequence_packing",
-    # relational core
-    "q_range_join", "q_tpch_q1", "q_join_multi", "q_topn",
+    # flagship canaries (driver-green r3; continuity across windows)
+    "q_report1", "q_dedup_near",
+    # TPC-H suite — never in a driver window before round 4
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
+    # global ranking / window variants
+    "q_ntile", "q_window_cume", "q_window_range_time", "q_lead_nth",
+    # subqueries
+    "q_exists_subquery", "q_scalar_subquery",
+    # stats / aggregation families
+    "q_median", "q_regr", "q_stats_agg", "q_histogram",
+    "q_conditional_agg", "q_bitwise_agg", "q_argminmax", "q_collect_sorted",
+    # array / map / string / date / null families
+    "q_array_funcs", "q_map_funcs", "q_regex_funcs", "q_date_trunc",
+    "q_string_pad", "q_null_funcs", "q_try_arith",
+    # set ops / joins
+    "q_union_distinct", "q_cross_join", "q_join_outer", "q_unpivot",
+    # vectors / text extensions
+    "q_vector_stats", "q_tfidf",
+    # LLM-curation scale ops (split-leakage now joins on the 8-byte
+    # fingerprint; curation_full composes near-dup clustering E2E)
+    "q_heavy_hitters", "q_split_leakage", "q_dedup_clusters",
+    "q_curation_full",
+    # ANN (rows-only by design)
+    "q_ann_lsh", "q_ann_ivf",
 )
 
 
