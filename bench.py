@@ -52,6 +52,7 @@ def main() -> None:
     specs = all_queries()
 
     timings: dict[str, float] = {}
+    bands: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         for _ in range(WARMUPS):
@@ -62,6 +63,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        bands[name] = {
+            "min": round(min(samples), 3),
+            "median": timings[name],
+            "max": round(max(samples), 3),
+        }
         # Isolation between queries: drop cached plans and force a JVM GC so
         # broadcast/shuffle debt from one query can't tax the next one's
         # timings (late-in-list queries otherwise inherit heap pressure —
@@ -78,10 +84,41 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "bands": bands,
+                "co_load": _co_load_sentinel(),
                 "sf": float(sf),
             }
         )
     )
+
+
+def _co_load_sentinel() -> dict:
+    """Machine co-load snapshot recorded alongside the timings, so a
+    regression in a future round is attributable in-file (is it the code,
+    or were other JVMs/processes competing for the box?). Pure /proc reads —
+    no extra dependencies."""
+    sent: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            sent["loadavg_1m"] = float(f.read().split()[0])
+    except OSError:
+        pass
+    try:
+        n_java = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+        sent["other_jvms"] = max(0, n_java - 1)  # minus our own
+    except OSError:
+        pass
+    sent["cpus"] = os.cpu_count()
+    return sent
 
 
 if __name__ == "__main__":

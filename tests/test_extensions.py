@@ -221,6 +221,193 @@ def test_asof_null_payload_and_non_double_dtype(spark):
         assert got == want, fn.__name__
 
 
+def test_asof_pandas_int_payload_unmatched_and_big_values(spark):
+    """Integer payloads must survive the merge path without a float64
+    round-trip: a left row preceding all right rows yields NULL (not NaN
+    coerced), and int64 values above 2^53 come back bit-exact."""
+    big = (1 << 60) + 12345  # would be corrupted by a float64 round-trip
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("q", 10)], "id string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, big)], "id string, ts int, amount long"
+    )
+    for fn in (asof_join_union, asof_join_pandas):
+        out = fn(left, right, on="id", ts_col="ts", value_col="amount",
+                 value_alias="amount_asof")
+        assert dict(out.dtypes)["amount_asof"] == "bigint", fn.__name__
+        got = {(r["id"], r["ts"]): r["amount_asof"] for r in out.collect()}
+        assert got == {("k", 5): None, ("k", 15): big, ("q", 10): None}, fn.__name__
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than the iteration budget must raise, not silently
+    return split clusters (partial labels leak duplicates past keep-one)."""
+    from trading_data_pipeline_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_split_leakage_fingerprint_key_equals_string_key(spark, docs):
+    """The 8-byte xxhash64 join key (the 100 TB shuffle key) must produce
+    exactly the string-key pair set — collisions are ~|docs|²/2⁶⁴."""
+    from trading_data_pipeline_spark.operators.quality_queries import (
+        split_leakage_pairs,
+    )
+
+    with_fp = {tuple(r) for r in split_leakage_pairs(docs, True).collect()}
+    with_str = {tuple(r) for r in split_leakage_pairs(docs, False).collect()}
+    assert with_fp == with_str
+    assert with_fp, "equivalence is vacuous on an empty pair set"
+
+
+def test_contamination_hashed_shingles_equal_string_grams(spark, docs):
+    """The hashed-shingle join key (8-byte longs, no gram-string build —
+    the 100 TB path) must produce exactly the string-gram contamination
+    counts."""
+    from trading_data_pipeline_spark.operators.quality_queries import (
+        contamination_counts,
+    )
+
+    hashed = {tuple(r) for r in contamination_counts(docs, hashed=True).collect()}
+    strings = {tuple(r) for r in contamination_counts(docs, hashed=False).collect()}
+    assert hashed == strings
+    assert hashed, "equivalence is vacuous on an empty overlap set"
+
+
+def test_banded_minhash_golden_pairs(spark):
+    """Hand-built corpus with known unigram Jaccards: every reported pair
+    must carry the EXACT Jaccard (precision 1.0 — the verify join), pairs
+    below min_jaccard must not appear, and the near-certain band (true
+    j ≥ 0.75 → recall prob ≥ 1-(1-0.56)⁹ ≈ 0.999) must be fully recalled."""
+    from trading_data_pipeline_spark.operators.dedup import banded_minhash_pairs
+
+    corpus = [
+        (1, "a b c d e f g h"),        # j(1,3)=1.0 (reorder), j(1,2)=7/9
+        (2, "a b c d e f g x"),
+        (3, "h g f e d c b a"),
+        (4, "z y x2 w v u t s"),       # unrelated
+        (5, "a b c d"),                # j(1,5)=0.5 boundary
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in banded_minhash_pairs(docs, n=1, min_jaccard=0.5).collect()
+    }
+    true_j = {(1, 2): 0.7778, (1, 3): 1.0, (2, 3): 0.7778, (1, 5): 0.5,
+              (2, 5): 0.5, (3, 5): 0.5}
+    # precision: every reported pair is a true >=0.5 pair with exact value
+    for pair, j in got.items():
+        assert pair in true_j and j == true_j[pair], (pair, j)
+    # recall in the near-certain band
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert pair in got, f"missed near-certain pair {pair}"
+
+
+def test_curation_full_removes_exactly_cluster_non_representatives(spark, docs):
+    """q_curation_full = q_curation_pipeline minus non-representative
+    near-dup cluster members (recomputed independently here)."""
+    from trading_data_pipeline_spark.operators.dedup import (
+        banded_minhash_pairs,
+        dup_clusters,
+    )
+    from trading_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.01"
+    base = {r.doc_id: (r.lang, r.source, r.split)
+            for r in q["q_curation_pipeline"].fn(spark, sf).collect()}
+    full = {r.doc_id: (r.lang, r.source, r.split)
+            for r in q["q_curation_full"].fn(spark, sf).collect()}
+    assert set(full) <= set(base)
+    for d in full:
+        assert full[d] == base[d]
+    # expected removals: cluster members that are not their cluster's min id
+    survivors = docs.filter(F.col("doc_id").isin(list(base)))
+    clusters = dup_clusters(banded_minhash_pairs(survivors, min_jaccard=0.5))
+    non_rep = {
+        r.doc_id for r in clusters.filter(F.col("doc_id") != F.col("cluster_id")).collect()
+    }
+    assert set(base) - set(full) == non_rep
+    assert non_rep, "composition is vacuous if no near-dups were removed"
+
+
+def _ivf_index(spark, emb):
+    from trading_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    return build_ivf_index(emb, n_cells=8)
+
+
+def test_ivf_probe_matches_onehot_build_and_batch(spark, emb):
+    """probe over a prebuilt index == one-shot ivf_topk; probe_batch rows
+    for a qid == single probe for that query vector."""
+    from trading_data_pipeline_spark.operators.similarity import ivf_topk
+
+    idx = _ivf_index(spark, emb)
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id in (3, 7, 11)").collect()
+    }
+    queries = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()], "qid long, qvec array<double>"
+    )
+    batch = idx.probe_batch(queries, k=10, n_probe=3)
+    by_qid = {}
+    for r in batch.collect():
+        by_qid.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    for qid, v in qvecs.items():
+        single = [(r.vec_id, r.cosine) for r in idx.probe(v, k=10, n_probe=3).collect()]
+        oneshot = [(r.vec_id, r.cosine) for r in ivf_topk(emb, v, k=10, n_cells=8, n_probe=3).collect()]
+        assert single == oneshot
+        assert sorted(by_qid[qid]) == sorted(single), qid
+
+
+def test_ivf_saved_index_probe_prunes_partitions(spark, emb, tmp_path):
+    """A probe over a SAVED index must read only the probed cells'
+    directories — partition pruning at the parquet source is the index."""
+    from trading_data_pipeline_spark.operators.similarity import IvfIndex
+
+    idx = _ivf_index(spark, emb)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
+    probed = loaded.assigned.filter(
+        F.col("__cell").isin(loaded.probe_cells(qvec, 3))
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "__cell" in scan, plan
+    # and the probe result over the saved index matches the in-memory one
+    want = [(r.vec_id, r.cosine) for r in idx.probe(qvec, k=10, n_probe=3).collect()]
+    got = [(r.vec_id, r.cosine) for r in loaded.probe(qvec, k=10, n_probe=3).collect()]
+    assert got == want
+
+
+def test_ivf_query_is_probe_only_after_first_call(spark):
+    """q_ann_ivf must build the index once per corpus and reuse it — the
+    cached index object is identical across calls (no re-fit, no re-assign)."""
+    from trading_data_pipeline_spark.operators import similarity_queries as sq
+
+    sq._IVF_CACHE.clear()
+    first = sq.ivf_index_for(spark, "/root/testdata/sf0.01")
+    second = sq.ivf_index_for(spark, "/root/testdata/sf0.01")
+    assert first is second
+    assert first.assigned.is_cached
+
+
 def test_dup_clusters_transitive_closure(spark):
     """Chained pairs must collapse into one component labeled by its min
     id; disjoint components stay separate."""

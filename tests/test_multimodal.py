@@ -46,9 +46,42 @@ def test_payload_roundtrip_matches_text(spark, sf_dir, mm):
     assert bytes(row.payload).decode("utf-8") == row.text
 
 
-def test_decode_stub_raises():
+def test_decode_stub_raises_without_codec():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — the real-codec test covers decode_image")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_image(b"abc", 4, 4)
+
+
+def test_real_codec_path_with_pil(spark):
+    """PIL-gated (runs in the Docker image, skips in the bare sandbox):
+    a real PNG payload through the SAME mapInPandas stage via
+    ``decode=decode_image`` must reproduce PIL's own channel means."""
+    pytest.importorskip("PIL", reason="Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    w, h = 6, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    mm = spark.createDataFrame(
+        [(1, bytearray(payload), ("image", len(payload), "x", w, h))],
+        "doc_id long, payload binary, "
+        "meta struct<media_type:string, byte_len:int, sha256:string, "
+        "width:int, height:int>",
+    )
+    row = image_features(mm, out_w=w, out_h=h, decode=decode_image).first()
+    want = px.reshape(-1, 3).mean(axis=0)
+    assert (row.mean_r, row.mean_g, row.mean_b) == tuple(float(x) for x in want)
+    assert row.brightness == float(want.mean())
 
 
 def test_fake_decode_deterministic_and_shaped():

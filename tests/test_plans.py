@@ -40,12 +40,14 @@ def test_small_dim_join_is_broadcast(spark, sf_dir, queries):
 
 
 def test_multi_join_broadcasts_all_dims(spark, sf_dir, queries):
-    """The true dims (nation/region, bounded cardinality) must broadcast;
-    customer carries no hint (it grows with the data — AQE decides), but
-    at test SF every dim is broadcast-sized, so no sort-merge join may
-    appear for any of them."""
+    """The true dims (nation/region, bounded cardinality) must broadcast.
+    Customer carries no hint — whether IT broadcasts is an AQE runtime
+    decision invisible in the static plan, so the assertion is 2 broadcasts
+    (the bounded dims) + no nested-loop join, not a count that flakes when
+    the fixture SF outgrows the 64MB static autoBroadcastJoinThreshold."""
     plan = plan_of(queries["q_join_multi"].fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "NestedLoopJoin" not in plan, plan
 
 
 def test_parquet_filter_pushdown(spark, sf_dir):
@@ -225,3 +227,28 @@ def test_heavy_hitters_and_leakage_shuffle_budgets(spark, sf_dir, queries):
     plan = plan_of(queries["q_split_leakage"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_split_leakage_shuffle_key_is_fingerprint(spark, sf_dir, queries):
+    """The leakage self-join must shuffle on the 8-byte xxhash64
+    fingerprint, never the document-sized token string — at 100 TB the
+    exchange payload is the difference between shuffling longs and
+    shuffling the corpus."""
+    plan = plan_of(queries["q_split_leakage"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    # ck must be a long (#N L suffix in attribute refs), not a string key:
+    # the join condition renders as (ck#NL = ck#ML) when the key is a long
+    import re
+
+    assert re.search(r"ck#\d+L", plan), plan
+
+
+def test_curation_full_shuffle_budget(spark, sf_dir, queries):
+    """The FINAL stage of the full curation DAG (gate -> exact dedup ->
+    keep-cluster-representative -> split) — the part that touches the
+    corpus AFTER the pairs-sized clustering has collapsed to a checkpointed
+    label table — must cost the window exchange plus the (broadcast-sized)
+    cluster join, never a second corpus-wide hash shuffle chain."""
+    plan = plan_of(queries["q_curation_full"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -95,6 +95,16 @@ def asof_join_pandas(
         F.col(value_col).alias("_r_value"),
     )
 
+    # Integral/boolean payloads ride through merge_asof as pandas NULLABLE
+    # dtypes: otherwise unmatched rows force a float64 promotion, which
+    # silently loses precision for int64 above 2^53 and conflates a genuine
+    # NaN double payload with "no match".
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "bigint": "Int64", "boolean": "boolean",
+    }
+    nullable_dtype = _NULLABLE.get(rtype)
+
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         # a key present on only one side yields an empty (even column-less)
         # frame for the other side — guard before any column access
@@ -110,6 +120,8 @@ def asof_join_pandas(
             .rename(columns={"_r_ts": ts_col, "_r_value": value_alias})
             .sort_values(ts_col)
         )
+        if nullable_dtype is not None:
+            r_sorted[value_alias] = r_sorted[value_alias].astype(nullable_dtype)
         return pd.merge_asof(l_sorted, r_sorted, on=ts_col, direction="backward")
 
     return (

@@ -364,6 +364,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iters):
         neighbor = (
             sym.join(labels, sym.dst == labels.id)
@@ -385,4 +386,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Long transitive chains are exactly what this operator exists for —
+        # returning partial labels silently would split one real cluster
+        # into several and leak duplicates past "keep one per cluster".
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters}; "
+            "a connected component's diameter exceeds the budget — raise "
+            "max_iters (rounds needed ~ graph diameter)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

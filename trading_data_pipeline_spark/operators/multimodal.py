@@ -74,15 +74,26 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Real codec hook — requires an image library (PIL/cv2), absent here.
+    """Real codec path: PIL decode of the payload bytes → HxWx3 uint8.
 
-    Swap this in for :func:`fake_decode` in environments with codecs; the
-    surrounding Spark plumbing is identical.
+    ``width``/``height`` are the DECLARED dims from the metadata struct;
+    the real container's own dims win (they are read from the payload).
+    Raises ``NotImplementedError`` where no codec library is installed —
+    the sandbox substitutes :func:`fake_decode`; the Docker image ships
+    Pillow and tests this path (tests/test_multimodal.py, PIL-gated).
     """
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "the pipeline uses fake_decode (deterministic payload-seeded pixels)"
-    )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover — exercised only sans PIL
+        raise NotImplementedError(
+            "no image codec available (pip install pillow); "
+            "the pipeline falls back to fake_decode "
+            "(deterministic payload-seeded pixels)"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -105,13 +116,15 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def image_features(
-    mm: DataFrame, out_w: int = 8, out_h: int = 8
+    mm: DataFrame, out_w: int = 8, out_h: int = 8, decode=fake_decode
 ) -> DataFrame:
     """Decode → resize → channel stats, as one Arrow-batched mapInPandas stage.
 
     Narrow transformation: no shuffle, runs wherever the payload partitions
     already live. Output drops the payload (features only), so everything
-    downstream shuffles kilobytes, not media bytes.
+    downstream shuffles kilobytes, not media bytes. ``decode`` is the codec
+    hook — :func:`fake_decode` by default, :func:`decode_image` (PIL) where
+    codecs are installed; the Spark plumbing is identical for both.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +133,7 @@ def image_features(
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                img = fake_decode(bytes(payload), meta["width"], meta["height"])
+                img = decode(bytes(payload), meta["width"], meta["height"])
                 small = resize_nearest(img, out_w, out_h)
                 means = small.reshape(-1, 3).mean(axis=0)
                 rows.append(

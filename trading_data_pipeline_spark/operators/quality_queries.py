@@ -384,25 +384,44 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is tiny next to the train corpus, so it broadcasts and the train "
     "scan never shuffles its shingles; only the post-join (eval_doc, "
     "train_doc) pairs — a vanishingly small set — reach the aggregation "
-    "exchange. At 100 TB, hash the shingles (xxhash64) instead of "
-    "carrying strings; literal strings here keep the oracle engine-exact",
+    "exchange. The join key is the xxhash64 of each 8-gram (8 bytes — "
+    "never the gram string; the broadcast table and every comparison "
+    "carry longs), identical counts to the oracle's string join modulo "
+    "~|grams|²/2⁶⁴ collisions; string-vs-hash equivalence asserted in "
+    "tests/test_extensions.py",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    grams = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 8),"
-            " i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+    return contamination_counts(load(spark, sf_dir, "documents"), hashed=True)
+
+
+def contamination_counts(
+    docs: DataFrame, eval_source: str = "src0", hashed: bool = True
+) -> DataFrame:
+    """Eval/train 8-gram overlap counts. ``hashed=True`` joins on hashed
+    shingles (dedup.hashed_shingles: xxhash64 over 8 consecutive token
+    hashes — the gram STRING is never even built, and the broadcast hash
+    table + every comparison carry 8-byte keys; the 100 TB path).
+    ``False`` carries the gram strings (oracle-shaped, used by the
+    equivalence test)."""
+    if hashed:
+        from .dedup import hashed_shingles
+
+        grams = hashed_shingles("text", 8)
+    else:
+        grams = F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 8),"
+                " i -> array_join(slice(split(text, ' '), i + 1, 8), ' '))"
+            )
         )
-    )
     sh = (
         ensure_parallelism(docs.filter(F.size(F.split("text", " ")) >= 8))
         .select("doc_id", "source", F.explode(grams).alias("g"))
     )
-    ev = sh.filter(F.col("source") == "src0").select(
+    ev = sh.filter(F.col("source") == eval_source).select(
         F.col("doc_id").alias("eval_doc"), "g"
     )
-    tr = sh.filter(F.col("source") != "src0").select(
+    tr = sh.filter(F.col("source") != eval_source).select(
         F.col("doc_id").alias("train_doc"), "g"
     )
     return (

