@@ -355,9 +355,17 @@ def dup_clusters(
     (unpaired docs are their own singleton cluster by definition).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # The edge set is joined once per round — checkpoint it, or every
+    # round re-evaluates the FULL upstream lineage (banded MinHash →
+    # exact-dedup window → corpus scan): ~4x wall-clock even at sf0.01,
+    # and a full corpus re-scan per round at 100 TB.
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
