@@ -88,6 +88,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.probe(_query_vec(spark, sf_dir), k=TOP_K, n_probe=3)
 
 
+BATCH_QUERY_IDS = (3, 7, 11)
+
+
+@register(
+    "q_ann_batch",
+    None,  # probe-cell selection is index-specific → rows-only; batch≡single
+    # equivalence asserted in tests/test_extensions.py
+    doc="Batch ANN: MANY query vectors answered in ONE distributed plan "
+    "over the prebuilt IVF index — each query row picks its n_probe cells "
+    "JVM-side (literal-centroid dot products), explodes to (query, cell), "
+    "joins the cell-partitioned corpus on __cell (broadcast query side; "
+    "the corpus never shuffles), one rank window per query for top-k. "
+    "This is the offline-inference shape: score a million queries against "
+    "a 100 TB corpus as one job instead of a million driver round-trips",
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ivf_index_for(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    return idx.probe_batch(queries, k=TOP_K, n_probe=3)
+
+
 @register(
     "q_vector_stats",
     """

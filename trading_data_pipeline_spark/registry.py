@@ -76,8 +76,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (VERDICT.md r3 item 1) + two flagship canaries (q_report1, q_dedup_near —
 # keep one green row per round for the headline pipeline and the near-dup
 # path) + the new q_curation_full. Every name outside this window already
-# has a green driver row from r1/r2/r3; after this round all 120 registered
-# queries have driver evidence.
+# has a green driver row from r1/r2/r3; after this round every query
+# registered before round 4 has driver evidence (round-4 additions like
+# q_ann_batch queue for the next rotation).
 _PRIORITY: tuple[str, ...] = (
     # flagship canaries (driver-green r3; continuity across windows)
     "q_report1", "q_dedup_near",
