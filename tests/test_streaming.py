@@ -116,6 +116,37 @@ def test_stateful_running_totals_converge_to_batch(spark, staged_events):
         assert abs(final[uid][1] - total) < 0.05  # float fold-order tolerance
 
 
+def test_streaming_asof_equals_batch(spark, staged_events):
+    """Streaming as-of against a static right side must equal the batch
+    asof_join_union on identical input — including ties (right row at the
+    left ts) and left rows preceding every right row (NULL)."""
+    from trading_data_pipeline_spark.operators.asof import asof_join_union
+    from trading_data_pipeline_spark.streaming.jobs import asof_stream
+
+    events = spark.read.parquet(staged_events)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    want = sorted(
+        (r.event_id, r.asof_value)
+        for r in asof_join_union(purchases, signups, on="user_id").collect()
+    )
+
+    stream = asof_stream(
+        stream_events(spark, staged_events).filter(
+            F.col("event_type") == "purchase"
+        ).select("event_id", "user_id", "ts", "value"),
+        signups,
+        on="user_id",
+    )
+    got_df = run_to_completion(stream, "t_asof", "append", spark)
+    got = sorted((r.event_id, r.asof_value) for r in got_df.collect())
+    assert got == want
+
+
 def test_streaming_dedup_equals_batch_key_set(spark, staged_events):
     """Watermarked streaming dedup must emit exactly one row per key and
     cover the same key set as batch dropDuplicates over the same files."""

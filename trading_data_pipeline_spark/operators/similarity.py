@@ -113,6 +113,8 @@ def fit_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot fit IVF centroids on an empty corpus")
     x = np.asarray([r.v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0.0, 1.0, norms)

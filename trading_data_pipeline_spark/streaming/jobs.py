@@ -55,6 +55,65 @@ def session_stream(
     return session_agg(events.withWatermark(ts_col, watermark), gap, ts_col=ts_col)
 
 
+def asof_stream(
+    left: DataFrame,
+    right_static: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """Streaming as-of join (extension E10 streaming variant): each left
+    event picks up the latest right row at or before its timestamp.
+
+    The right side must be STATE-SIZED (dimension/meta tables — the
+    reference's as-of use case is trade-vs-meta-state): it is collected
+    once, sorted per key, and shipped in the task closure; every
+    micro-batch row then resolves with a vectorized binary search
+    (``np.searchsorted``) — a NARROW transformation, so it runs identically
+    under ``read`` and ``readStream`` with no state store, no watermark
+    coupling, and no stream-unsupported window/join. Tie semantics match
+    batch ``asof_join_union`` (a right row at exactly the left ts matches).
+    For a right side too big for a closure, run the batch
+    ``asof_join_union`` inside ``foreachBatch`` instead.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rtype = dict(right_static.dtypes)[value_col]
+    rows = (
+        right_static.select(on, ts_col, value_col).orderBy(on, ts_col).collect()
+    )
+    right_map: dict = {}
+    for r in rows:
+        right_map.setdefault(r[on], ([], []))
+        right_map[r[on]][0].append(r[ts_col])
+        right_map[r[on]][1].append(r[value_col])
+
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in left.dtypes) + f", `{value_alias}` {rtype}"
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals: list = [None] * len(pdf)
+            for key, grp in pdf.groupby(on, sort=False):
+                entry = right_map.get(key)
+                if entry is None:
+                    continue
+                r_ts = pd.Series(entry[0]).values  # dtype follows ts type
+                l_ts = grp[ts_col].values
+                idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+                for pos, i in zip(grp.index, idx):
+                    if i >= 0:
+                        vals[pdf.index.get_loc(pos)] = entry[1][i]
+            out = pdf.copy()
+            out[value_alias] = vals
+            yield out
+
+    return left.mapInPandas(lookup, schema=out_schema)
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),
