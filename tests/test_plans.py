@@ -95,6 +95,10 @@ def test_exists_subquery_becomes_semi_join(spark, sf_dir, queries):
 
 
 def test_tpch_q3_broadcasts_customer(spark, sf_dir, queries):
+    """Customer carries NO hint (it grows with the data); at test SF the
+    size-based planner must still choose a broadcast for the filtered
+    customer side — proving the unhinted form degrades gracefully rather
+    than forcing a shuffle join everywhere."""
     assert "BroadcastHashJoin" in plan_of(queries["q_tpch_q3"].fn(spark, sf_dir))
 
 

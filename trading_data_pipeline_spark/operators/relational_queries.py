@@ -8,7 +8,9 @@ conditional bucketing, and two TPC-H-style analytical aggregations.
 
 Scale notes (100 TB design):
 - Dimension joins (region, nation, supplier, even customer at TPC-H ratios)
-  are explicitly ``F.broadcast`` — no shuffle of the fact side.
+  are explicitly ``F.broadcast``; tables that GROW with the data
+  (customer/supplier/part) carry NO hint — size-based planning + AQE
+  broadcast them at small SF and shuffle-join at scale.
 - Fact-fact joins shuffle on the join key; AQE handles skew at runtime.
 - Aggregations rely on Spark's partial (map-side) aggregation; top-n uses
   TakeOrderedAndProject (no global sort materialization).
@@ -145,7 +147,7 @@ def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))

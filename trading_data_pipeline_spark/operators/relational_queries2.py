@@ -406,7 +406,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q3 unshipped-orders: dim filter → fact join → agg → top-10 "
-    "(TakeOrderedAndProject; customer side broadcast)",
+    "(TakeOrderedAndProject; customer is filtered but grows with the "
+    "data — no broadcast hint, AQE decides)",
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -418,7 +419,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
         .agg(
             F.round(
@@ -447,7 +448,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n_name
     """,
     doc="TPC-H Q5 local-supplier volume: 5-way join; all dimension sides "
-    "broadcast, the fact table shuffles once for the aggregation",
+    "broadcast (bounded dims); customer/supplier carry no hint — they "
+    "grow with the data, so AQE picks the strategy per run",
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -458,9 +460,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -32,7 +32,8 @@ from ..registry import load, register
     LIMIT 20
     """,
     doc="TPC-H Q10 returned-item revenue: fact-side filter → three joins "
-    "(customer/nation broadcast) → agg → top-20 without a global sort",
+    "(nation broadcast; customer unhinted — it grows with the data, "
+    "AQE decides) → agg → top-20 without a global sort",
 )
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -41,7 +42,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -75,7 +76,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 large-volume orders: HAVING aggregate → semi-style "
     "join-back into the fact table → re-aggregate; the 'big' set is tiny "
-    "after the HAVING so its join side broadcasts at any corpus size",
+    "after the HAVING (a vanishing fraction of orders at TPC-H "
+    "selectivity) so its join side is hinted broadcast; if the corpus "
+    "breaks that assumption, drop the hint and AQE falls back to a "
+    "shuffle join",
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -90,7 +94,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(big), "l_orderkey")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(

@@ -78,7 +78,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     doc="TPC-H Q7 volume shipping between two nations: five joins where "
-    "supplier/customer/nation broadcast; the nation-pair disjunction "
+    "nation broadcast, supplier/customer unhinted (they grow with the "
+    "data — AQE decides); the nation-pair disjunction "
     "filters AFTER both nation joins resolve names (Catalyst pushes each "
     "equality branch into its own join side)",
 )
@@ -97,9 +98,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -132,7 +133,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 national market share (adapted: p_type = 'PROMO' equality "
     "since p_type is single-word here): seven joins, every dimension "
-    "broadcast, one final shuffle on o_year; conditional-sum ratio",
+    "broadcast for the bounded sides (nation/region), part/supplier/"
+    "customer unhinted, one final shuffle on o_year; conditional-sum ratio",
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -149,10 +151,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     vol = _revenue()
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -179,7 +181,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1997-10-01'
     """,
     doc="TPC-H Q14 promotion effect (adapted: p_type equality, not LIKE "
-    "'PROMO%'): month-sliced fact scan, part broadcast, conditional-sum "
+    "'PROMO%'): month-sliced fact scan, part join left to AQE (part "
+    "grows with the data), conditional-sum "
     "ratio to a single row",
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +192,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue"))
     )
 
@@ -214,7 +217,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equality against a scalar-subquery max. DECIMAL accumulation makes "
     "the equality exact on both engines (double partial-sum order would "
     "otherwise make `= max` flaky); the revenue aggregate is tiny so its "
-    "re-join broadcasts",
+    "re-join broadcasts only the 1-row max; the per-supplier revenue "
+    "table grows with the data, so it joins unhinted",
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(
@@ -226,7 +230,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
-        F.broadcast(revenue)
+        revenue
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
@@ -258,7 +262,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(thresh, l.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -280,7 +284,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q19 discounted revenue (adapted: p_size stands in for the "
     "missing p_container): disjunction of conjunctive brand/size/quantity "
     "ranges — Catalyst extracts the common p_partkey equi-key and keeps "
-    "the OR as a post-join filter over the broadcast part side",
+    "the OR as a post-join filter over the part side (unhinted — AQE)",
 )
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -293,7 +297,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
@@ -362,7 +366,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q9 product-type profit (adapted: no partsupp table, so "
     "profit is gross revenue without the ps_supplycost term): fact joins "
-    "broadcast part/supplier/nation dims; the LIKE filter prunes part "
+    "broadcast nation; part/supplier unhinted (they grow with the "
+    "data); the LIKE filter prunes part "
     "BEFORE its join so only matching partkeys reach the fact shuffle",
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,8 +376,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     n = load(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
