@@ -267,6 +267,62 @@ def test_split_leakage_fingerprint_key_equals_string_key(spark, docs):
     assert with_fp, "equivalence is vacuous on an empty pair set"
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b", "c"]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=12,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys),
+                st.integers(0, 50),
+                st.one_of(st.none(), st.integers(-5, 5)),
+            ),
+            min_size=0, max_size=12,
+            # merge_asof semantics are defined on a deterministic right
+            # order: dedup (key, ts) so 'latest row at ts' is unambiguous
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    return left, right
+
+
+@given(_asof_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_union_matches_naive_reference(spark, case):
+    """For ANY (key, ts) multiset on the left and any right rows (payloads
+    may be NULL), asof_join_union must equal the brute-force 'latest right
+    row with r_ts <= l_ts per key' — including NULL payload wins and
+    no-match rows. Catches frame/tie/ordering bugs fixture data can't."""
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "id string, ts int, row_id int",
+    )
+    right = spark.createDataFrame(right_rows, "id string, ts int, tag int")
+    out = asof_join_union(left, right, on="id", ts_col="ts", value_col="tag",
+                          value_alias="tag_asof")
+    got = {r["row_id"]: r["tag_asof"] for r in out.collect()}
+    by_key: dict = {}
+    for k, t, v in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, rv) for rt, rv in by_key.get(k, []) if rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
 def test_contamination_hashed_shingles_equal_string_grams(spark, docs):
     """The hashed-shingle join key (8-byte longs, no gram-string build —
     the 100 TB path) must produce exactly the string-gram contamination
