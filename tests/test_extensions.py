@@ -464,6 +464,28 @@ def test_ivf_query_is_probe_only_after_first_call(spark):
     assert first.assigned.is_cached
 
 
+def test_sequence_packing_rederives_from_scratch(spark):
+    """Pack assignment is pinned end-to-end: re-deriving
+    floor(preceding_tokens / 512) per source in doc_id order from the raw
+    rows must reproduce every pack_id (which implies a pack overflows 512
+    only via the doc that straddles its boundary, and re-runs are
+    deterministic)."""
+    from trading_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_sequence_packing"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_source: dict = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for rows in by_source.values():
+        run = 0
+        for r in rows:
+            assert r.pack_id == run // 512, (r.doc_id, r.pack_id, run)
+            run += r.n_tokens
+
+
 def test_dup_clusters_transitive_closure(spark):
     """Chained pairs must collapse into one component labeled by its min
     id; disjoint components stay separate."""
