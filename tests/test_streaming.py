@@ -116,6 +116,40 @@ def test_stateful_running_totals_converge_to_batch(spark, staged_events):
         assert abs(final[uid][1] - total) < 0.05  # float fold-order tolerance
 
 
+def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The curation quality gate is a stateless codegen'd projection, so
+    the SAME expression must run unmodified over readStream — the
+    scan-speed filter a streaming ingest pipeline applies before any
+    stateful stage."""
+    from trading_data_pipeline_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+
+    def gate(df):
+        toks = F.split("text", " ")
+        n = F.size(toks)
+        keep = (
+            n.between(5, 5000)
+            & (stopword_ratio("text") >= 0.01)
+            & (punct_ratio("text") <= 0.25)
+            & ((F.size(F.array_distinct(toks)) / n) >= 0.2)
+        )
+        return df.select("doc_id").filter(keep)
+
+    want = {r.doc_id for r in gate(spark.read.parquet(src)).collect()}
+    stream = gate(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    got_df = run_to_completion(stream, "t_gate", "append", spark)
+    got = {r.doc_id for r in got_df.collect()}
+    assert got == want and got
+
+
 def test_streaming_asof_equals_batch(spark, staged_events):
     """Streaming as-of against a static right side must equal the batch
     asof_join_union on identical input — including ties (right row at the
