@@ -233,6 +233,15 @@ def test_heavy_hitters_and_leakage_shuffle_budgets(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_curation_window_key_is_fingerprint(spark, sf_dir, queries):
+    """The exact-dedup window inside the curation pipeline must partition
+    on the 8-byte canonical fingerprint, not the sorted token ARRAY — a
+    document-sized exchange payload at 100 TB."""
+    plan = plan_of(queries["q_curation_pipeline"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    assert "hashpartitioning(sort_array" not in plan, plan
+
+
 def test_split_leakage_shuffle_key_is_fingerprint(spark, sf_dir, queries):
     """The leakage self-join must shuffle on the 8-byte xxhash64
     fingerprint, never the document-sized token string — at 100 TB the

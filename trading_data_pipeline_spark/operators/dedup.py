@@ -39,15 +39,26 @@ def canonical_token_key(text: str | Column) -> Column:
     return F.sort_array(F.split(text, " "))
 
 
+def canonical_fingerprint(text: str | Column) -> Column:
+    """8-byte form of :func:`canonical_token_key`: ``xxhash64`` of the
+    sorted token multiset re-joined on the split delimiter (invertible —
+    tokens cannot contain the delimiter), so two docs collide iff their
+    canonical keys are equal, modulo ~|corpus|²/2⁻⁶⁴ hash collisions.
+    THIS is what shuffles at 100 TB: grouping/windowing on the raw token
+    array makes the exchange payload document-sized."""
+    return F.xxhash64(F.array_join(canonical_token_key(text), " "))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by canonical content key → (kept id, group size).
 
-    The kept row is min(id) per group (deterministic). At 100 TB the key
-    can be replaced by its fingerprint (functions.text.doc_fingerprint) to
-    shuffle 8-byte keys instead of token arrays.
+    The kept row is min(id) per group (deterministic). Groups on the
+    8-byte :func:`canonical_fingerprint` — the key never appears in the
+    output, so the fingerprint swap is free and the exchange carries
+    longs instead of token arrays.
     """
     return (
-        df.groupBy(canonical_token_key(text_col).alias("_key"))
+        df.groupBy(canonical_fingerprint(text_col).alias("_key"))
         .agg(
             F.min(id_col).alias("doc_id_keep"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -285,8 +285,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (punct_ratio("text") <= 0.25)
         & ((F.size(F.array_distinct(toks)) / n_tokens) >= 0.2)
     )
+    from .dedup import canonical_fingerprint
+
     kept = ensure_parallelism(docs).filter(keep)
-    w = Window.partitionBy(F.sort_array(F.split("text", " ")))
+    # window on the 8-byte canonical fingerprint, not the token array:
+    # the key never reaches the output, so the exchange carries longs
+    # (the oracle keeps the sorted-token string form — identical groups
+    # modulo ~|docs|^2/2^64 collisions)
+    w = Window.partitionBy(canonical_fingerprint("text"))
     bucket = _hash_bucket("doc_id", _SPLIT_A, _SPLIT_C)
     return (
         kept.withColumn("min_id", F.min("doc_id").over(w))
@@ -335,8 +341,14 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (punct_ratio("text") <= 0.25)
         & ((F.size(F.array_distinct(toks)) / n_tokens) >= 0.2)
     )
+    from .dedup import canonical_fingerprint
+
     kept = ensure_parallelism(docs).filter(keep)
-    w = Window.partitionBy(F.sort_array(F.split("text", " ")))
+    # window on the 8-byte canonical fingerprint, not the token array:
+    # the key never reaches the output, so the exchange carries longs
+    # (the oracle keeps the sorted-token string form — identical groups
+    # modulo ~|docs|^2/2^64 collisions)
+    w = Window.partitionBy(canonical_fingerprint("text"))
     exact = (
         kept.withColumn("min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("min_id"))
