@@ -181,6 +181,36 @@ def test_streaming_asof_equals_batch(spark, staged_events):
     assert got == want
 
 
+def test_stream_stream_interval_join_equals_batch(spark, staged_events):
+    """Stream-stream interval join (click→purchase attribution within 1h)
+    must equal the identical expression run in batch over the same files —
+    watermarks bound state on the stream side and no-op in batch."""
+    from trading_data_pipeline_spark.streaming.jobs import (
+        interval_join_stream,
+        stream_events,
+    )
+
+    def split_sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch_l, batch_r = split_sides(spark.read.parquet(staged_events))
+    want = sorted(
+        (r.l_event, r.r_event)
+        for r in interval_join_stream(batch_l, batch_r).collect()
+    )
+    assert want, "no attributable pairs at this SF — test is vacuous"
+
+    stream_l, stream_r = split_sides(stream_events(spark, staged_events))
+    got_df = run_to_completion(
+        interval_join_stream(stream_l, stream_r), "t_interval", "append", spark
+    )
+    got = sorted((r.l_event, r.r_event) for r in got_df.collect())
+    assert got == want
+
+
 def test_streaming_dedup_equals_batch_key_set(spark, staged_events):
     """Watermarked streaming dedup must emit exactly one row per key and
     cover the same key set as batch dropDuplicates over the same files."""

@@ -15,6 +15,7 @@ deterministically.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.windows import tumbling_agg
 
@@ -53,6 +54,46 @@ def session_stream(
     from ..operators.windows import session_agg
 
     return session_agg(events.withWatermark(ts_col, watermark), gap, ts_col=ts_col)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join (attribution pattern): pair each left
+    event with right events for the same key whose timestamp falls in
+    ``(left.ts, left.ts + max_gap]`` — e.g. purchases attributed to the
+    click that preceded them within the gap.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can EVICT state: a buffered row is dropped once the
+    other side's watermark passes its eligibility window — this is the
+    stream-stream join shape that runs forever at 100 TB/day without
+    unbounded state. Same expression tree works in batch (the watermark is
+    a no-op there), which is how the equivalence test pins semantics.
+    """
+    l = left.select(
+        F.col(on).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(on).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).select(
+        F.col("l_key").alias(on), "l_event", "r_event", "l_ts", "r_ts"
+    )
 
 
 def asof_stream(
