@@ -173,21 +173,43 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_lag",
     """
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS date, round(avg(value), 4) AS avg_value
+      SELECT user_id, CAST(ts AS DATE) AS date,
+             floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 10000 + 0.5) / 10000 AS avg_value
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
     SELECT user_id, date, avg_value,
-           round((avg_value - lag(avg_value) OVER w) / lag(avg_value) OVER w * 100, 2)
-             AS change_pct
+           floor((avg_value - lag(avg_value) OVER w) / lag(avg_value) OVER w
+                 * 100 * 100 + 0.5) / 100 AS change_pct
     FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date)
     """,
-    doc="LAG + pct-change arithmetic (ref xetra_transformer.py:186-200)",
+    doc="LAG + pct-change arithmetic (ref xetra_transformer.py:186-200). "
+    "Two cross-engine determinism measures, both proven necessary by the "
+    "sf0.1 parity sweep: (1) the daily mean sums DECIMAL-cast values "
+    "(exact, fold-order-free — a plain double avg() differs by 1 ulp on "
+    "~1e-4 of groups depending on partition fold order, i.e. "
+    "nondeterministic BETWEEN RUNS at cluster scale; values carry <=6 "
+    "decimals so the cast is lossless); (2) quantization is "
+    "floor(x*s+0.5)/s — pure IEEE ops, bit-identical on every engine — "
+    "because engine round(double) disagrees exactly at representation "
+    "boundaries (Java rounds the shortest decimal repr, C rounds the "
+    "binary value: round(8666.675) differs)",
 )
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .groupBy("user_id", F.to_date("ts").alias("date"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("avg_value")
+        )
     )
     w = Window.partitionBy("user_id").orderBy("date")
     prev = F.lag("avg_value").over(w)
@@ -195,7 +217,8 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "date",
         "avg_value",
-        F.round(
-            F.when(prev != 0, (F.col("avg_value") - prev) / prev * 100), 2
+        F.when(
+            prev != 0,
+            F.floor((F.col("avg_value") - prev) / prev * 100 * 100 + 0.5) / 100,
         ).alias("change_pct"),
     )
