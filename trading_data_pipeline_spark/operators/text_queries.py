@@ -76,6 +76,46 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_char_entropy",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           floor(list_sum(list_transform(
+                   list_sort(list_transform(list_distinct(string_split(text, '')),
+                             c -> len(list_filter(string_split(text, ''),
+                                      x -> x = c)))),
+                   c -> -(c * 1.0 / length(text))
+                        * log2(c * 1.0 / length(text))))
+                 * 10000 + 0.5) / 10000 AS char_entropy
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="Per-document character-level Shannon entropy — the classic "
+    "compression-proxy quality signal (gibberish and repeated-char spam "
+    "sit at the entropy extremes; natural text clusters ~4 bits/char). "
+    "Pure per-row array arithmetic: distinct chars -> occurrence counts "
+    "-> SORTED fold of -(p log2 p), zero shuffle, codegen'd. The count "
+    "array is sorted before folding so Spark and the oracle sum in the "
+    "same order (list_distinct order is engine-specific), and "
+    "quantization is the engine-exact floor(x*s+0.5)/s form",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    entropy = F.expr(
+        "aggregate("
+        "  array_sort(transform(array_distinct(split(text, '')),"
+        "    c -> size(filter(split(text, ''), x -> x = c)))),"
+        "  cast(0.0 as double),"
+        "  (acc, c) -> acc - (c / length(text)) * log2(c / length(text)))"
+    )
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (F.floor(entropy * 10000 + 0.5) / 10000).alias("char_entropy"),
+    )
+
+
+@register(
     "q_lang_id",
     """
     WITH s AS (
