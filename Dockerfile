@@ -26,10 +26,9 @@ ENV PIP_NO_CACHE_DIR=yes \
 # the AWS SDK v2 bundle it is built against (hadoop-aws 3.4.1 pom).
 ARG HADOOP_AWS_VERSION=3.4.1
 ARG AWS_SDK_VERSION=2.24.6
-RUN curl -fsSL -o "${SPARK_HOME}/jars/hadoop-aws-${HADOOP_AWS_VERSION}.jar" \
-      "https://repo1.maven.org/maven2/org/apache/hadoop/hadoop-aws/${HADOOP_AWS_VERSION}/hadoop-aws-${HADOOP_AWS_VERSION}.jar" \
- && curl -fsSL -o "${SPARK_HOME}/jars/bundle-${AWS_SDK_VERSION}.jar" \
-      "https://repo1.maven.org/maven2/software/amazon/awssdk/bundle/${AWS_SDK_VERSION}/bundle-${AWS_SDK_VERSION}.jar"
+# ADD (not curl) so the fetch has no tool dependency in the base image
+ADD https://repo1.maven.org/maven2/org/apache/hadoop/hadoop-aws/${HADOOP_AWS_VERSION}/hadoop-aws-${HADOOP_AWS_VERSION}.jar ${SPARK_HOME}/jars/
+ADD https://repo1.maven.org/maven2/software/amazon/awssdk/bundle/${AWS_SDK_VERSION}/bundle-${AWS_SDK_VERSION}.jar ${SPARK_HOME}/jars/
 
 WORKDIR /code
 COPY pyproject.toml README.md ./

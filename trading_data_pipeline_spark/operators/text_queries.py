@@ -245,6 +245,71 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tfidf_exact",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), weighted AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                   * 10000 + 0.5) / 10000 AS weight
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, weight,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY weight DESC, term) AS rk
+      FROM weighted
+    )
+    SELECT doc_id, term, weight, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="EXACT TF-IDF (sklearn-style smooth idf: tf * (ln((N+1)/(df+1))+1)) "
+    "with per-doc top-3 terms — the oracle-checkable companion to the "
+    "hash-bucketed MLlib q_tfidf. Explode -> partial-agg tf -> tiny df "
+    "aggregate joined back (AQE broadcasts it) -> rank window over the "
+    "already-aggregated (doc, term) stream. N rides in as a broadcast "
+    "1-row aggregate, never a driver collect; quantization uses the "
+    "engine-exact floor form and deterministic (weight, term) tie-break",
+)
+def q_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..plans import ensure_parallelism
+
+    docs = load(spark, sf_dir, "documents")
+    tok = ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weight = (
+        F.floor(
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", weight.alias("weight"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "weight", "rk")
+    )
+
+
+@register(
     "q_redact",
     r"""
     SELECT event_id,
