@@ -87,6 +87,35 @@ def test_stream_sink_writes_partitioned_parquet_and_meta(
     return_date_list(conn, min(event_dates), "meta/events_meta.csv")
 
 
+def test_stream_sink_batch_replay_is_idempotent(spark, staged_events, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (crash between
+    write and checkpoint commit) must NOT duplicate rows — each batch
+    overwrites only its own _batch_id partitions."""
+    from trading_data_pipeline_spark.sources.connector import FileSystemConnector
+    from trading_data_pipeline_spark.streaming.sinks import make_meta_sink
+
+    conn = FileSystemConnector(spark, str(tmp_path / "lake"))
+    sink = make_meta_sink(conn, "events_lake", "meta/events_meta.csv")
+    batch = spark.read.parquet(staged_events).withColumn(
+        "date", F.to_date("ts")
+    )
+    b0 = batch.filter(F.dayofmonth("ts") % 2 == 0)
+    b1 = batch.filter(F.dayofmonth("ts") % 2 == 1)
+
+    sink(b0, 0)
+    sink(b0, 0)  # replay of batch 0 — must be a no-op net effect
+    out = spark.read.parquet(str(tmp_path / "lake" / "events_lake"))
+    assert out.count() == b0.count()
+
+    sink(b1, 1)  # a NEW batch still appends
+    out = spark.read.parquet(str(tmp_path / "lake" / "events_lake"))
+    assert out.count() == b0.count() + b1.count()
+    # replaying an old batch after later batches landed is still a no-op
+    sink(b0, 0)
+    out = spark.read.parquet(str(tmp_path / "lake" / "events_lake"))
+    assert out.count() == b0.count() + b1.count()
+
+
 def test_stateful_running_totals_converge_to_batch(spark, staged_events):
     """applyInPandasWithState totals (update mode, last update per user)
     must converge to the batch groupBy aggregate."""

@@ -60,26 +60,8 @@ def write_stream_with_meta(
     the batch ETL's ``return_date_list`` consumes, so a batch job can take
     over (or audit) the stream at any point.
     """
-    from ..meta import update_meta_file
-
     with_date = events.withColumn("date", F.to_date(F.col(ts_col)))
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cached = batch_df.persist()
-        try:
-            connector.write(cached, data_key, "parquet", mode="append",
-                            partition_by=["date"])
-            dates = sorted(
-                r.date.isoformat() for r in cached.select("date").distinct().collect()
-            )
-            existing = _meta_dates(connector, meta_key)
-            new_dates = [d for d in dates if d not in existing]
-            if new_dates:
-                update_meta_file(connector, meta_key, new_dates)
-        finally:
-            cached.unpersist()
+    sink = make_meta_sink(connector, data_key, meta_key)
 
     writer = (
         with_date.writeStream.foreachBatch(sink)
@@ -89,6 +71,44 @@ def write_stream_with_meta(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_meta_sink(
+    connector: FileSystemConnector, data_key: str, meta_key: str
+):
+    """Build the foreachBatch sink function. REPLAY-IDEMPOTENT: foreachBatch
+    is at-least-once (a crash between a batch's write and the checkpoint
+    commit re-runs the batch), so a plain parquet append would duplicate
+    the replayed batch's rows. Each batch therefore writes under its own
+    ``_batch_id`` partition with DYNAMIC partition overwrite: a replay
+    overwrites exactly its own partitions and nothing else — idempotent
+    without a transaction log, and downstream date pruning still works
+    (``date`` stays the leading partition column). The meta update was
+    already idempotent (only never-seen dates are appended)."""
+    from ..meta import update_meta_file
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cached = batch_df.withColumn("_batch_id", F.lit(batch_id)).persist()
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            connector.write(cached, data_key, "parquet", mode="overwrite",
+                            partition_by=["date", "_batch_id"])
+            dates = sorted(
+                r.date.isoformat() for r in cached.select("date").distinct().collect()
+            )
+            existing = _meta_dates(connector, meta_key)
+            new_dates = [d for d in dates if d not in existing]
+            if new_dates:
+                update_meta_file(connector, meta_key, new_dates)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            cached.unpersist()
+
+    return sink
 
 
 def _meta_dates(connector: FileSystemConnector, meta_key: str) -> set[str]:
