@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from trading_data_pipeline_spark.exceptions import WrongFormatException
 from trading_data_pipeline_spark.sources.connector import FileSystemConnector
@@ -108,3 +109,39 @@ def test_write_sized_parquet_scales_file_count(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == n == small_n
     assert spark.read.parquet(out).count() == df.count()
+
+
+def test_compact_partitions_reduces_files_and_preserves_data(spark, tmp_path):
+    """Compaction must collapse a fragmented date partition into the
+    size-derived file count, leave other partitions' files untouched, and
+    preserve every row."""
+    import glob
+
+    from trading_data_pipeline_spark.registry import load
+    from trading_data_pipeline_spark.sources.sized_writer import compact_partitions
+
+    events = load(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    dates = sorted(r.date for r in events.select("date").distinct().collect())
+    hot, cold = dates[0], dates[1]
+    path = str(tmp_path / "lake")
+    # fragment the hot date into many tiny files; cold date stays 2 files
+    events.filter(F.col("date") == hot).repartition(37).write.partitionBy(
+        "date"
+    ).parquet(path)
+    events.filter(F.col("date") == cold).repartition(2).write.mode(
+        "append"
+    ).partitionBy("date").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    hot_dir = f"{path}/date={hot.isoformat()}"
+    cold_dir = f"{path}/date={cold.isoformat()}"
+    assert len(glob.glob(f"{hot_dir}/part-*")) == 37
+    cold_files = sorted(glob.glob(f"{cold_dir}/part-*"))
+
+    n = compact_partitions(spark, path, "date", [hot])
+    assert len(glob.glob(f"{hot_dir}/part-*")) == n < 37
+    assert sorted(glob.glob(f"{cold_dir}/part-*")) == cold_files  # untouched
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows

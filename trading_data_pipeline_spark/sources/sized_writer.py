@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Catalyst sizeInBytes describes the in-memory/scan estimate; parquet with
 # snappy typically lands at ~1/2.5 of that for mixed text/numeric columns.
@@ -57,4 +58,38 @@ def write_sized_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return n
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    values: list,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite the given hive partitions of a parquet table into
+    size-targeted files — the maintenance job that undoes streaming's
+    small-file accumulation (every micro-batch leaves a file per task per
+    date; after a day of 1-minute triggers a hot date holds thousands).
+
+    Reads ONLY the named partitions (partition pruning), repartitions to
+    the size-derived count, and rewrites with DYNAMIC partition overwrite
+    so exactly those directories are replaced — concurrent readers of
+    other partitions are untouched, and the operation is idempotent.
+    Returns the partition count written."""
+    table = spark.read.parquet(path)
+    subset = table.filter(F.col(partition_col).isin(values))
+    n = partitions_for_target(subset, target_mb)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            subset.repartition(n)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
