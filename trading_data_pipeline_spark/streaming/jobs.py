@@ -103,6 +103,7 @@ def asof_stream(
     ts_col: str = "ts",
     value_col: str = "value",
     value_alias: str = "asof_value",
+    max_right_rows: int = 5_000_000,
 ) -> DataFrame:
     """Streaming as-of join (extension E10 streaming variant): each left
     event picks up the latest right row at or before its timestamp.
@@ -124,6 +125,13 @@ def asof_stream(
     import pandas as pd
 
     rtype = dict(right_static.dtypes)[value_col]
+    # fail loudly instead of OOMing the driver on a mis-sized right side
+    if right_static.limit(max_right_rows + 1).count() > max_right_rows:
+        raise ValueError(
+            f"asof_stream right side exceeds max_right_rows={max_right_rows}; "
+            "it must be state-sized (dims/meta). For larger right sides run "
+            "the batch asof_join_union inside foreachBatch instead"
+        )
     rows = (
         right_static.select(on, ts_col, value_col).orderBy(on, ts_col).collect()
     )
