@@ -486,6 +486,24 @@ def test_sequence_packing_rederives_from_scratch(spark):
             run += r.n_tokens
 
 
+def test_approx_percentile_error_bound_vs_exact(spark):
+    """The sketch percentiles (the declared 100 TB path) must sit within
+    0.5% relative error of the exact interpolated percentiles per group."""
+    from trading_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {r.o_orderpriority: r for r in q["q_percentiles"].fn(spark, sf).collect()}
+    approx = {
+        r.o_orderpriority: r for r in q["q_approx_percentile"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for key in exact:
+        for col in ("p50", "p90", "p99"):
+            e, a = exact[key][col], approx[key][col]
+            assert abs(a - e) / e < 0.005, (key, col, e, a)
+
+
 def test_dup_clusters_transitive_closure(spark):
     """Chained pairs must collapse into one component labeled by its min
     id; disjoint components stay separate."""

@@ -118,6 +118,28 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile",
+    None,  # sketch cut points are engine-specific → rows-only; relative
+    # error vs the exact form is bounded in tests/test_extensions.py
+    doc="THE 100 TB percentile path the exact q_percentiles docstring "
+    "points at: approx_percentile's mergeable single-pass sketch — no "
+    "per-group sort, partial sketches combine map-side like any partial "
+    "agg, accuracy parameter trades memory for error. Relative error vs "
+    "the exact interpolated percentile asserted < 0.5% in tests",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.expr(f"approx_percentile(o_totalprice, {p}, 10000)"), 2
+            ).alias(name)
+            for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@register(
     "q_window_rank",
     """
     SELECT * FROM (
