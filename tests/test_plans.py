@@ -233,6 +233,24 @@ def test_heavy_hitters_and_leakage_shuffle_budgets(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_round4_additions_shuffle_budgets(spark, sf_dir, queries):
+    """Plan contracts for the round-4 query additions: char entropy is a
+    pure scan-speed projection (zero exchanges); exact TF-IDF is tf
+    partial-agg + tiny df agg + rank window (≤3 hash exchanges, no global
+    funnel); approx_percentile keeps map-side partial sketches."""
+    plan = plan_of(queries["q_char_entropy"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    plan = plan_of(queries["q_tfidf_exact"].fn(spark, sf_dir))
+    # the only global funnel allowed is the 1-ROW corpus-count scalar (N);
+    # the ranking window itself must stay hash-partitioned by doc
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    plan = plan_of(queries["q_approx_percentile"].fn(spark, sf_dir))
+    assert "partial_approx_percentile" in plan or "partial" in plan.lower(), plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_curation_window_key_is_fingerprint(spark, sf_dir, queries):
     """The exact-dedup window inside the curation pipeline must partition
     on the 8-byte canonical fingerprint, not the sorted token ARRAY — a
