@@ -1,0 +1,31 @@
+"""Driver-contract guards: the correctness harness hash-checks the FIRST 50
+entries of queries(), so window composition is part of the public contract."""
+
+from __future__ import annotations
+
+from trading_data_pipeline_spark.registry import _PRIORITY, all_queries
+
+
+def test_priority_window_is_exactly_the_first_50():
+    qs = all_queries()
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == 50
+    assert list(qs)[:50] == list(_PRIORITY)
+
+
+def test_every_priority_name_is_registered_and_callable():
+    qs = all_queries()
+    for name in _PRIORITY:
+        assert name in qs and callable(qs[name].fn)
+
+
+def test_oracle_coverage_accounting():
+    """Rows-only queries must stay the documented deliberate set — a
+    silently-dropped oracle would downgrade a hash check to rows-only."""
+    qs = all_queries()
+    rows_only = {n for n, s in qs.items() if s.oracle is None}
+    assert rows_only == {
+        "q_dedup_near", "q_ann_lsh", "q_ann_ivf", "q_ann_batch",
+        "q_tfidf", "q_approx_distinct", "q_approx_percentile",
+        "q_image_features", "q_audio_features", "q_dedup_clusters",
+        "q_curation_full",
+    }, sorted(rows_only)
