@@ -68,9 +68,14 @@ def test_stream_sink_writes_partitioned_parquet_and_meta(
     )
     assert q.awaitTermination(180)
 
-    written = spark.read.parquet(str(tmp_path / "lake" / "events_lake"))
+    from trading_data_pipeline_spark.streaming.sinks import read_stream_table
+
+    written = read_stream_table(spark, str(tmp_path / "lake" / "events_lake"))
     src = spark.read.parquet(staged_events)
     assert written.count() == src.count()
+    # the _batch_id idempotency partition is hidden from batch consumers
+    assert "_batch_id" not in written.columns
+    assert "date" in written.columns
     # date partitioning materialized as directories (pruning-effective)
     parts = [p.name for p in (tmp_path / "lake" / "events_lake").iterdir()
              if p.name.startswith("date=")]

@@ -219,8 +219,11 @@ class IvfIndex:
         (JVM-side), explodes to (query, cell), joins the cell-partitioned
         corpus on ``__cell`` — so each query only ever meets its probed
         cells' vectors — and keeps per-query top-k with one ranking window.
-        The query side is small by construction (it broadcasts); the corpus
-        side never shuffles."""
+        The exploded query side is (|queries| × n_probe) rows of
+        (id, vector, cell); no broadcast hint is forced — size-based
+        planning / AQE broadcasts it while it fits and falls back to a
+        shuffle join for query batches too large to ship to every executor
+        (a million wide query vectors would OOM a forced broadcast)."""
         from pyspark.sql import Window
 
         from ..functions.vector import cosine_similarity
@@ -241,7 +244,7 @@ class IvfIndex:
         sim = cosine_similarity(F.col(self.vec_col).cast("array<double>"), F.col("__qv"))
         w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc(self.id_col))
         return (
-            self.assigned.join(F.broadcast(q), "__cell")
+            self.assigned.join(q, "__cell")
             .select("__qid", self.id_col, sim.alias("_sim"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)

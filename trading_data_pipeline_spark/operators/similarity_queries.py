@@ -15,15 +15,20 @@ TOP_K = 10
 # first q_ann_ivf call and reused for every later probe in the process —
 # the registered query IS the probe path, not an index rebuild (the rebuild-
 # per-query form was the one scale anti-pattern flagged in round 3).
-_IVF_CACHE: dict[str, IvfIndex] = {}
+# Keyed by (Spark application id, sf_dir): a cached index holds persisted
+# DataFrames bound to one SparkSession, so an entry must not outlive its
+# session (a restart in the same process gets a fresh application id and
+# therefore a fresh build).
+_IVF_CACHE: dict[tuple[str, str], IvfIndex] = {}
 
 
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
-    idx = _IVF_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_CACHE.get(key)
     if idx is None:
         emb = load(spark, sf_dir, "embeddings")
         idx = build_ivf_index(emb, n_cells=8)
-        _IVF_CACHE[sf_dir] = idx
+        _IVF_CACHE[key] = idx
     return idx
 
 

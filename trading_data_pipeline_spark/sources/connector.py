@@ -32,6 +32,24 @@ SUPPORTED_FORMATS = ("csv", "parquet", "json")  # json: engine extension
 # still raises WrongFormatException, same contract, wider allowlist)
 
 
+def _is_unsupported_filesystem(exc: Exception) -> bool:
+    """True iff ``exc`` wraps Hadoop's UnsupportedFileSystemException
+    (py4j surfaces JVM errors as Py4JJavaError with a ``java_exception``).
+    Used to decide whether the FileContext rename path merely isn't
+    available for the scheme (safe to fall back) vs actually failed
+    mid-flight (must re-raise)."""
+    java_exc = getattr(exc, "java_exception", None)
+    while java_exc is not None:
+        try:
+            name = java_exc.getClass().getName()
+        except Exception:
+            return False
+        if "UnsupportedFileSystemException" in name:
+            return True
+        java_exc = java_exc.getCause()
+    return False
+
+
 class FileSystemConnector:
     """List/read/write over a Hadoop-supported filesystem root.
 
@@ -199,9 +217,19 @@ class FileSystemConnector:
             overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
             overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(part, dest, overwrite)
-        except Exception:  # UnsupportedFileSystemException et al. (py4j-wrapped)
+        except Exception as exc:
+            # Fall back ONLY for "this scheme has no AbstractFileSystem
+            # binding". Any other FileContext failure may already have
+            # mutated the store (the non-HDFS rename is delete-dest-then-
+            # rename) — deleting dest again and retrying could destroy the
+            # only remaining copy, so re-raise instead.
+            if not _is_unsupported_filesystem(exc):
+                raise
             if fs.exists(dest):
                 fs.delete(dest, False)
-            fs.rename(part, dest)
+            if not fs.rename(part, dest):
+                raise IOError(f"rename {part} -> {dest} returned false") from exc
+        if not fs.exists(dest):
+            raise IOError(f"single-object write left no file at {dest}")
         fs.delete(tmp_path, True)
         return True

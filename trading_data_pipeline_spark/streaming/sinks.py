@@ -84,7 +84,15 @@ def make_meta_sink(
     overwrites exactly its own partitions and nothing else — idempotent
     without a transaction log, and downstream date pruning still works
     (``date`` stays the leading partition column). The meta update was
-    already idempotent (only never-seen dates are appended)."""
+    already idempotent (only never-seen dates are appended).
+
+    LAYOUT NOTE: ``_batch_id`` is an idempotency implementation detail,
+    not part of the logical schema — batch consumers should read the lake
+    through :func:`read_stream_table`, which hides it. Lakes written by
+    the older plain-append sink (no ``_batch_id`` directories) read
+    through the same helper unchanged; to migrate such a lake in place,
+    rewrite it once under ``_batch_id=-1`` (any constant), after which
+    replayed and historical data share one layout."""
     from ..meta import update_meta_file
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -109,6 +117,20 @@ def make_meta_sink(
             cached.unpersist()
 
     return sink
+
+
+def read_stream_table(spark, path: str) -> DataFrame:
+    """Batch view over a lake written by :func:`make_meta_sink`.
+
+    Drops the ``_batch_id`` idempotency partition column so downstream
+    batch consumers see the logical schema only (``date`` remains, and
+    date-filter partition pruning still applies — ``_batch_id`` is a
+    sub-partition of ``date``). Also reads pre-``_batch_id`` lakes (the
+    column simply isn't present to drop)."""
+    df = spark.read.parquet(path)
+    if "_batch_id" in df.columns:
+        df = df.drop("_batch_id")
+    return df
 
 
 def _meta_dates(connector: FileSystemConnector, meta_key: str) -> set[str]:
