@@ -125,13 +125,17 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unix_micros with µs bounds so boundary membership is bit-identical to "
     "the oracle's interval arithmetic (events are µs-aligned); a cast to "
     "whole seconds would silently shift the frame edge. DECIMAL "
-    "accumulation keeps the double cast exact",
+    "accumulation keeps the double cast exact. ts is cast to TIMESTAMP "
+    "first: parquet micros without isAdjustedToUTC arrive as "
+    "TIMESTAMP_NTZ, which unix_micros rejects — the cast is a no-op for "
+    "LTZ input and a constant session-tz shift for NTZ, which cancels in "
+    "relative range-frame membership",
 )
 def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-30 * 86_400 * 1_000_000, 0)
     )
     dec = F.col("value").cast("decimal(18,2)")

@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries3,
         relational_queries4,
         relational_queries5,
+        relational_queries6,
         report1_queries,
         similarity_queries,
         text_queries,
