@@ -515,3 +515,62 @@ def test_dup_clusters_transitive_closure(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_boilerplate_hashed_grams_equal_string_grams(spark, docs):
+    """q_boilerplate's hashed-gram keys (8-byte longs, no gram-string
+    build — the 100 TB path) must produce exactly the string-gram
+    per-document boilerplate counts."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        boilerplate_stats,
+    )
+
+    hashed = {tuple(r) for r in boilerplate_stats(docs, hashed=True).collect()}
+    strings = {tuple(r) for r in boilerplate_stats(docs, hashed=False).collect()}
+    assert hashed == strings
+    assert any(r[2] > 0 for r in hashed), "no boilerplate found — vacuous"
+
+
+def test_hopping_window_equals_two_shifted_tumblings(spark, sf_dir):
+    """Each event must land in exactly duration/slide hopping windows:
+    the 10min/5min hopping aggregate over N events carries 2N window
+    memberships, and each window's count equals the brute-force count of
+    events in [start, start+10min)."""
+    from trading_data_pipeline_spark.operators.windows import hopping_agg
+    from trading_data_pipeline_spark.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    got = {
+        r.window_start_s: r.n_events
+        for r in hopping_agg(ev, "10 minutes", "5 minutes").collect()
+    }
+    assert sum(got.values()) == 2 * ev.count()
+    import collections
+
+    want: dict[int, int] = collections.Counter()
+    for r in ev.select(F.col("ts").cast("timestamp").cast("long")).collect():
+        base = r[0] // 300 * 300
+        want[base] += 1
+        want[base - 300] += 1
+    assert got == dict(want)
+
+
+def test_token_rarity_hand_corpus(spark):
+    """From-scratch re-derivation on a 3-doc corpus with known document
+    frequencies: df(a)=3, df(b)=2, df(c)=1."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        q_token_rarity,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a b"), (2, "a b c"), (3, "a a")],
+            "doc_id long, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in q_token_rarity(spark, d).collect()}
+    assert rows[1].n_distinct == 2 and rows[1].min_df == 2
+    assert rows[1].mean_df == 2.5  # (3 + 2) / 2
+    assert rows[2].n_distinct == 3 and rows[2].min_df == 1
+    assert rows[2].mean_df == 2.0  # (3 + 2 + 1) / 3
+    assert rows[3].n_distinct == 1 and rows[3].mean_df == 3.0

@@ -286,3 +286,57 @@ def test_curation_full_shuffle_budget(spark, sf_dir, queries):
     plan = plan_of(queries["q_curation_full"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_round5_corpus_query_shuffle_budgets(spark, sf_dir, queries):
+    """Round-5 additions: boilerplate shuffles on the 8-byte gram hash
+    (long attrs, never gram strings); token rarity is explode -> df agg
+    -> co-keyed join-back -> doc agg (hash exchanges only, no global
+    funnel); hopping window is a single exchange on the window key;
+    domain mix funnels only the 20-row per-source aggregate into the
+    one-row scalar."""
+    import re
+
+    plan = plan_of(queries["q_boilerplate"].fn(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    assert re.search(r"hashpartitioning\(g#\d+L", plan), plan
+    assert "SinglePartition" not in plan, plan
+
+    plan = plan_of(queries["q_token_rarity"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+    plan = plan_of(queries["q_hopping_window"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 1, plan
+    assert "partial_count" in formatted_plan_of(
+        queries["q_hopping_window"].fn(spark, sf_dir)
+    ) or "partial" in plan.lower(), plan
+
+    plan = plan_of(queries["q_domain_mix"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the per-source subtree appears twice statically (scalar + output
+    # branches); AQE collapses the duplicate into a ReusedExchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_tpch_batch6_plan_contracts(spark, sf_dir, queries):
+    """The six adapted TPC-H shapes must keep their scale-critical plan
+    properties: no cartesian products anywhere (except the broadcast
+    one-row scalars in Q11/Q20), Q2's part filter prunes before the
+    window min, Q21 never self-joins the fact row-to-row (the dual
+    EXISTS is window aggregates + one join-back on the grouped key)."""
+    for name in ("q_tpch_q2", "q_tpch_q12", "q_tpch_q16", "q_tpch_q21"):
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+    # Q11/Q20: the only nested-loop join is the broadcast 1-row scalar
+    for name in ("q_tpch_q11", "q_tpch_q20"):
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}: {plan}"
+    # Q2: PushedFilters on part reach the scan (pruned before the join)
+    fplan = formatted_plan_of(queries["q_tpch_q2"].fn(spark, sf_dir))
+    assert "PushedFilters" in fplan and "p_size" in fplan, fplan
+    # Q21: exactly one join of the fact against the grouped per-(order,
+    # supplier) set — no O(rows^2) self-join of raw lineitem
+    plan = plan_of(queries["q_tpch_q21"].fn(spark, sf_dir))
+    assert plan.count("SortMergeJoin") <= 3, plan

@@ -1,0 +1,202 @@
+"""Corpus-level curation statistics: boilerplate n-gram detection,
+unigram document-frequency rarity scoring, and source/domain mix
+accounting — the C4/RefinedWeb-style corpus passes that run BEFORE
+near-dup removal in an LLM data pipeline.
+
+All three are pure DataFrame plans:
+- boilerplate: two shuffles, both keyed on the 8-byte gram hash (the
+  gram STRING is never built on the Spark side — hashed_shingles);
+- token rarity: explode → df aggregate → co-keyed join-back → per-doc
+  aggregate (the honest distributed unigram-LM scoring shape: the vocab
+  can exceed a broadcast at web scale, so both sides shuffle on token);
+- domain mix: one partial-aggregated groupBy over sources plus a
+  broadcast one-row scalar.
+
+Determinism: counts and integer sums only; every ratio is a single
+division of exact values quantized with floor(x*s+0.5)/s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.parallelism import ensure_parallelism
+from ..registry import load, register
+from .dedup import hashed_shingles
+
+BOILER_MIN_DOCS = 2  # a gram seen in >= this many distinct docs is boilerplate
+
+
+def _q(x, s: int):
+    """floor(x*s+0.5)/s — engine-exact quantization."""
+    return F.floor(x * s + 0.5) / s
+
+
+def boilerplate_stats(docs: DataFrame, n: int = 8, hashed: bool = True) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's distinct
+    word ``n``-grams that occur in >= BOILER_MIN_DOCS distinct documents.
+
+    ``hashed=True`` (the 100 TB path) keys both shuffles on the xxhash64
+    of the gram — 8 bytes instead of an ~8-word string; identical counts
+    to the string form modulo ~|grams|²/2⁶⁴ collisions (equivalence
+    asserted in tests/test_extensions.py). ``False`` is the oracle-shaped
+    string form."""
+    if hashed:
+        grams = hashed_shingles("text", n)
+    else:
+        grams = F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+                f" i -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+            )
+        )
+    sh = (
+        ensure_parallelism(docs.filter(F.size(F.split("text", " ")) >= n))
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    bp = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))  # sh is distinct per doc
+        .filter(F.col("_df") >= BOILER_MIN_DOCS)
+        .select("g", F.lit(1).alias("_boiler"))
+    )
+    return (
+        sh.join(bp, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            _q(F.col("n_boiler") / F.col("n_grams"), 10000).alias("boiler_ratio"),
+        )
+    )
+
+
+@register(
+    "q_boilerplate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(tk) - 7),
+                    i -> array_to_string(tk[i+1:i+8], ' ')))) AS g
+      FROM tok WHERE len(tk) >= 8
+    ), bp AS (
+      SELECT g FROM sh GROUP BY g HAVING count(*) >= {BOILER_MIN_DOCS}
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
+           floor(sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS boiler_ratio
+    FROM sh LEFT JOIN bp ON sh.g = bp.g
+    GROUP BY sh.doc_id
+    """,
+    doc="C4-style boilerplate detection: per-document fraction of distinct "
+    "8-grams that recur across >= 2 documents (the corpus-frequent-span "
+    "signal behind repeated-header/footer stripping). Both Spark shuffles "
+    "carry the 8-byte xxhash64 of the gram, never the gram string; counts "
+    "match the oracle's string-keyed form modulo ~|grams|^2/2^64 "
+    "collisions (hash-vs-string equivalence asserted in "
+    "tests/test_extensions.py)",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_stats(load(spark, sf_dir, "documents"), n=8, hashed=True)
+
+
+@register(
+    "q_token_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ), df AS (
+      SELECT t, count(*) AS df FROM tok GROUP BY t
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_distinct,
+           floor(sum(df.df) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS mean_df,
+           min(df.df) AS min_df
+    FROM tok JOIN df ON tok.t = df.t
+    GROUP BY tok.doc_id
+    """,
+    doc="Unigram rarity scoring: per-document mean and min document "
+    "frequency of its distinct tokens — the integer-exact stand-in for a "
+    "unigram-LM logprob filter (rare-token docs surface OCR noise and "
+    "gibberish; all-high-df docs surface boilerplate). ln() is avoided "
+    "deliberately: libm rounding differs across engines, while integer "
+    "df sums are bit-exact. Both the df aggregate and the join-back "
+    "shuffle on the token, so the plan holds when the vocab exceeds a "
+    "broadcast at web scale",
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(df_tbl, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            _q(F.sum("df") / F.count(F.lit(1)), 10000).alias("mean_df"),
+            F.min("df").alias("min_df"),
+        )
+    )
+
+
+@register(
+    "q_domain_mix",
+    """
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_docs) AS total_docs, count(*) AS n_sources FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           floor(p.n_docs * 1.0 / t.total_docs * 1000000 + 0.5) / 1000000
+             AS doc_share,
+           floor((1.0 / t.n_sources) / (p.n_docs * 1.0 / t.total_docs)
+                 * 1000000 + 0.5) / 1000000 AS uniform_weight
+    FROM per_src p CROSS JOIN tot t
+    """,
+    doc="Training-mixture accounting: per-source document/token counts, "
+    "corpus share, and the resampling weight that would rebalance the mix "
+    "to uniform across sources (weight = target_share / actual_share — "
+    "the knob behind domain-mixture tuning a la DoReMi/Pile). One "
+    "partial-aggregated groupBy over the corpus plus a broadcast one-row "
+    "scalar; integer counts make every ratio a single exact division",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("total_docs"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("n_docs") / F.col("total_docs")
+    return (
+        per_src.join(F.broadcast(tot))  # one-row scalar: always broadcast
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            _q(share, 1_000_000).alias("doc_share"),
+            _q((F.lit(1.0) / F.col("n_sources")) / share, 1_000_000).alias(
+                "uniform_weight"
+            ),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import load, register
-from .windows import session_agg, tumbling_agg
+from .windows import hopping_agg, session_agg, tumbling_agg
 
 
 @register(
@@ -62,3 +62,27 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "q_hopping_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 - off AS BIGINT)
+             AS window_start_s,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS total_value
+    FROM events CROSS JOIN (VALUES (0), (300)) AS o(off)
+    GROUP BY 1
+    """,
+    doc="Hopping (sliding) event-time window: 10-minute windows sliding "
+    "every 5 — F.window with a slideDuration, the streaming-compatible "
+    "overlapping-window operator (each event lands in exactly "
+    "duration/slide windows; one shuffle on the window key). The oracle "
+    "derives the same two windows per event arithmetically (start = "
+    "floor(epoch/slide)*slide - k*slide). Window starts are epoch "
+    "seconds so the comparison is timezone-representation-proof; the "
+    "value sum accumulates in DECIMAL so it is fold-order-exact",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hopping_agg(load(spark, sf_dir, "events"), "10 minutes", "5 minutes")

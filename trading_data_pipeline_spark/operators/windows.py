@@ -61,3 +61,33 @@ def session_agg(
             "total_value",
         )
     )
+
+def hopping_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    ``duration/slide`` overlapping windows — ``F.window`` with a slide,
+    identical semantics under ``readStream`` + watermark.
+
+    The window start is emitted as epoch SECONDS (bigint) so the result
+    is timezone-representation-proof across engines; ``ts`` is cast to
+    TIMESTAMP first so the epoch cast is legal for NTZ parquet input.
+    The value sum accumulates in DECIMAL (exact, fold-order-free) and is
+    quantized with the engine-exact floor(x*s+0.5)/s form.
+    """
+    win = F.window(F.col(ts_col).cast("timestamp"), duration, slide)
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec).alias("_tv"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "n_events",
+            (F.floor(F.col("_tv").cast("double") * 10000 + 0.5) / 10000).alias(
+                "total_value"
+            ),
+        )
+    )

@@ -72,40 +72,36 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # multimodal, curation, as-of) into that window; everything not listed
 # follows in module-registration order and is still covered by the local
 # oracle harness (``tools/parity.py``) and pytest.
-# Round-4 window: the 47 queries never driver-verified in rounds 1-3
-# (VERDICT.md r3 item 1) + two flagship canaries (q_report1, q_dedup_near —
-# keep one green row per round for the headline pipeline and the near-dup
-# path) + the new q_curation_full. Every name outside this window already
-# has a green driver row from r1/r2/r3; after this round every query
-# registered before round 4 has driver evidence (round-4 additions like
-# q_ann_batch queue for the next rotation).
+# Round-5 window. After round 4, every query registered before round 4
+# has at least one green driver row (r1-r4 windows jointly cover all
+# 119). This window pins: (a) the four round-4 additions that have never
+# had a driver row, (b) the ten round-5 additions (TPC-H batch 6 +
+# corpus-curation ops + hopping window), (c) the two flagship canaries,
+# and (d) the 14-query bench headline set plus the SURVEY §2 report1
+# micro-family for fresh re-verification of the core surface.
 _PRIORITY: tuple[str, ...] = (
-    # flagship canaries (driver-green r3; continuity across windows)
+    # flagship canaries (continuity: one green row per round)
     "q_report1", "q_dedup_near",
-    # TPC-H suite — never in a driver window before round 4
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
-    # global ranking / window variants
-    "q_ntile", "q_window_cume", "q_window_range_time", "q_lead_nth",
-    # subqueries
-    "q_exists_subquery", "q_scalar_subquery",
-    # stats / aggregation families
-    "q_median", "q_regr", "q_stats_agg", "q_histogram",
-    "q_conditional_agg", "q_bitwise_agg", "q_argminmax", "q_collect_sorted",
-    # array / map / string / date / null families
-    "q_array_funcs", "q_map_funcs", "q_regex_funcs", "q_date_trunc",
-    "q_string_pad", "q_null_funcs", "q_try_arith",
-    # set ops / joins
-    "q_union_distinct", "q_cross_join", "q_join_outer", "q_unpivot",
-    # vectors / text extensions
-    "q_vector_stats", "q_tfidf",
-    # LLM-curation scale ops (split-leakage now joins on the 8-byte
-    # fingerprint; curation_full composes near-dup clustering E2E)
-    "q_heavy_hitters", "q_split_leakage", "q_dedup_clusters",
-    "q_curation_full",
-    # ANN (rows-only by design)
-    "q_ann_lsh", "q_ann_ivf",
+    # round-4 additions — never driver-verified yet
+    "q_approx_percentile", "q_ann_batch", "q_char_entropy", "q_tfidf_exact",
+    # round-5: TPC-H batch 6 (suite now complete, Q1-Q22)
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+    "q_tpch_q20", "q_tpch_q21",
+    # round-5: corpus curation + hopping window
+    "q_boilerplate", "q_token_rarity", "q_domain_mix", "q_hopping_window",
+    # bench headline set (fresh rows alongside BENCH_r05)
+    "q_tpch_q1", "q_join_multi", "q_topn", "q_window_lag",
+    "q_tumbling_window", "q_session_window", "q_asof_join", "q_dedup_exact",
+    "q_simhash", "q_topk_cosine", "q_text_stats", "q_sentiment_lexicon",
+    # LLM-curation core (keep the E2E DAG and its stages green)
+    "q_curation_full", "q_curation_pipeline", "q_contamination",
+    "q_split_leakage", "q_heavy_hitters", "q_dedup_clusters",
+    "q_sequence_packing",
+    # SURVEY §2 report1 micro-family + io/meta protocol
+    "q_project", "q_dropna", "q_rename", "q_round", "q_filter_date",
+    "q_window_first", "q_window_last", "q_groupby_agg", "q_date_spine",
+    "q_anti_join_dates", "q_lit_frame", "q_checked_union",
+    "q_scan_partition", "q_scan_csv", "q_sink_parquet",
 )
 
 
@@ -113,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from .operators import (  # noqa: F401
         asof_queries,
+        corpus_queries,
         dedup_queries,
         io_queries,
         meta_queries,
