@@ -26,9 +26,27 @@ ENV PIP_NO_CACHE_DIR=yes \
 # the AWS SDK v2 bundle it is built against (hadoop-aws 3.4.1 pom).
 ARG HADOOP_AWS_VERSION=3.4.1
 ARG AWS_SDK_VERSION=2.24.6
+# Integrity pinning: pass the sha256 of each jar (Maven Central publishes
+# them as <jar-url>.sha256 sidecars) so the image's JVM classpath never
+# depends on an unverified network fetch:
+#   docker build \
+#     --build-arg HADOOP_AWS_SHA256=$(curl -s <hadoop-aws-url>.sha256) \
+#     --build-arg AWS_SDK_SHA256=$(curl -s <bundle-url>.sha256) ...
+# The build FAILS if a supplied digest does not match. (The digests are
+# build-args rather than ADD --checksum literals so version bumps stay a
+# two-arg change; empty digests skip verification for offline/dev builds.)
+ARG HADOOP_AWS_SHA256=""
+ARG AWS_SDK_SHA256=""
 # ADD (not curl) so the fetch has no tool dependency in the base image
 ADD https://repo1.maven.org/maven2/org/apache/hadoop/hadoop-aws/${HADOOP_AWS_VERSION}/hadoop-aws-${HADOOP_AWS_VERSION}.jar ${SPARK_HOME}/jars/
 ADD https://repo1.maven.org/maven2/software/amazon/awssdk/bundle/${AWS_SDK_VERSION}/bundle-${AWS_SDK_VERSION}.jar ${SPARK_HOME}/jars/
+RUN set -eu; \
+    if [ -n "${HADOOP_AWS_SHA256}" ]; then \
+      echo "${HADOOP_AWS_SHA256}  ${SPARK_HOME}/jars/hadoop-aws-${HADOOP_AWS_VERSION}.jar" | sha256sum -c -; \
+    fi; \
+    if [ -n "${AWS_SDK_SHA256}" ]; then \
+      echo "${AWS_SDK_SHA256}  ${SPARK_HOME}/jars/bundle-${AWS_SDK_VERSION}.jar" | sha256sum -c -; \
+    fi
 
 WORKDIR /code
 COPY pyproject.toml README.md ./
