@@ -340,3 +340,16 @@ def test_tpch_batch6_plan_contracts(spark, sf_dir, queries):
     # supplier) set — no O(rows^2) self-join of raw lineitem
     plan = plan_of(queries["q_tpch_q21"].fn(spark, sf_dir))
     assert plan.count("SortMergeJoin") <= 3, plan
+
+
+def test_salted_join_and_merge_plan_contracts(spark, sf_dir, queries):
+    """q_salted_join: the shuffle/join keys must include the salt (that
+    is the whole point — a heavy-hitter key spreads over n_salt
+    partitions); q_upsert_merge: the survivor side is a left-anti join
+    on the key, and no cartesian/nested-loop appears."""
+    plan = plan_of(queries["q_salted_join"].fn(spark, sf_dir))
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = plan_of(queries["q_upsert_merge"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

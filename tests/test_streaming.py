@@ -262,3 +262,27 @@ def test_streaming_dedup_equals_batch_key_set(spark, staged_events):
     got_keys = {(r.user_id, r.event_type) for r in got.collect()}
     want_keys = {(r.user_id, r.event_type) for r in want.collect()}
     assert got_keys == want_keys
+
+
+def test_streaming_hopping_equals_batch(spark, staged_events):
+    """Hopping windows: the streaming form (availableNow, complete mode)
+    must produce exactly the batch aggregate on the same files."""
+    from trading_data_pipeline_spark.operators.windows import hopping_agg
+    from trading_data_pipeline_spark.streaming.jobs import hopping_stream
+
+    batch = {
+        tuple(r)
+        for r in hopping_agg(
+            spark.read.parquet(staged_events), "10 minutes", "5 minutes"
+        ).collect()
+    }
+    streamed = run_to_completion(
+        hopping_stream(
+            stream_events(spark, staged_events), "10 minutes", "5 minutes"
+        ),
+        "hop_complete",
+        "complete",
+        spark,
+    )
+    assert {tuple(r) for r in streamed.collect()} == batch
+    assert batch, "vacuous: no windows produced"

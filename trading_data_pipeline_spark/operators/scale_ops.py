@@ -1,0 +1,135 @@
+"""Scale-path relational utilities: salted joins for skewed keys and
+log-free MERGE (SCD1 upsert) — the two maintenance shapes a 100 TB lake
+needs that plain DataFrame verbs don't name directly.
+
+Both produce results identical to their unsalted/plain-SQL equivalents
+(that IS the oracle), so correctness is checked exactly; what the salt or
+the anti-join buys is plan shape, asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s key distribution has heavy hitters:
+    append a deterministic per-row salt on the skewed side —
+    ``pmod(xxhash64(<all columns>), n_salt)``, stable for a given row
+    even under task retries (rand() or spark_partition_id would not be) —
+    and explode the small side ``n_salt``× so every (key, salt) bucket
+    finds its match. A key that carried N rows in one task now carries
+    ~N/n_salt per task.
+
+    The result set is IDENTICAL to the unsalted join — salting only
+    splits shuffle partitions. Cost: the small side is replicated
+    n_salt×; use only when AQE's skew handling isn't available (e.g.
+    skewed aggregate feeding a non-AQE sink) or the skew exceeds what
+    split-size heuristics catch.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
+    left = skewed.withColumn("__salt", salt)
+    right = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = left.join(right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD-type-1 MERGE without a transaction log: rows in ``updates``
+    replace same-key rows in ``target``; all other target rows survive.
+
+    ``updates ∪ (target ⟕anti updates)`` — one shuffle on the key for the
+    anti join (broadcast when updates is small, which is the common
+    incremental-refresh case; AQE decides). Rewriting only affected
+    partitions (partition-pruned read + dynamic overwrite) is the
+    connector-level half, provided by sources/connector.write(
+    partition_by=...) + dynamic partitionOverwriteMode, same pattern the
+    streaming meta sink uses for idempotent replay."""
+    cols = target.columns
+    assert updates.columns == cols, "MERGE requires identical schemas"
+    survivors = target.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates).select(*cols)
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Salted fact⋈fact join: the lineitem side carries a deterministic "
+    "per-row salt, orders is exploded n_salt×, and the join key becomes "
+    "(orderkey, salt) — a heavy-hitter orderkey that would pin one task "
+    "now spreads across n_salt tasks. The oracle is the UNSALTED join "
+    "(salting must not change the result set, only the partition "
+    "histogram); the salt's presence in the join keys is asserted in "
+    "tests/test_plans.py. DECIMAL-exact revenue so the aggregate is "
+    "fold-order-free",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    joined = salted_join(li, o, "o_orderkey", n_salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.floor(F.sum(rev).cast("double") * 100 + 0.5) / 100).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_upsert_merge",
+    """
+    WITH updates AS (
+      SELECT doc_id, text || ' [v2]' AS text, lang, source, n_chars
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT doc_id, length(text) AS n_chars_now,
+           CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS was_updated
+    FROM (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+    )
+    """,
+    doc="Log-free MERGE (SCD1 upsert): an updates batch (src0 docs with "
+    "rewritten text) replaces same-key rows, everything else survives — "
+    "updates ∪ (target anti-join updates), one key shuffle, broadcast "
+    "when the incremental batch is small. Combined with the partitioned "
+    "connector sink + dynamic partition overwrite this is the Delta-less "
+    "incremental refresh path for a 100 TB document lake",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("source") == "src0").withColumn(
+        "text", F.concat("text", F.lit(" [v2]"))
+    )
+    merged = merge_upsert(docs, updates, "doc_id")
+    return merged.select(
+        "doc_id",
+        F.length("text").alias("n_chars_now"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("was_updated"),
+    )

@@ -123,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries5,
         relational_queries6,
         report1_queries,
+        scale_ops,
         similarity_queries,
         text_queries,
         window_queries,

@@ -41,6 +41,24 @@ def tumbling_stream(
     return tumbling_agg(events.withWatermark(ts_col, watermark), duration, ts_col=ts_col)
 
 
+def hopping_stream(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked streaming hopping (sliding) windows — same
+    ``F.window(duration, slide)`` expression as the batch
+    ``hopping_agg``; each event updates duration/slide overlapping
+    window states, all bounded by the watermark."""
+    from ..operators.windows import hopping_agg
+
+    return hopping_agg(
+        events.withWatermark(ts_col, watermark), duration, slide, ts_col=ts_col
+    )
+
+
 def session_stream(
     events: DataFrame,
     gap: str = "30 minutes",
