@@ -576,23 +576,6 @@ def test_token_rarity_hand_corpus(spark):
     assert rows[3].n_distinct == 1 and rows[3].mean_df == 3.0
 
 
-def test_salted_join_equals_plain_join(spark):
-    """Salting must not change the result set — only the partition
-    histogram. Hand-built skew: one key carries 90% of rows."""
-    from trading_data_pipeline_spark.operators.scale_ops import salted_join
-
-    left = spark.createDataFrame(
-        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
-        "k long, payload long",
-    )
-    right = spark.createDataFrame(
-        [(k, f"dim{k}") for k in range(1, 102)], "k long, name string"
-    )
-    got = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
-    want = sorted(tuple(r) for r in left.join(right, "k").collect())
-    assert got == want and len(got) == 1000
-
-
 def test_merge_upsert_semantics(spark):
     """updates replace same-key rows; unmatched target rows survive;
     unmatched update keys are inserted."""

@@ -1,6 +1,7 @@
-"""Scale-path relational utilities: salted joins for skewed keys and
-log-free MERGE (SCD1 upsert) — the two maintenance shapes a 100 TB lake
-needs that plain DataFrame verbs don't name directly.
+"""Registered queries for the scale-path maintenance shapes a 100 TB
+lake needs: the salted skew join (implementation in plans/skew.py —
+this module exposes it on the driver's correctness surface) and log-free
+MERGE (SCD1 upsert).
 
 Both produce results identical to their unsalted/plain-SQL equivalents
 (that IS the oracle), so correctness is checked exactly; what the salt or
@@ -12,37 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.skew import salted_join
 from ..registry import load, register
-
-
-def salted_join(
-    skewed: DataFrame,
-    small: DataFrame,
-    key: str,
-    n_salt: int = 8,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join where ``skewed``'s key distribution has heavy hitters:
-    append a deterministic per-row salt on the skewed side —
-    ``pmod(xxhash64(<all columns>), n_salt)``, stable for a given row
-    even under task retries (rand() or spark_partition_id would not be) —
-    and explode the small side ``n_salt``× so every (key, salt) bucket
-    finds its match. A key that carried N rows in one task now carries
-    ~N/n_salt per task.
-
-    The result set is IDENTICAL to the unsalted join — salting only
-    splits shuffle partitions. Cost: the small side is replicated
-    n_salt×; use only when AQE's skew handling isn't available (e.g.
-    skewed aggregate feeding a non-AQE sink) or the skew exceeds what
-    split-size heuristics catch.
-    """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salt))
-    left = skewed.withColumn("__salt", salt)
-    right = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
-    out = left.join(right, [key, "__salt"], how)
-    return out.drop("__salt")
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -89,7 +61,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(18,2)")
-    joined = salted_join(li, o, "o_orderkey", n_salt=8)
+    joined = salted_join(li, o, ["o_orderkey"], salt=8)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
