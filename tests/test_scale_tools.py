@@ -145,3 +145,56 @@ def test_global_ntile_and_dup_clusters_handle_empty_input(spark):
     out = dup_clusters(empty_pairs)
     assert out.columns == ["doc_id", "cluster_id"]
     assert out.count() == 0
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering must give every output file a bounded min/max
+    range in BOTH key dimensions (that is what parquet zone maps prune
+    on); a single-column sort bounds only its own column and leaves the
+    other at the full global range."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.plans.zorder import zorder_layout
+    from trading_data_pipeline_spark.registry import load
+
+    # sf0.01: wide enough key ranges (150 users x 30 days) for a 32-file
+    # split to show per-dimension bounding; sf0.001's 15 users are not
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("day"),
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_layout(ev, "user_id", "day", 32).drop("__zkey").write.parquet(zdir)
+    ev.repartitionByRange(32, "day").sortWithinPartitions("day").write.parquet(sdir)
+
+    def mean_spans(path):
+        rows = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("us"),
+                (F.max("day") - F.min("day")).alias("ds"),
+            )
+            .collect()
+        )
+        return (
+            statistics.mean(r.us for r in rows),
+            statistics.mean(r.ds for r in rows),
+        )
+
+    g_user, g_day = ev.agg(
+        F.max("user_id") - F.min("user_id"), F.max("day") - F.min("day")
+    ).first()
+    z_us, z_ds = mean_spans(zdir)
+    s_us, s_ds = mean_spans(sdir)
+    # day-sort bounds day but leaves user_id at the global range
+    assert s_us > 0.9 * g_user
+    # z-order bounds BOTH: user far below the single-sort layout, day
+    # well below the global span
+    assert z_us < 0.33 * s_us, (z_us, s_us)
+    assert z_ds < 0.6 * g_day, (z_ds, g_day)

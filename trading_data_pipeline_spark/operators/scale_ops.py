@@ -105,3 +105,71 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_now"),
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("was_updated"),
     )
+
+
+def _ZSQL() -> str:
+    from ..plans.zorder import morton_sql
+
+    return morton_sql(
+        "(user_id % 65536)",
+        "(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536)",
+    )
+
+
+@register(
+    "q_zorder_stats",
+    None,  # oracle injected below (needs the generated morton SQL text)
+    doc="Z-order (Morton) clustering audit: interleave user_id and "
+    "event-day bits, bucket the curve into 8x8 (user, day) rectangles, and report "
+    "each segment's user/day bounding rectangle — the per-file min/max "
+    "a z-ordered writer would give parquet zone maps, bounded in BOTH "
+    "dimensions (a single-column sort bounds only one). The oracle runs "
+    "the identical spread-and-interleave formula (pure integer "
+    "shifts/masks, bit-exact on any engine; plans/zorder.py keeps the "
+    "two in lockstep). Writer-side recipe: plans/zorder.zorder_layout "
+    "(range-partition on the key + sort within partitions), locality "
+    "asserted in tests/test_scale_tools.py",
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.zorder import morton_key
+
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+    zkey = morton_key(F.col("user_id") % 65536, day % 65536)
+    return (
+        ev.select(
+            F.shiftright(zkey, 6).alias("z_bucket"),
+            "user_id",
+            day.alias("day"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+# the morton oracle SQL is generated from the same formula constants as
+# the Spark expression — register it after the fact
+from ..registry import _REGISTRY as _R  # noqa: E402
+from dataclasses import replace as _replace  # noqa: E402
+
+_R["q_zorder_stats"] = _replace(
+    _R["q_zorder_stats"],
+    oracle=f"""
+    SELECT ({_ZSQL()} >> 6) AS z_bucket,
+           count(*) AS n_events,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user,
+           min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+             AS min_day,
+           max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+             AS max_day
+    FROM events
+    GROUP BY 1
+    """,
+)
