@@ -587,3 +587,40 @@ def test_merge_upsert_semantics(spark):
     updates = spark.createDataFrame([(2, "B"), (4, "D")], "id long, v string")
     got = {(r.id, r.v) for r in merge_upsert(target, updates, "id").collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_chunking_covers_and_overlaps(spark, docs):
+    """Every token position must be covered by some chunk; consecutive
+    chunks of a doc share exactly the 8-token overlap (except the final
+    short chunk); chunk_text reassembles from the doc's own tokens."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_documents,
+    )
+
+    chunks = (
+        q_chunk_documents(spark, "/root/testdata/sf0.01")
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    n_toks = {
+        r.doc_id: r.n for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, rows in by_doc.items():
+        n = n_toks[doc_id]
+        # starts at 1, 1+stride, ... — ids contiguous from 0
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        # full coverage: last chunk begins at the last start <= n
+        assert (len(rows) - 1) * CHUNK_STRIDE < n
+        assert len(rows) * CHUNK_STRIDE >= min(n, len(rows) * CHUNK_STRIDE)
+        for i, r in enumerate(rows):
+            start = i * CHUNK_STRIDE  # 0-based
+            assert r.n_tokens == min(CHUNK_TOKENS, n - start)
+            assert len(r.chunk_text.split(" ")) == r.n_tokens

@@ -353,3 +353,12 @@ def test_salted_join_and_merge_plan_contracts(spark, sf_dir, queries):
     plan = plan_of(queries["q_upsert_merge"].fn(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunking_is_scan_only(spark, sf_dir, queries):
+    """Document chunking is per-row array arithmetic — no hash shuffle
+    and no global funnel; the only allowed exchange is the round-robin
+    parallelism floor (ensure_parallelism) on a tiny-file scan."""
+    plan = plan_of(queries["q_chunk_documents"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan

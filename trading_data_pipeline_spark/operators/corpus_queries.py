@@ -200,3 +200,44 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_chunk_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           len(tk[s : s + {CHUNK_TOKENS - 1}]) AS n_tokens,
+           array_to_string(tk[s : s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+    FROM tok, unnest(range(1, len(tk) + 1, {CHUNK_STRIDE})) AS u(s)
+    """,
+    doc="Document chunking for embedding/RAG prep: fixed 32-token windows "
+    "with an 8-token overlap (stride 24), the standard pre-embedding "
+    "segmentation. Pure per-row array arithmetic — sequence of starts -> "
+    "explode -> slice — zero shuffle, scan-parallel; each output row "
+    "carries its (doc_id, chunk_id) provenance so chunk embeddings can "
+    "be joined back to documents. Deterministic: every start s <= "
+    "n_tokens yields one chunk (the final chunk may be short)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    tk = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(tk), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(F.slice("tk", F.col("s"), CHUNK_TOKENS)).alias("n_tokens"),
+            F.array_join(F.slice("tk", F.col("s"), CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-5: corpus curation + hopping window + lake maintenance
     "q_boilerplate", "q_token_rarity", "q_domain_mix", "q_hopping_window",
     "q_salted_join", "q_upsert_merge", "q_zorder_stats",
+    "q_chunk_documents",
     # bench headline set (fresh rows alongside BENCH_r05)
     "q_tpch_q1", "q_join_multi", "q_topn", "q_window_lag",
     "q_tumbling_window", "q_session_window", "q_asof_join", "q_dedup_exact",
@@ -99,9 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_split_leakage", "q_heavy_hitters", "q_dedup_clusters",
     "q_sequence_packing",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
-    # q_dropna / q_rename rotate out this round — each has green rows
-    # from r1-r3 and the lake-maintenance ops above take their slots)
-    "q_round", "q_filter_date",
+    # q_dropna / q_rename / q_round rotate out this round — each has
+    # green rows from r1-r3; the round-5 ops above take their slots)
+    "q_filter_date",
     "q_window_first", "q_window_last", "q_groupby_agg", "q_date_spine",
     "q_anti_join_dates", "q_lit_frame", "q_checked_union",
     "q_scan_partition", "q_scan_csv", "q_sink_parquet",
