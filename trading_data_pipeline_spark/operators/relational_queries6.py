@@ -143,21 +143,29 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nat
     GROUP BY l_partkey
     HAVING CAST(sum(val) AS DOUBLE)
-           > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM nat)
+           > (SELECT CAST(sum(val) AS DOUBLE) * 2.0
+                     / count(DISTINCT l_partkey) FROM nat)
     """,
     doc="TPC-H Q11 important-stock identification (adapted: partsupp is "
     "derived from lineitem and 'value' is the exact revenue routed "
-    "through each part-supplier pair): grouped CTE reused by both the "
-    "per-part aggregate and the scalar global threshold — Spark computes "
-    "nat once, derives the one-row total, broadcasts it, and filters; "
-    "DECIMAL summation makes the HAVING comparison fold-order-exact",
+    "through each part-supplier pair; the threshold is 2x the MEAN "
+    "per-part value rather than the spec's fixed corpus fraction, so the "
+    "query stays non-vacuous at every scale factor): grouped CTE reused "
+    "by both the per-part aggregate and the scalar global threshold — "
+    "Spark computes nat once, derives the one-row total, broadcasts it, "
+    "and filters; DECIMAL summation makes the HAVING comparison "
+    "fold-order-exact",
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(_revenue_exact()).alias("val"))
     nat = ps.join(s, ps.l_suppkey == s.s_suppkey).select("l_partkey", "val")
-    total = nat.agg((F.sum("val").cast("double") * 0.001).alias("_threshold"))
+    total = nat.agg(
+        (
+            F.sum("val").cast("double") * 2.0 / F.count_distinct("l_partkey")
+        ).alias("_threshold")
+    )
     return (
         nat.groupBy("l_partkey")
         .agg(F.sum("val").alias("_pv"))
