@@ -198,3 +198,36 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     # well below the global span
     assert z_us < 0.33 * s_us, (z_us, s_us)
     assert z_ds < 0.6 * g_day, (z_ds, g_day)
+
+
+def test_morton_key_matches_python_reference(spark):
+    """The Spark bit-spread formula must agree with a from-scratch Python
+    interleave for values across the full 16-bit domain (including the
+    mask boundaries), and be injective on distinct (a, b) pairs."""
+
+    def py_morton(a: int, b: int) -> int:
+        out = 0
+        for bit in range(16):
+            out |= ((a >> bit) & 1) << (2 * bit)
+            out |= ((b >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.plans.zorder import morton_key
+
+    rng = random.Random(11)
+    cases = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)] + [
+        (rng.randrange(65536), rng.randrange(65536)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", morton_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): py_morton(a, b) for a, b in cases}
+    assert len(set(got.values())) == len(set(cases))

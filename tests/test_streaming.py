@@ -286,3 +286,41 @@ def test_streaming_hopping_equals_batch(spark, staged_events):
     )
     assert {tuple(r) for r in streamed.collect()} == batch
     assert batch, "vacuous: no windows produced"
+
+
+def test_streaming_chunking_equals_batch(spark, sf_dir, tmp_path):
+    """Document chunking is stateless per-row arithmetic — the identical
+    expression tree must run under readStream (append mode) and produce
+    the batch chunk set."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        q_chunk_documents,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    src = str(tmp_path / "docs_stream")
+    load(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    batch = {tuple(r) for r in q_chunk_documents(spark, sf_dir).collect()}
+
+    # rebuild the same transform over a streaming source: chunking only
+    # touches doc_id/text, so point the op at the staged directory
+    stream_docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    import trading_data_pipeline_spark.operators.corpus_queries as CQ
+    from pyspark.sql import functions as F
+
+    tk = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(tk), F.lit(CQ.CHUNK_STRIDE))
+    streamed_df = stream_docs.select(
+        "doc_id", tk.alias("tk"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        ((F.col("s") - 1) / CQ.CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(F.slice("tk", F.col("s"), CQ.CHUNK_TOKENS)).alias("n_tokens"),
+        F.array_join(F.slice("tk", F.col("s"), CQ.CHUNK_TOKENS), " ").alias(
+            "chunk_text"
+        ),
+    )
+    got = run_to_completion(streamed_df, "chunk_stream", "append", spark)
+    assert {tuple(r) for r in got.collect()} == batch
+    assert batch
