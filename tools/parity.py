@@ -11,8 +11,12 @@ Usage: python tools/parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
+
+# runnable as `python tools/parity.py` from the repo root without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
