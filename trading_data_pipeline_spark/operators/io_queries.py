@@ -120,3 +120,21 @@ def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_orderpriority string",
     )
+
+
+@register(
+    "q_sink_orc",
+    "SELECT p_partkey, p_brand, p_type, p_size, p_retailprice FROM part",
+    doc="ORC sink + scan round-trip (engine extension beyond the "
+    "reference's csv/parquet allowlist; ORC ships with Spark and keeps "
+    "parquet's pushdown/pruning properties — the Hive-era lake "
+    "interchange format). Columnar binary round-trip, so doubles are "
+    "bit-exact",
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    conn.write(part, "sink_orc/part", "orc")
+    return conn.read_orc("sink_orc/part")

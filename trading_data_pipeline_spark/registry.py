@@ -100,9 +100,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_split_leakage", "q_heavy_hitters", "q_dedup_clusters",
     "q_sequence_packing",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
-    # q_dropna / q_rename / q_round rotate out this round — each has
-    # green rows from r1-r3; the round-5 ops above take their slots)
-    "q_filter_date",
+    # q_dropna / q_rename / q_round / q_filter_date rotate out this
+    # round — each has green rows from r1-r3; round-5 ops take their
+    # slots)
+    "q_sink_orc",
     "q_window_first", "q_window_last", "q_groupby_agg", "q_date_spine",
     "q_anti_join_dates", "q_lit_frame", "q_checked_union",
     "q_scan_partition", "q_scan_csv", "q_sink_parquet",

@@ -27,7 +27,7 @@ from pyspark.sql.types import StructType
 
 from ..exceptions import WrongFormatException
 
-SUPPORTED_FORMATS = ("csv", "parquet", "json")  # json: engine extension
+SUPPORTED_FORMATS = ("csv", "parquet", "json", "orc")  # json/orc: engine extensions
 # (the reference supports only csv/parquet — s3.py:96-103; anything else
 # still raises WrongFormatException, same contract, wider allowlist)
 
@@ -128,6 +128,14 @@ class FileSystemConnector:
             paths = [paths]
         return reader.json([self._abs(p) for p in paths])
 
+    def read_orc(self, paths: str | list[str]) -> DataFrame:
+        """ORC scan (engine extension — bundled with Spark, columnar with
+        the same predicate-pushdown/column-pruning properties as parquet;
+        the interchange format for Hive-era lakes)."""
+        if isinstance(paths, str):
+            paths = [paths]
+        return self.spark.read.orc(*[self._abs(p) for p in paths])
+
     def _abs(self, p: str) -> str:
         # Hadoop returns scheme URIs both as "file:///x" and "file:/x" —
         # treat any "scheme:/" prefix (or an absolute local path) as already
@@ -171,6 +179,8 @@ class FileSystemConnector:
             writer.option("header", True).csv(target)
         elif file_format == "json":
             writer.json(target)
+        elif file_format == "orc":
+            writer.orc(target)
         else:
             writer.parquet(target)
         return True
