@@ -36,6 +36,20 @@ HEADLINE = [
     "q_sentiment_lexicon",
 ]
 
+# Round-5 additions timed as a SEPARATE group: the headline list (and its
+# total, the baseline-comparable number) is frozen; extras give per-round
+# visibility into new-operator cost without moving the yardstick.
+EXTRAS = [
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_boilerplate",
+    "q_token_rarity",
+    "q_chunk_documents",
+    "q_hopping_window",
+    "q_salted_join",
+    "q_zorder_stats",
+]
+
 RUNS = 3
 WARMUPS = 2
 
@@ -76,6 +90,20 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = specs[name].fn
+        for _ in range(WARMUPS):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        extras[name] = round(statistics.median(samples), 3)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "bands": bands,
+                "extras": extras,
                 "co_load": _co_load_sentinel(),
                 "sf": float(sf),
             }
