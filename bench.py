@@ -48,6 +48,11 @@ EXTRAS = [
     "q_hopping_window",
     "q_salted_join",
     "q_zorder_stats",
+    "q_zscore_outliers",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_quantize_embeddings",
+    "q_chunk_dedup",
 ]
 
 RUNS = 3

@@ -1,0 +1,200 @@
+"""Round-5 batch-2 operators: rolling z-score outliers, conversion
+funnel, cohort retention, int8 embedding quantization, chunk-level dedup.
+Each gets a semantics test against a from-scratch reference (pandas or a
+hand-built corpus) plus a plan-shape contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.analytics_queries import (
+    ZSCORE_LOOKBACK,
+    chunk_dedup_stats,
+    funnel_counts,
+    quantize_embeddings,
+    retention_cohort,
+    zscore_outliers,
+)
+from trading_data_pipeline_spark.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- z-score
+
+
+def test_zscore_matches_bruteforce_pandas(spark):
+    ev = load(spark, SF_DIR, "events").limit(2000)
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in zscore_outliers(ev).collect()
+    }
+    pdf = ev.select("event_id", "user_id", "ts", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    n_checked = 0
+    for _, grp in pdf.groupby("user_id"):
+        vals = [round(v, 2) for v in grp["value"]]  # decimal(18,2) cast
+        for i in range(len(vals)):
+            lo = i - ZSCORE_LOOKBACK
+            frame = vals[max(lo, 0) : i]
+            eid = grp["event_id"].iloc[i]
+            if len(frame) < ZSCORE_LOOKBACK:
+                assert eid not in got
+                continue
+            mean = sum(frame) / len(frame)
+            var = sum((x - mean) ** 2 for x in frame) / (len(frame) - 1)
+            if var <= 0:
+                assert eid not in got
+                continue
+            z = (grp["value"].iloc[i] - mean) / math.sqrt(var)
+            assert got[eid] == pytest.approx(z, abs=2e-3)
+            n_checked += 1
+    assert n_checked > 50  # the data actually exercised full windows
+
+
+def test_zscore_single_exchange(spark):
+    plan = _plan(zscore_outliers(load(spark, SF_DIR, "events")))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), u, t, 1.0, "{}")
+            for i, (u, t, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_hand_built(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, "signup", 0), (1, "click", 1), (1, "purchase", 2),
+        # user 2: purchase BEFORE click — click counted, purchase not
+        (2, "signup", 0), (2, "purchase", 1), (2, "click", 2),
+        # user 3: click before signup — neither counted
+        (3, "click", 0), (3, "signup", 1),
+        # user 4: signup only
+        (4, "signup", 0),
+        # user 5: no signup at all
+        (5, "click", 0), (5, "purchase", 1),
+    ]
+    out = funnel_counts(_events_df(spark, rows)).collect()[0]
+    assert out["n_signup"] == 4
+    assert out["n_click"] == 2  # users 1 and 2
+    assert out["n_purchase"] == 1  # user 1 only
+    assert out["click_rate"] == 0.5
+    assert out["purchase_rate"] == 0.25
+
+
+def test_funnel_strict_ordering_excludes_same_timestamp(spark):
+    # click at the exact signup timestamp is NOT "after" it
+    rows = [(1, "signup", 0), (1, "click", 0)]
+    out = funnel_counts(_events_df(spark, rows)).collect()[0]
+    assert (out["n_signup"], out["n_click"]) == (1, 0)
+
+
+def test_funnel_joins_stay_on_user_id(spark):
+    plan = _plan(funnel_counts(load(spark, SF_DIR, "events")))
+    # co-keyed aggregate->join hops: every hash exchange keys on user_id
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+# -------------------------------------------------------------- retention
+
+
+def test_retention_hand_built(spark):
+    # user 1 first active week W0 (Mon 2024-01-01), active W0 and W2;
+    # user 2 first active W2 only.
+    rows = [
+        (1, "view", 0),          # Mon Jan 1, week 0
+        (1, "view", 24 * 15),    # Jan 16, week 2
+        (2, "view", 24 * 15),
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohort(_events_df(spark, rows)).collect()
+    }
+    assert out == {
+        (dt.date(2024, 1, 1), 0): 1,
+        (dt.date(2024, 1, 1), 2): 1,
+        (dt.date(2024, 1, 15), 0): 1,
+    }
+
+
+def test_retention_offset_zero_counts_every_user(spark):
+    ev = load(spark, SF_DIR, "events")
+    ret = retention_cohort(ev)
+    total_at_zero = (
+        ret.filter(F.col("week_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    )
+    assert total_at_zero == ev.select("user_id").distinct().count()
+
+
+# ----------------------------------------------------------- quantization
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    out = quantize_embeddings(emb).join(emb, "vec_id").limit(50).collect()
+    assert out
+    for r in out:
+        scale = r["scale"]
+        assert scale > 0
+        assert max(abs(c) for c in r["qvec"]) == 127  # the max element saturates
+        for orig, code in zip(r["embedding"], r["qvec"]):
+            assert abs(code) <= 127
+            # round-half-up quantization error is at most half a step
+            assert abs(code / scale - orig) <= 0.5 / scale + 1e-9
+
+
+def test_quantize_is_scan_only(spark):
+    plan = _plan(quantize_embeddings(load(spark, SF_DIR, "embeddings")))
+    assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------------ chunk dedup
+
+
+def test_chunk_dedup_hash_equals_string_form(spark):
+    docs = load(spark, SF_DIR, "documents")
+    h = chunk_dedup_stats(docs, hashed=True).collect()
+    s = chunk_dedup_stats(docs, hashed=False).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, h), key=lambda t: t[0]) == sorted(
+        map(tuple, s), key=lambda t: t[0]
+    )
+
+
+def test_chunk_dedup_duplicate_doc_keeps_first_only(spark):
+    text = " ".join(f"w{i % 7}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "a", len(text)), (2, text, "en", "a", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_stats(docs).collect()}
+    assert out[1]["n_kept"] == out[1]["n_chunks"]  # doc 1 owns every chunk
+    assert out[2]["n_kept"] == 0  # doc 2 is chunk-for-chunk a dup
+    assert out[2]["keep_ratio"] == 0.0
+
+
+def test_chunk_dedup_shuffle_budget(spark):
+    plan = _plan(chunk_dedup_stats(load(spark, SF_DIR, "documents")))
+    # one exchange on the chunk-hash window + one on doc_id for the rollup
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -1,0 +1,358 @@
+"""Event analytics + embedding/corpus maintenance ops (round-5 batch 2).
+
+Five operators a production lake serves daily, each expressed as a pure
+DataFrame plan with a DuckDB oracle:
+
+- rolling z-score anomaly detection over the event stream (the distributed
+  form of the reference's per-symbol monitoring intent — one window
+  exchange on ``user_id``, decimal-exact moments so the oracle matches
+  bit-for-bit);
+- conversion funnel (signup -> click -> purchase): per-stage first-event
+  times derived by co-keyed aggregate->join->aggregate hops, all shuffles
+  on ``user_id`` so AQE coalesces them onto one exchange footprint;
+- weekly cohort retention: two ``user_id``-keyed aggregates joined on the
+  same key, then a tiny (cohort, offset) rollup — the classic retention
+  matrix without any cross join over the calendar;
+- symmetric int8 embedding quantization (vector-store prep): zero-shuffle
+  per-row array arithmetic, 4x storage reduction ahead of ANN indexing;
+- chunk-level exact dedup (the paragraph-dedup analogue for the flat
+  synthetic corpus): chunking reused from ``corpus_queries``, first-
+  occurrence survivorship decided by a window over the 8-byte xxhash64 of
+  the chunk — the 100 TB path never shuffles chunk text as a key.
+
+Determinism notes: all moments accumulate in DECIMAL (exact, order-free);
+every double expression is written with identical association on both
+engines; ratios/z-scores are quantized floor(x*s+0.5)/s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.parallelism import ensure_parallelism
+from ..registry import load, register
+from .corpus_queries import CHUNK_STRIDE, CHUNK_TOKENS
+
+ZSCORE_LOOKBACK = 20  # trailing events per user feeding the moments
+ZSCORE_FLAG = 3.0  # |z| above this is an outlier
+
+
+def _q(x, s: int):
+    """floor(x*s+0.5)/s — engine-exact quantization."""
+    return F.floor(x * s + 0.5) / s
+
+
+def zscore_outliers(events: DataFrame, lookback: int = ZSCORE_LOOKBACK) -> DataFrame:
+    """Rolling z-score of ``value`` against the previous ``lookback``
+    events of the same user (current row excluded — a self-inclusive
+    baseline dampens the very anomaly being scored).
+
+    Scale design: ONE exchange on ``user_id``; both moments come from the
+    same window over DECIMAL casts, so the sum is exact regardless of
+    intra-frame order and the oracle agrees bit-for-bit. Rows with a full
+    lookback only (count = lookback) — a warm-up row scored against 3
+    events is noise, and the filter is an exact integer compare.
+    """
+    dec = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s_d = F.sum(dec).over(w).cast("double")
+    ss_d = F.sum(dec * dec).over(w).cast("double")
+    k = F.lit(float(lookback))
+    mean = s_d / k
+    var = (ss_d - (k * mean) * mean) / F.lit(float(lookback - 1))
+    std = F.sqrt(var)
+    z = (F.col("value") - mean) / std
+    zq = _q(z, 1000)
+    return (
+        events.select("event_id", "user_id", "value", n.alias("_n"), std.alias("_std"), zq.alias("zscore"))
+        .filter((F.col("_n") == lookback) & (F.col("_std") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "zscore",
+            (F.abs(F.col("zscore")) > ZSCORE_FLAG).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER fr AS _n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS _s,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  OVER fr AS DOUBLE) AS _ss
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ), sc AS (
+      SELECT event_id, user_id, value,
+             _s / {ZSCORE_LOOKBACK}.0 AS _mean,
+             sqrt((_ss - ({ZSCORE_LOOKBACK}.0 * (_s / {ZSCORE_LOOKBACK}.0))
+                          * (_s / {ZSCORE_LOOKBACK}.0)) / {ZSCORE_LOOKBACK - 1}.0) AS _std
+      FROM w WHERE _n = {ZSCORE_LOOKBACK}
+    )
+    SELECT event_id, user_id,
+           floor((value - _mean) / _std * 1000 + 0.5) / 1000 AS zscore,
+           abs(floor((value - _mean) / _std * 1000 + 0.5) / 1000) > {ZSCORE_FLAG} AS is_outlier
+    FROM sc WHERE _std > 0
+    """,
+    doc="Rolling z-score anomaly detection: per-user trailing-20 mean/std "
+    "(current row excluded), |z|>3 flags. Decimal-exact moments, one "
+    "window exchange — the streaming-monitoring shape run as a batch scan",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zscore_outliers(load(spark, sf_dir, "events"))
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """signup -> click -> purchase conversion funnel.
+
+    Stage k's first-event time is the min ts strictly after stage k-1's,
+    per user. Each hop is aggregate -> equi-join on ``user_id`` -> filter
+    -> aggregate: every exchange keys on ``user_id``, so the plan is three
+    co-partitioned hash joins over an already-clustered stream — no
+    sort-based sessionization, no per-user collect. Final counts reduce to
+    one row; rates are quantized exact-count divisions.
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    # three one-row aggregates; the cross joins are literal-sized
+    out = ns.crossJoin(nc).crossJoin(np_)
+    return out.select(
+        "n_signup",
+        "n_click",
+        "n_purchase",
+        _q(F.col("n_click").cast("double") / F.col("n_signup"), 10000).alias("click_rate"),
+        _q(F.col("n_purchase").cast("double") / F.col("n_signup"), 10000).alias("purchase_rate"),
+    )
+
+
+@register(
+    "q_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 AS click_rate,
+           floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 AS purchase_rate
+    """,
+    doc="Conversion funnel signup->click->purchase with strict event-time "
+    "ordering between stages; per-stage first-event times via co-keyed "
+    "aggregate/join hops on user_id — no sessionization sort, no collect",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(load(spark, sf_dir, "events"))
+
+
+def retention_cohort(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    first event; for each cohort x week-offset, how many are active.
+
+    Two aggregates keyed on ``user_id`` (first week; distinct active
+    weeks) joined on the same key, then a rollup to the tiny
+    (cohort, offset) grid. date_trunc('week') is Monday-anchored on both
+    engines; the offset is an exact day-difference floor-div 7.
+    """
+    fw = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        act.join(fw, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_retention_cohort",
+    """
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(fw.cohort AS DATE) AS cohort_week,
+           CAST(datediff('day', fw.cohort, act.wk) // 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM act JOIN fw ON act.user_id = fw.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: cohort = Monday-truncated week of each "
+    "user's first event; n_users active per (cohort, week offset). Both "
+    "heavy aggregates key on user_id and join co-partitioned; the final "
+    "grid groupBy is over ~weeks^2 rows",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohort(load(spark, sf_dir, "events"))
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization (vector-store prep).
+
+    scale = 127 / max|x|; q_i = floor(x*scale + 0.5) — round-half-up on
+    both engines, |q_i| <= 127 by construction so no clamp branch. Pure
+    per-row array arithmetic: zero shuffle, scan-parallel, 4x smaller
+    payload ahead of ANN indexing (`similarity.py` consumes the same
+    layout). Zero vectors keep scale = 0 and an all-zero code.
+    """
+    xd = lambda x: x.cast("double")  # noqa: E731 — float->double widen once
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    scale = F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(xd(x) * scale + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )
+
+
+@register(
+    "q_quantize_embeddings",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)
+                             * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)
+                             + 0.5) AS INT)), ',') AS qvec
+    FROM m
+    """,
+    doc="Symmetric int8 embedding quantization: per-vector scale "
+    "127/max|x|, round-half-up codes in [-127,127]. Zero-shuffle array "
+    "arithmetic; identical float->double widening and association on both "
+    "engines makes scale and codes bit-exact",
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = quantize_embeddings(ensure_parallelism(load(spark, sf_dir, "embeddings")))
+    # int codes joined to one string: array columns are real in the library
+    # API; the declared query projects a hash-stable scalar form
+    return out.select("vec_id", "scale", F.concat_ws(",", F.col("qvec")).alias("qvec"))
+
+
+def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (paragraph dedup for a corpus
+    with no paragraph marks): chunk every document (stride/size from
+    ``corpus_queries``), keep each chunk text's first occurrence in
+    (doc_id, chunk_id) order, report per-document survivorship.
+
+    ``hashed=True`` is the 100 TB path: the survivor window partitions on
+    ``xxhash64(chunk_text)`` — an 8-byte shuffle key instead of a
+    ~32-token string; identical output modulo ~|chunks|²/2⁶⁴ collisions
+    (string≡hash equivalence asserted in tests). One exchange on the
+    chunk key + one on doc_id for the rollup.
+    """
+    tk = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(tk), F.lit(CHUNK_STRIDE))
+    chunks = (
+        ensure_parallelism(docs)
+        .select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(F.slice("tk", F.col("s"), CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+    key = F.xxhash64("chunk_text") if hashed else F.col("chunk_text")
+    w = Window.partitionBy(key).orderBy("doc_id", "chunk_id")
+    ranked = chunks.select(
+        "doc_id",
+        (F.row_number().over(w) == 1).cast("int").alias("_kept"),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_kept").alias("n_kept"),
+        _q(F.sum("_kept").cast("double") / F.count(F.lit(1)), 10000).alias(
+            "keep_ratio"
+        ),
+    )
+
+
+@register(
+    "q_chunk_dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+             array_to_string(tk[s : s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+      FROM tok, unnest(range(1, len(tk) + 1, {CHUNK_STRIDE})) AS u(s)
+    ), ranked AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY chunk_text
+                        ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS _kept
+      FROM ch
+    )
+    SELECT doc_id, count(*) AS n_chunks, sum(_kept) AS n_kept,
+           floor(CAST(sum(_kept) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS keep_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Chunk-level exact dedup survivorship: first occurrence of each "
+    "chunk text (by doc_id, chunk_id) survives; per-doc kept ratio. Spark "
+    "partitions the survivor window on xxhash64(chunk_text) — 8-byte "
+    "shuffle key, string≡hash equivalence tested — DuckDB oracle uses the "
+    "string form",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dedup_stats(load(spark, sf_dir, "documents"))

@@ -104,8 +104,12 @@ _PRIORITY: tuple[str, ...] = (
     # round — each has green rows from r1-r3; round-5 ops take their
     # slots)
     "q_sink_orc",
-    "q_window_first", "q_window_last", "q_groupby_agg", "q_date_spine",
-    "q_anti_join_dates", "q_lit_frame", "q_checked_union",
+    # round-5 batch 2: event analytics + embedding/corpus maintenance
+    # (q_window_first / q_window_last / q_groupby_agg / q_date_spine /
+    # q_anti_join_dates rotate out — each has green rows from r1-r3)
+    "q_zscore_outliers", "q_funnel", "q_retention_cohort",
+    "q_quantize_embeddings", "q_chunk_dedup",
+    "q_lit_frame", "q_checked_union",
     "q_scan_partition", "q_scan_csv", "q_sink_parquet",
 )
 
@@ -113,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from .operators import (  # noqa: F401
+        analytics_queries,
         asof_queries,
         corpus_queries,
         dedup_queries,
