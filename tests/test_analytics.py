@@ -194,7 +194,11 @@ def test_chunk_dedup_duplicate_doc_keeps_first_only(spark):
     assert out[2]["keep_ratio"] == 0.0
 
 
-def test_chunk_dedup_shuffle_budget(spark):
+def test_chunk_dedup_shuffle_budget_and_partial_agg(spark):
     plan = _plan(chunk_dedup_stats(load(spark, SF_DIR, "documents")))
-    # one exchange on the chunk-hash window + one on doc_id for the rollup
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    # groupBy on the chunk hash + doc rollup (+1 if the survivor side ever
+    # outgrows broadcast and the join falls back to shuffle)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the skew insurance: hot boilerplate chunks collapse map-side BEFORE
+    # the exchange, instead of flooding one window partition
+    assert "partial_min" in plan, plan

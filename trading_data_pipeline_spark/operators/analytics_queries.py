@@ -293,11 +293,17 @@ def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
     ``corpus_queries``), keep each chunk text's first occurrence in
     (doc_id, chunk_id) order, report per-document survivorship.
 
-    ``hashed=True`` is the 100 TB path: the survivor window partitions on
-    ``xxhash64(chunk_text)`` — an 8-byte shuffle key instead of a
-    ~32-token string; identical output modulo ~|chunks|²/2⁶⁴ collisions
-    (string≡hash equivalence asserted in tests). One exchange on the
-    chunk key + one on doc_id for the rollup.
+    ``hashed=True`` is the 100 TB path: the survivor is the min
+    (doc_id, chunk_id) PER ``xxhash64(chunk_text)`` — an 8-byte shuffle
+    key instead of a ~32-token string — computed with a partial-
+    aggregatable ``groupBy().agg(min(struct))`` + co-keyed join-back
+    rather than a ``row_number`` window. The distinction is the skew
+    story: a boilerplate chunk repeated 10⁹ times puts 10⁹ rows into one
+    window partition (one task), while map-side combine collapses the
+    same hot key to one row per input partition before the exchange.
+    Identical output modulo ~|chunks|²/2⁶⁴ collisions (string≡hash
+    equivalence asserted in tests). ``False`` is the oracle-shaped
+    windowed string form.
     """
     tk = F.split("text", " ")
     starts = F.sequence(F.lit(1), F.size(tk), F.lit(CHUNK_STRIDE))
@@ -312,12 +318,25 @@ def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
             ),
         )
     )
-    key = F.xxhash64("chunk_text") if hashed else F.col("chunk_text")
-    w = Window.partitionBy(key).orderBy("doc_id", "chunk_id")
-    ranked = chunks.select(
-        "doc_id",
-        (F.row_number().over(w) == 1).cast("int").alias("_kept"),
-    )
+    if hashed:
+        keyed = chunks.select(
+            "doc_id", "chunk_id", F.xxhash64("chunk_text").alias("_k")
+        )
+        firsts = keyed.groupBy("_k").agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("_first")
+        )
+        ranked = keyed.join(firsts, "_k").select(
+            "doc_id",
+            (F.struct("doc_id", "chunk_id") == F.col("_first"))
+            .cast("int")
+            .alias("_kept"),
+        )
+    else:
+        w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+        ranked = chunks.select(
+            "doc_id",
+            (F.row_number().over(w) == 1).cast("int").alias("_kept"),
+        )
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("_kept").alias("n_kept"),
@@ -350,8 +369,9 @@ def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
     """,
     doc="Chunk-level exact dedup survivorship: first occurrence of each "
     "chunk text (by doc_id, chunk_id) survives; per-doc kept ratio. Spark "
-    "partitions the survivor window on xxhash64(chunk_text) — 8-byte "
-    "shuffle key, string≡hash equivalence tested — DuckDB oracle uses the "
+    "keys the survivor min-aggregate on xxhash64(chunk_text) — 8-byte "
+    "shuffle key, map-side combine absorbs hot boilerplate chunks, "
+    "string≡hash equivalence tested — DuckDB oracle uses the windowed "
     "string form",
 )
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
