@@ -1,0 +1,146 @@
+"""Property-based invariants for the round-5 analytics ops (hypothesis):
+algebraic identities that hold by the operators' semantics for ANY input,
+not by fixture luck — quantization is scale-invariant, z-scores are
+shift-invariant, retention doesn't count repeats, funnel stage counts are
+monotone under adding events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.analytics_queries import (
+    funnel_counts,
+    quantize_embeddings,
+    retention_cohort,
+    zscore_outliers,
+)
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(rows):
+    return [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=int(h)), int(u), t, float(v), "{}")
+        for i, (u, t, h, v) in enumerate(rows)
+    ]
+
+
+vectors = st.lists(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False).map(
+        lambda x: round(x, 3)
+    ),
+    min_size=2,
+    max_size=8,
+).filter(lambda v: any(x != 0 for x in v))
+
+
+@settings(**SETTINGS)
+@given(vecs=st.lists(vectors, min_size=1, max_size=5), c=st.sampled_from([0.5, 2.0, 4.0]))
+def test_quantize_codes_are_scale_invariant(spark, vecs, c):
+    """int8 symmetric quantization depends only on each vector's DIRECTION:
+    scaling by c > 0 scales max|x| by the same c (powers of two: exact in
+    binary floating point), so every code is unchanged."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    scaled = [(i, [float(x) * c for x in v]) for i, v in enumerate(vecs)]
+    schema = "vec_id long, embedding array<double>"
+    q1 = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings(spark.createDataFrame(rows, schema)).collect()
+    }
+    q2 = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings(spark.createDataFrame(scaled, schema)).collect()
+    }
+    assert q1 == q2
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000).map(lambda v: v / 100),
+        min_size=25,
+        max_size=40,
+    ),
+    shift=st.integers(min_value=-1000, max_value=1000),
+)
+def test_zscore_is_shift_invariant(spark, vals, shift):
+    """z = (x - mean)/std is invariant under x -> x + k. An integer k is
+    exact in both the double input and the decimal(18,2) moment casts, so
+    the invariance holds bit-for-bit, not just approximately."""
+    rows = _events([(1, "view", i, v) for i, v in enumerate(vals)])
+    shifted = _events([(1, "view", i, v + shift) for i, v in enumerate(vals)])
+    z1 = {
+        r["event_id"]: r["zscore"]
+        for r in zscore_outliers(spark.createDataFrame(rows, EVENT_SCHEMA)).collect()
+    }
+    z2 = {
+        r["event_id"]: r["zscore"]
+        for r in zscore_outliers(
+            spark.createDataFrame(shifted, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert z1 == z2
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user
+            st.integers(min_value=0, max_value=24 * 40),  # hours offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_retention_ignores_repeated_activity(spark, rows):
+    """The matrix counts distinct active (user, week) pairs — replicating
+    every event 3x changes nothing."""
+    ev = _events([(u, "view", h, 1.0) for u, h in rows])
+    ev3 = ev + [
+        (len(ev) + i, ts, u, t, v, p) for i, (_, ts, u, t, v, p) in enumerate(ev * 2)
+    ]
+    r1 = sorted(
+        map(tuple, retention_cohort(spark.createDataFrame(ev, EVENT_SCHEMA)).collect())
+    )
+    r2 = sorted(
+        map(tuple, retention_cohort(spark.createDataFrame(ev3, EVENT_SCHEMA)).collect())
+    )
+    assert r1 == r2
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.sampled_from(["signup", "click", "purchase", "view"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_stage_counts_are_monotone(spark, rows):
+    """n_signup >= n_click >= n_purchase for ANY event stream (each stage
+    conditions on the previous), and counts never exceed the user count."""
+    ev = spark.createDataFrame(
+        _events([(u, t, h, 1.0) for u, t, h in rows]), EVENT_SCHEMA
+    )
+    out = funnel_counts(ev).collect()[0]
+    n_users = ev.select("user_id").distinct().count()
+    assert out["n_signup"] >= out["n_click"] >= out["n_purchase"]
+    assert out["n_signup"] <= n_users

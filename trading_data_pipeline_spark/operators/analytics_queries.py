@@ -147,12 +147,20 @@ def funnel_counts(events: DataFrame) -> DataFrame:
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
     # three one-row aggregates; the cross joins are literal-sized
     out = ns.crossJoin(nc).crossJoin(np_)
+    # n_signup can be 0 (a stream with no signups) — NULL rates, not a
+    # divide-by-zero under ANSI mode
+    def rate(num):
+        return F.when(
+            F.col("n_signup") > 0,
+            _q(F.col(num).cast("double") / F.col("n_signup"), 10000),
+        )
+
     return out.select(
         "n_signup",
         "n_click",
         "n_purchase",
-        _q(F.col("n_click").cast("double") / F.col("n_signup"), 10000).alias("click_rate"),
-        _q(F.col("n_purchase").cast("double") / F.col("n_signup"), 10000).alias("purchase_rate"),
+        rate("n_click").alias("click_rate"),
+        rate("n_purchase").alias("purchase_rate"),
     )
 
 
@@ -174,10 +182,12 @@ def funnel_counts(events: DataFrame) -> DataFrame:
     SELECT (SELECT count(*) FROM s) AS n_signup,
            (SELECT count(*) FROM c) AS n_click,
            (SELECT count(*) FROM p) AS n_purchase,
-           floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
-                 / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 AS click_rate,
-           floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
-                 / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 AS purchase_rate
+           CASE WHEN (SELECT count(*) FROM s) > 0 THEN
+             floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                   / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 END AS click_rate,
+           CASE WHEN (SELECT count(*) FROM s) > 0 THEN
+             floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                   / (SELECT count(*) FROM s) * 10000 + 0.5) / 10000 END AS purchase_rate
     """,
     doc="Conversion funnel signup->click->purchase with strict event-time "
     "ordering between stages; per-stage first-event times via co-keyed "
