@@ -59,3 +59,72 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_SCHEMA = "event_id long, user_id long, zscore double, is_outlier boolean"
+ANOMALY_STATE = "buf array<double>"
+
+
+def anomaly_stream(events: DataFrame, lookback: int = 20, flag: float = 3.0) -> DataFrame:
+    """Streaming rolling z-score anomaly detection — the stateful form of
+    ``operators/analytics_queries.zscore_outliers``: each event is scored
+    against the previous ``lookback`` values of the same user, held as an
+    O(lookback) ring buffer in the state store.
+
+    Bit-exact with the batch op (streaming≡batch test): the buffer
+    re-derives the same decimal(18,2)-exact moments (Python ``Decimal``
+    HALF_UP mirrors Spark's decimal cast; shortest-repr round-trip keeps
+    the 2-dp values exact through the double-typed state column) and the
+    variance/z expressions use the identical floating-point association.
+
+    Ordering contract: events are sorted by (ts, event_id) WITHIN each
+    micro-batch; across batches the source must deliver each key's events
+    in event-time order (the per-key ordering a partitioned log gives).
+    Use outputMode('append') — each event is scored exactly once.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    two_dp = Decimal("0.01")
+
+    def score(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        out: dict[str, list] = {"event_id": [], "user_id": [], "zscore": [], "is_outlier": []}
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            v = float(val)
+            if len(buf) == lookback:
+                ds = [Decimal(str(b)).quantize(two_dp, ROUND_HALF_UP) for b in buf]
+                s = float(sum(ds))
+                ss = float(sum(d * d for d in ds))
+                k = float(lookback)
+                mean = s / k
+                var = (ss - (k * mean) * mean) / float(lookback - 1)
+                if var > 0:
+                    std = math.sqrt(var)
+                    if std > 0:
+                        zq = math.floor((v - mean) / std * 1000 + 0.5) / 1000
+                        out["event_id"].append(int(eid))
+                        out["user_id"].append(int(key[0]))
+                        out["zscore"].append(zq)
+                        out["is_outlier"].append(abs(zq) > flag)
+            buf.append(v)
+            if len(buf) > lookback:
+                buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
