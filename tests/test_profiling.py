@@ -1,0 +1,87 @@
+"""Sessionization (id-assignment form) and one-pass table profiling."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.profiling_queries import (
+    profile_table,
+    sessionize,
+)
+from trading_data_pipeline_spark.operators.windows import session_agg
+from trading_data_pipeline_spark.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, "view", 1.0, "{}")
+            for i, (u, m) in enumerate(rows)
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, 0),    # session 1
+        (1, 29),   # 29 min gap < 30 -> same session
+        (1, 59),   # exactly 30 min gap -> NEW session (>= rule)
+        (1, 100),  # 41 min gap -> new session
+        (2, 0),    # other user: own numbering
+    ]
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(_events(spark, rows)).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 1), 2: (1, 2), 3: (1, 3), 4: (2, 1)}
+
+
+def test_sessionize_agrees_with_session_window_aggregate(spark):
+    """Distinct (user, session_id) pairs must equal session_agg's row count
+    on the same events — both implement the same 30-min gap rule (boundary
+    semantics aligned with F.session_window's half-open windows)."""
+    ev = load(spark, SF_DIR, "events")
+    n_assigned = (
+        sessionize(ev).select("user_id", "session_id").distinct().count()
+    )
+    n_agg = session_agg(ev).count()
+    assert n_assigned == n_agg > 0
+
+
+def test_sessionize_single_exchange(spark):
+    plan = sessionize(
+        load(spark, SF_DIR, "events")
+    )._jdf.queryExecution().executedPlan().toString()
+    # both windows share the (user_id)x(ts, event_id) sort order — one
+    # exchange, one sort
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_profile_matches_direct_aggregates(spark):
+    docs = load(spark, SF_DIR, "documents")
+    prof = {r["col_name"]: r for r in profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c in docs.columns:
+        assert prof[c]["n_rows"] == n
+        assert prof[c]["n_distinct"] == docs.select(c).distinct().count()
+        assert prof[c]["n_nulls"] == docs.filter(F.col(c).isNull()).count()
+    assert prof["doc_id"]["min_str"] == "0"
+
+
+def test_profile_is_one_job_single_aggregate_pass(spark):
+    df = profile_table(load(spark, SF_DIR, "orders"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding one (expanded) aggregate; the per-column union is
+    # over 1-row aggregate results, not repeated table scans
+    assert plan.count("FileScan parquet") == 1, plan

@@ -1,0 +1,147 @@
+"""Sessionization (id assignment) + table profiling.
+
+- ``sessionize`` assigns an explicit per-user session id to EVERY event
+  (gap rule: > 30 min of silence starts a new session). The aggregate
+  form lives in ``operators/windows.py`` (``q_session_window``); this is
+  the assignment form a feature pipeline joins back onto raw events. One
+  window exchange on ``user_id``; the id is a running sum of integer
+  new-session flags, so both engines agree exactly.
+- ``profile_table`` computes per-column null counts, distinct counts and
+  min/max in ONE aggregate pass over any DataFrame — the schema-driven
+  data-quality profile run before a corpus lands in the lake. The plan
+  is a single multi-distinct aggregate (Catalyst expands it); output is
+  one row per column, stringified so a single schema fits every source
+  column type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign (user_id, session_id) to every event: session_id increments
+    whenever the gap to the previous event of the same user reaches
+    ``gap_min`` minutes (>=, matching ``F.session_window``'s half-open
+    [ts, ts+gap) merge rule so counts agree with ``session_agg``). Exact
+    on both engines — the flag compares integer microsecond differences,
+    and the id is a running integer sum."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = (
+        F.when(prev.isNull() | ((ts_us - prev) >= gap_min * 60_000_000), 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+
+
+@register(
+    "q_sessionize",
+    f"""
+    WITH flags AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR datediff('microsecond', lag(ts) OVER w, ts)
+                          >= {SESSION_GAP_MIN} * 60000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flags
+    """,
+    doc="Explicit sessionization: per-user session ids from a 30-min gap "
+    "rule — the assignment form of q_session_window's aggregate. One "
+    "window exchange; integer-microsecond gap compare + running integer "
+    "sum, exact on both engines",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load(spark, sf_dir, "events"))
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """One-pass per-column profile: rows, nulls, distincts, min/max.
+
+    Builds 4 aggregate expressions per column and lets Catalyst expand the
+    multi-distinct aggregate; min/max are stringified so one output schema
+    covers every column type. The whole profile is ONE job over the table
+    — at 100 TB that single scan is the entire cost, vs one-job-per-column
+    naive profiling."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        col = F.col(f"`{c}`")
+        aggs += [
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    # pivot the single aggregate row to one row per column via explode —
+    # a unionByName of per-column selects would re-execute the aggregate
+    # (and re-scan the table) once per column
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in df.columns
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select("e.*")
+
+
+@register(
+    "q_profile",
+    """
+    WITH base AS (SELECT * FROM orders)
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM base
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           count(CASE WHEN o_custkey IS NULL THEN 1 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM base
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM base
+    """,
+    doc="Schema-driven table profile (nulls/distincts/min/max per column) "
+    "in one aggregate pass; declared on orders' key/custkey/priority "
+    "columns where both engines render values identically (the library "
+    "form profiles any DataFrame)",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return profile_table(orders)

@@ -109,7 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     # q_anti_join_dates rotate out — each has green rows from r1-r3)
     "q_zscore_outliers", "q_funnel", "q_retention_cohort",
     "q_quantize_embeddings", "q_chunk_dedup",
-    "q_lit_frame", "q_checked_union",
+    "q_sessionize", "q_profile",
+    # (q_lit_frame / q_checked_union rotate out — green rows in r1-r3)
     "q_scan_partition", "q_scan_csv", "q_sink_parquet",
 )
 
@@ -124,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_queries,
         meta_queries,
         multimodal_queries,
+        profiling_queries,
         quality_queries,
         rangejoin_queries,
         relational_queries,
