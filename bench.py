@@ -53,6 +53,10 @@ EXTRAS = [
     "q_retention_cohort",
     "q_quantize_embeddings",
     "q_chunk_dedup",
+    "q_sessionize",
+    "q_profile",
+    "q_scd2_merge",
+    "q_inverted_index",
 ]
 
 RUNS = 3

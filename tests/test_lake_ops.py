@@ -1,0 +1,103 @@
+"""SCD2 history merge and inverted-index construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.scale_ops import scd2_apply
+from trading_data_pipeline_spark.registry import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _history(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+
+
+def test_scd2_semantics_hand_built(spark):
+    import datetime as dt
+
+    d = dt.date
+    hist = _history(
+        spark,
+        [
+            # id 1: closed old version + open current
+            (1, "a1", d(2023, 1, 1), d(2024, 1, 1), False),
+            (1, "a2", d(2024, 1, 1), None, True),
+            # id 2: open, will NOT be updated
+            (2, "b1", d(2024, 1, 1), None, True),
+            # id 3: open, no-op update (same attr)
+            (3, "c1", d(2024, 1, 1), None, True),
+        ],
+    )
+    updates = spark.createDataFrame(
+        [(1, "a3"), (3, "c1"), (9, "new")], "id long, attr string"
+    )
+    out = scd2_apply(hist, updates, "id", "2024-06-01", tracked=["attr"])
+    rows = {(r["id"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # id 1: old closed row untouched; current closed at T2; new version open
+    assert rows[(1, "a1")]["is_current"] is False
+    closed = rows[(1, "a2")]
+    assert closed["is_current"] is False and str(closed["valid_to"]) == "2024-06-01"
+    opened = rows[(1, "a3")]
+    assert opened["is_current"] is True and opened["valid_to"] is None
+    assert str(opened["valid_from"]) == "2024-06-01"
+    # id 2 (no update) and id 3 (no-op update): untouched, no churn
+    assert rows[(2, "b1")]["is_current"] is True and rows[(2, "b1")]["valid_to"] is None
+    assert rows[(3, "c1")]["is_current"] is True
+    assert str(rows[(3, "c1")]["valid_from"]) == "2024-01-01"
+    # id 9: brand-new key opens at T2
+    assert rows[(9, "new")]["is_current"] is True
+    assert str(rows[(9, "new")]["valid_from"]) == "2024-06-01"
+
+
+def test_scd2_exactly_one_current_version_per_key(spark):
+    from trading_data_pipeline_spark.operators.scale_ops import q_scd2_merge
+
+    res = q_scd2_merge(spark, SF_DIR)
+    per_key = res.filter(F.col("is_current")).groupBy("doc_id").count()
+    assert per_key.filter(F.col("count") != 1).count() == 0
+    # every closed row's interval is well-formed
+    bad = res.filter(
+        (~F.col("is_current")) & (F.col("valid_to") == "open")
+    ).count()
+    assert bad == 0
+
+
+def test_inverted_index_cap_and_df(spark):
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        POSTINGS_CAP,
+        q_inverted_index,
+    )
+
+    out = {r["token"]: r for r in q_inverted_index(spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents")
+    # cross-check one token's df and postings against a direct computation
+    token, row = max(out.items(), key=lambda kv: kv[1]["df"])
+    direct = (
+        docs.filter(F.array_contains(F.split("text", " "), token))
+        .select("doc_id")
+        .distinct()
+    )
+    ids = sorted(r["doc_id"] for r in direct.collect())
+    assert row["df"] == len(ids)
+    assert row["postings"] == ",".join(str(i) for i in ids[:POSTINGS_CAP])
+    # postings never exceed the cap even for corpus-wide tokens
+    assert all(len(r["postings"].split(",")) <= POSTINGS_CAP for r in out.values())
+
+
+def test_inverted_index_single_exchange(spark):
+    from trading_data_pipeline_spark.operators.corpus_queries import q_inverted_index
+
+    plan = (
+        q_inverted_index(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # rank window and groupBy share the token key
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

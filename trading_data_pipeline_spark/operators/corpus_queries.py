@@ -241,3 +241,52 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+POSTINGS_CAP = 10
+
+
+@register(
+    "q_inverted_index",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT u.token, d.doc_id
+      FROM documents d, unnest(string_split(d.text, ' ')) AS u(token)
+    ), ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM pairs
+    )
+    SELECT token, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id)
+                           FILTER (WHERE rn <= {POSTINGS_CAP}), ',') AS postings
+    FROM ranked GROUP BY token
+    """,
+    doc="Inverted-index construction (search prep over the corpus): "
+    "distinct (token, doc) pairs -> per-token document frequency + the "
+    "first-10 posting list (doc_id order). The rank window caps the "
+    "collect BEFORE aggregation, so per-token state is O(cap) — a plain "
+    "collect_set-then-slice would buffer a hot token's entire posting "
+    "list. Window and groupBy share the token key: one exchange",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        "doc_id",
+    )
+    rn = F.row_number().over(Window.partitionBy("token").orderBy("doc_id"))
+    ranked = pairs.select("token", "doc_id", rn.alias("rn"))
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= POSTINGS_CAP, F.col("doc_id"))
+                )
+            ),
+        ).alias("postings"),
+    )

@@ -173,3 +173,126 @@ _R["q_zorder_stats"] = _replace(
     GROUP BY 1
     """,
 )
+
+
+SCD2_T1 = "2024-01-01"  # initial-load effective date
+SCD2_T2 = "2024-06-01"  # update-batch effective date
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective: str,
+    tracked: list[str],
+) -> DataFrame:
+    """SCD-type-2 MERGE: apply an update batch to a versioned history
+    table (``valid_from``/``valid_to``/``is_current``), keeping full
+    change history instead of overwriting (the type-1 form above).
+
+    Semantics: for every update key present in the current snapshot, the
+    current row is CLOSED (``valid_to = effective``, ``is_current =
+    false``) and a new current version opens at ``effective``; update
+    keys never seen before simply open. Rows whose tracked attributes are
+    unchanged are left untouched (no-op updates produce no version
+    churn).
+
+    Plan shape: ONE equi-join of the current slice against the updates on
+    the key (closed history passes through untouched), then a unionByName
+    — the same single-key-shuffle budget as ``merge_upsert``, so the
+    incremental batch stays broadcastable. History never rewrites closed
+    rows: combined with a ``valid_from``-partitioned sink, each apply
+    touches only current partitions.
+    """
+    upd = updates.select(key, *tracked).withColumn("__upd", F.lit(1))
+    closed = history.filter(~F.col("is_current"))
+    curr = history.filter(F.col("is_current"))
+    # changed iff any tracked attribute differs (NULL-safe: exactly one
+    # side NULL counts as a change; both NULL does not)
+    cmp_cols = [
+        (F.col(f"u.{c}") != F.col(f"h.{c}"))
+        | (F.col(f"u.{c}").isNull() != F.col(f"h.{c}").isNull())
+        for c in tracked
+    ]
+    changed_pred = None
+    for c in cmp_cols:
+        changed_pred = c if changed_pred is None else (changed_pred | c)
+    # a change requires the update row to EXIST: for unmatched left rows
+    # the NULL-mismatch arm of cmp_cols would otherwise fire on every
+    # tracked column
+    joined = curr.alias("h").join(upd.alias("u"), on=key, how="left")
+    changed = F.col("u.__upd").isNotNull() & F.coalesce(changed_pred, F.lit(False))
+    untouched = joined.filter(~changed).select("h.*")
+    to_close = joined.filter(changed).select("h.*")
+    closed_now = to_close.withColumn(
+        "valid_to", F.lit(effective).cast("date")
+    ).withColumn("is_current", F.lit(False))
+    # new versions: changed keys + brand-new keys
+    curr_keys = curr.select(key)
+    new_versions = (
+        upd.drop("__upd").join(to_close.select(key), key, "semi")
+        .unionByName(upd.drop("__upd").join(curr_keys, key, "anti"))
+        .withColumn("valid_from", F.lit(effective).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    out_cols = history.columns
+    return (
+        closed.unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(new_versions.select(*out_cols))
+    )
+
+
+@register(
+    "q_scd2_merge",
+    f"""
+    WITH hist AS (
+      SELECT doc_id, source, n_chars,
+             CAST('{SCD2_T1}' AS DATE) AS valid_from,
+             CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM documents
+    ), upd AS (
+      SELECT doc_id, source, n_chars + 7 AS n_chars
+      FROM documents WHERE source = 'src0'
+    ), to_close AS (
+      SELECT h.doc_id FROM hist h JOIN upd u ON h.doc_id = u.doc_id
+      WHERE h.is_current AND (u.n_chars <> h.n_chars OR u.source <> h.source)
+    )
+    SELECT h.doc_id, h.source, h.n_chars, h.valid_from,
+           CASE WHEN c.doc_id IS NOT NULL THEN '{SCD2_T2}'
+                ELSE COALESCE(CAST(h.valid_to AS VARCHAR), 'open') END
+             AS valid_to,
+           CASE WHEN c.doc_id IS NOT NULL THEN FALSE ELSE h.is_current END
+             AS is_current
+    FROM hist h LEFT JOIN to_close c ON h.doc_id = c.doc_id
+    UNION ALL
+    SELECT u.doc_id, u.source, u.n_chars,
+           CAST('{SCD2_T2}' AS DATE), 'open', TRUE
+    FROM upd u JOIN to_close c ON u.doc_id = c.doc_id
+    """,
+    doc="SCD-type-2 MERGE on a versioned history: src0 docs get a new "
+    "n_chars at T2 — their T1 rows close (valid_to=T2, not current) and "
+    "new current versions open; unchanged docs keep their open T1 row "
+    "(no-op updates cause no churn). One key-shuffle join of the current "
+    "slice vs the batch; closed history passes through untouched",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    history = (
+        docs.withColumn("valid_from", F.lit(SCD2_T1).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = docs.filter(F.col("source") == "src0").withColumn(
+        "n_chars", F.col("n_chars") + 7
+    )
+    out = scd2_apply(
+        history, updates, "doc_id", SCD2_T2, tracked=["source", "n_chars"]
+    )
+    # NULL valid_to (the open version) as an explicit string sentinel: a
+    # nullable date column hashes as NaT-vs-None across engines
+    return out.withColumn(
+        "valid_to", F.coalesce(F.col("valid_to").cast("string"), F.lit("open"))
+    )
