@@ -85,3 +85,19 @@ def test_profile_is_one_job_single_aggregate_pass(spark):
     # one scan feeding one (expanded) aggregate; the per-column union is
     # over 1-row aggregate results, not repeated table scans
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_profile_approximate_mode_skips_expand(spark):
+    docs = load(spark, SF_DIR, "documents")
+    approx = profile_table(docs, approximate=True)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    # HLL sketches merge as partial aggregates — no per-column row
+    # replication (the exact mode's Expand) anywhere in the plan
+    assert "Expand" not in plan, plan
+    exact = {r["col_name"]: r for r in profile_table(docs).collect()}
+    for r in approx.collect():
+        e = exact[r["col_name"]]
+        # nulls/min/max stay exact; distincts within HLL++ tolerance
+        assert r["n_nulls"] == e["n_nulls"]
+        assert (r["min_str"], r["max_str"]) == (e["min_str"], e["max_str"])
+        assert abs(r["n_distinct"] - e["n_distinct"]) <= max(3, 0.05 * e["n_distinct"])

@@ -74,20 +74,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+def profile_table(df: DataFrame, approximate: bool = False) -> DataFrame:
     """One-pass per-column profile: rows, nulls, distincts, min/max.
 
-    Builds 4 aggregate expressions per column and lets Catalyst expand the
-    multi-distinct aggregate; min/max are stringified so one output schema
-    covers every column type. The whole profile is ONE job over the table
-    — at 100 TB that single scan is the entire cost, vs one-job-per-column
-    naive profiling."""
+    Builds 4 aggregate expressions per column in ONE job over the table;
+    min/max are stringified so one output schema covers every column
+    type. ``approximate=False`` uses exact ``countDistinct`` — Catalyst
+    rewrites the multi-distinct aggregate with an Expand that replicates
+    every input row once per distinct column, fine for audits but a
+    (1 + n_cols)× pre-shuffle blow-up on a wide 100 TB table.
+    ``approximate=True`` swaps in ``approx_count_distinct`` (HLL++, ~2%
+    default error): mergeable sketch state, no Expand, pure partial
+    aggregation — the at-scale default (no-Expand plan asserted in
+    tests)."""
+    distinct_of = F.approx_count_distinct if approximate else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in df.columns:
         col = F.col(f"`{c}`")
         aggs += [
             F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
+            distinct_of(col).alias(f"{c}__distinct"),
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
         ]
