@@ -624,3 +624,37 @@ def test_chunking_covers_and_overlaps(spark, docs):
             start = i * CHUNK_STRIDE  # 0-based
             assert r.n_tokens == min(CHUNK_TOKENS, n - start)
             assert len(r.chunk_text.split(" ")) == r.n_tokens
+
+
+def test_ivf_append_absorbs_batch_without_refit(spark, emb, tmp_path):
+    """append() must index a new batch against the EXISTING centroids:
+    same centroids object, new ids probe-able, old results unchanged, and
+    the incremental index equals a from-scratch assignment of the full
+    corpus against those centroids."""
+    from trading_data_pipeline_spark.operators.similarity import (
+        IvfIndex,
+        assign_cells,
+        build_ivf_index,
+    )
+
+    half = emb.filter("vec_id < 250")
+    rest = emb.filter("vec_id >= 250")
+    idx = build_ivf_index(half, n_cells=8)
+    grown = idx.append(rest)
+    assert grown.centroids is idx.centroids  # no refit
+    # identical to assigning the full corpus against the same centroids
+    expect = assign_cells(emb, idx.centroids).select("vec_id", "__cell")
+    got = grown.assigned.select("vec_id", "__cell")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    # a probe can now return appended ids
+    qvec = [float(x) for x in emb.filter("vec_id = 400").collect()[0].embedding]
+    top = [r.vec_id for r in grown.probe(qvec, k=5, n_probe=8).collect()]
+    assert 400 in top
+    # saved-index append: only affected cell dirs gain files, load sees all
+    path = str(tmp_path / "ivf_app")
+    idx.save(path)
+    idx.append_to_saved(spark, path, rest)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.assigned.count() == emb.count()
+    stats = {r["__cell"]: r["count"] for r in loaded.cell_stats().collect()}
+    assert sum(stats.values()) == emb.count()

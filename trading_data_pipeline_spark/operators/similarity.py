@@ -255,6 +255,43 @@ class IvfIndex:
             )
         )
 
+    def append(self, new_df: DataFrame) -> "IvfIndex":
+        """Incremental index maintenance: assign NEW vectors to the
+        EXISTING centroids (one codegen'd map pass over the batch — no
+        refit, no touch of the already-indexed corpus) and union them in.
+
+        This is how an ANN index absorbs a daily ingest at 100 TB: the
+        per-batch cost is O(|batch| × n_cells) dot products. The honest
+        caveat is drift — centroids fitted on the original distribution
+        slowly stop partitioning new mass evenly; monitor ``cell_stats``
+        and rebuild when the max/median cell ratio degrades (probe
+        RESULTS stay exact regardless — cells only gate which vectors a
+        probe scans, so drift costs recall-per-probe, never wrong
+        similarities)."""
+        new_assigned = assign_cells(new_df, self.centroids, self.vec_col)
+        return IvfIndex(
+            self.assigned.unionByName(new_assigned),
+            self.centroids,
+            self.id_col,
+            self.vec_col,
+        )
+
+    def append_to_saved(self, spark, path: str, new_df: DataFrame) -> None:
+        """Append a batch into a SAVED index: newly-assigned rows land as
+        new files inside only the affected ``__cell=`` directories
+        (partitioned-append), leaving existing files untouched — probes
+        keep pruning unprobed cells."""
+        import os
+
+        assign_cells(new_df, self.centroids, self.vec_col).write.mode(
+            "append"
+        ).partitionBy("__cell").parquet(os.path.join(path, "cells"))
+
+    def cell_stats(self) -> DataFrame:
+        """Per-cell vector counts — the rebuild trigger for ``append``
+        drift (one partial-aggregated groupBy over the index)."""
+        return self.assigned.groupBy("__cell").count()
+
     def save(self, path: str) -> None:
         """Persist the index: corpus partitioned by cell + centroid sidecar."""
         import json
