@@ -391,3 +391,28 @@ def test_streaming_anomaly_state_survives_restart(spark, sf_dir, tmp_path):
     batch = {tuple(r) for r in zscore_outliers(ev).collect()}
     assert both == batch
     assert both - first  # the restarted run actually scored new events
+
+
+def test_streaming_funnel_equals_batch_counts(spark, staged_events):
+    """The per-user funnel state machine's final stages must aggregate to
+    the batch funnel's exact stage counts and rates."""
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        funnel_counts,
+    )
+    from trading_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    got = run_to_completion(
+        funnel_stream(stream_events(spark, staged_events)),
+        "t_funnel",
+        "update",
+        spark,
+    )
+    # update mode: keep each user's LAST emitted row (highest stage)
+    final = (
+        got.groupBy("user_id").agg(F.max("stage").alias("stage")).collect()
+    )
+    stages = [r["stage"] for r in final]
+    batch = funnel_counts(spark.read.parquet(staged_events)).collect()[0]
+    assert sum(1 for s in stages if s >= 1) == batch["n_signup"]
+    assert sum(1 for s in stages if s >= 2) == batch["n_click"]
+    assert sum(1 for s in stages if s >= 3) == batch["n_purchase"]

@@ -128,3 +128,58 @@ def anomaly_stream(events: DataFrame, lookback: int = 20, flag: float = 3.0) -> 
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = "user_id long, stage integer, t1 long, t2 long, t3 long"
+FUNNEL_STATE = "t1 long, t2 long, t3 long"
+_UNSET = -1
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel — the stateful form of
+    ``operators/analytics_queries.funnel_counts``: a 3-slot per-user state
+    machine (first signup ts; first click strictly after it; first
+    purchase strictly after that), advanced as events arrive.
+
+    Emits each updated user's current stage per micro-batch (use
+    outputMode('update')); the final state aggregates to exactly the
+    batch operator's stage counts (streaming≡batch test). Timestamps are
+    held as epoch micros, ``-1`` = stage not reached. Same ordering
+    contract as ``anomaly_stream``: sorted within a batch, per-key
+    in-order delivery across batches.
+    """
+
+    def step(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for t, typ in zip(ts_us, pdf["event_type"]):
+            if t1 == _UNSET:
+                if typ == "signup":
+                    t1 = int(t)
+            elif t2 == _UNSET:
+                if typ == "click" and t > t1:
+                    t2 = int(t)
+            elif t3 == _UNSET:
+                if typ == "purchase" and t > t2:
+                    t3 = int(t)
+        state.update((t1, t2, t3))
+        stage = 3 if t3 != _UNSET else 2 if t2 != _UNSET else 1 if t1 != _UNSET else 0
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "stage": [stage], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            step,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
