@@ -138,7 +138,19 @@ def test_retention_hand_built(spark):
     }
 
 
-def test_retention_offset_zero_counts_every_user(spark):
+def test_retention_shuffle_budget(spark):
+    plan = _plan(retention_cohort(load(spark, SF_DIR, "events")))
+    # two user_id aggregates + the tiny (cohort, offset) grid rollup
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_scd2_shuffle_budget(spark):
+    from trading_data_pipeline_spark.operators.scale_ops import q_scd2_merge
+
+    plan = _plan(q_scd2_merge(spark, SF_DIR))
+    # current-slice⋈batch on the key + the new-version key joins; AQE
+    # broadcasts the small batch side in the common incremental case
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
     ev = load(spark, SF_DIR, "events")
     ret = retention_cohort(ev)
     total_at_zero = (
