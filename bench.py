@@ -57,6 +57,7 @@ EXTRAS = [
     "q_profile",
     "q_scd2_merge",
     "q_inverted_index",
+    "q_forward_fill",
 ]
 
 RUNS = 3

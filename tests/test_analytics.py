@@ -151,6 +151,9 @@ def test_scd2_shuffle_budget(spark):
     # current-slice⋈batch on the key + the new-version key joins; AQE
     # broadcasts the small batch side in the common incremental case
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_retention_offset_zero_counts_every_user(spark):
     ev = load(spark, SF_DIR, "events")
     ret = retention_cohort(ev)
     total_at_zero = (
@@ -214,3 +217,54 @@ def test_chunk_dedup_shuffle_budget_and_partial_agg(spark):
     # the skew insurance: hot boilerplate chunks collapse map-side BEFORE
     # the exchange, instead of flooding one window partition
     assert "partial_min" in plan, plan
+
+
+# ------------------------------------------------------------ forward fill
+
+
+def test_forward_fill_hand_built(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        forward_fill_daily,
+    )
+
+    rows = [
+        # user 1: events on Jan 1 (two, later one wins) and Jan 4
+        (0, dt.datetime(2024, 1, 1, 9), 1, "view", 10.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 17), 1, "view", 11.0, "{}"),
+        (2, dt.datetime(2024, 1, 4, 12), 1, "view", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        str(r["day"]): (r["value_ffill"], r["observed"])
+        for r in forward_fill_daily(ev).collect()
+    }
+    assert out == {
+        "2024-01-01": (11.0, True),   # day's LAST value, not first
+        "2024-01-02": (11.0, False),  # carried across the gap
+        "2024-01-03": (11.0, False),
+        "2024-01-04": (40.0, True),
+    }
+
+
+def test_forward_fill_spine_is_dense_and_budgeted(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        forward_fill_daily,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    out = forward_fill_daily(ev)
+    # every user's spine is contiguous: row count = sum of day spans
+    spans = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id")
+        .agg((F.datediff(F.max("d"), F.min("d")) + 1).alias("span"))
+    )
+    assert out.count() == spans.agg(F.sum("span")).collect()[0][0]
+    # no NULL fill values (day 1 is always observed) and budget holds
+    assert out.filter(F.col("value_ffill").isNull()).count() == 0
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

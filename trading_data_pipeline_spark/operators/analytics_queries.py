@@ -386,3 +386,79 @@ def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
 )
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+def forward_fill_daily(events: DataFrame) -> DataFrame:
+    """Per-user daily resample with forward fill (gap filling): build each
+    user's calendar-day spine from their first to last event day, attach
+    the day's LAST observed value, and carry the previous value across
+    silent days.
+
+    The trading-pipeline shape (daily close carried over non-trading
+    days), distributed: the spine is a per-row ``sequence()`` explode —
+    no calendar cross join — and the fill is one ``last_value(ignorenulls)``
+    window over the same ``user_id`` key the daily aggregate already
+    shuffled on, so the whole op is two co-keyed exchanges.
+    """
+    day = F.col("ts").cast("date")
+    daily = (
+        events.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))["value"]
+            .alias("day_value")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("day_value").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "q_forward_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, day, day_value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS day_value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), spine AS (
+      SELECT user_id, CAST(u.d AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id) b,
+           unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ffill,
+           d.day_value IS NOT NULL AS observed
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Per-user daily resample + forward fill: per-row sequence() spine "
+    "(no calendar cross join), day's last value by (ts, event_id) "
+    "tie-break, last_value(ignorenulls) carry-over — two co-keyed "
+    "exchanges on user_id",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forward_fill_daily(load(spark, sf_dir, "events"))

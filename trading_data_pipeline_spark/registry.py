@@ -110,9 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_zscore_outliers", "q_funnel", "q_retention_cohort",
     "q_quantize_embeddings", "q_chunk_dedup",
     "q_sessionize", "q_profile", "q_scd2_merge", "q_inverted_index",
-    # (q_lit_frame / q_checked_union / q_scan_partition / q_scan_csv
-    # rotate out — green rows in r1-r3)
-    "q_sink_parquet",
+    "q_forward_fill",
+    # (q_lit_frame / q_checked_union / q_scan_partition / q_scan_csv /
+    # q_sink_parquet rotate out — green rows in r1-r3)
 )
 
 
