@@ -101,3 +101,30 @@ def test_inverted_index_single_exchange(spark):
     )
     # rank window and groupBy share the token key
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_rebalance_sample_rate_and_determinism(spark):
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        REBAL_TARGET_PCT,
+        q_rebalance_sample,
+    )
+
+    out = q_rebalance_sample(spark, SF_DIR)
+    per_source = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    totals = {
+        r["source"]: r["n"]
+        for r in load(spark, SF_DIR, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, n_total in totals.items():
+        kept = per_source.get(src, 0)
+        # LCG buckets approximate the target rate; each source is small
+        # (~25 docs at sf0.001) so allow generous binomial slack
+        assert 0.3 * n_total <= kept <= 0.9 * n_total, (src, kept, n_total)
+    want = REBAL_TARGET_PCT / 100 * sum(totals.values())
+    assert abs(out.count() - want) <= 0.15 * sum(totals.values())
+    # deterministic: a second evaluation returns the identical id set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in q_rebalance_sample(spark, SF_DIR).collect()}
+    assert a == b

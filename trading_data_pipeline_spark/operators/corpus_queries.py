@@ -290,3 +290,50 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("postings"),
     )
+
+
+# distinct LCG constants from the split/sample mixers in quality_queries —
+# same overflow-free construction (id reduced mod 2^31 before the multiply)
+_REBAL_A, _REBAL_C = 1597334677, 2034674403
+_M31, _M32 = 2147483648, 4294967296
+REBAL_TARGET_PCT = 60  # target mass: 60% of the smallest source
+
+
+@register(
+    "q_rebalance_sample",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         m AS (SELECT min(n) AS mn FROM c),
+         t AS (SELECT c.source,
+                      CAST(floor(CAST(m.mn AS DOUBLE) / c.n * {REBAL_TARGET_PCT}
+                                 + 0.5) AS BIGINT) AS thr
+               FROM c, m)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE (((d.doc_id % {_M31}) * {_REBAL_A} + {_REBAL_C}) % {_M32}) % 100
+          < t.thr
+    """,
+    doc="Deterministic mixture rebalancing: down-sample every source to "
+    "~60% of the smallest source's mass — per-source keep threshold "
+    "floor(min_n/n*60+0.5) over an LCG hash bucket of doc_id "
+    "(cross-engine-identical arithmetic, no RNG, reproducible across "
+    "runs/retries). The thresholds come from a tiny per-source aggregate "
+    "broadcast back onto the scan: one partial-agg shuffle + a broadcast "
+    "join, the companion sampler to q_domain_mix's weight accounting",
+)
+def q_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    thr = counts.crossJoin(mn).select(
+        "source",
+        F.floor(
+            F.col("mn").cast("double") / F.col("n") * REBAL_TARGET_PCT + 0.5
+        ).alias("thr"),
+    )
+    bucket = (((F.col("doc_id") % _M31) * _REBAL_A + _REBAL_C) % _M32) % 100
+    return (
+        docs.join(thr, "source")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "source")
+    )
