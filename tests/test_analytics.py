@@ -268,3 +268,24 @@ def test_forward_fill_spine_is_dense_and_budgeted(spark):
     assert out.filter(F.col("value_ffill").isNull()).count() == 0
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+# -------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_to_band(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import q_winsorize
+
+    out = q_winsorize(spark, SF_DIR)
+    n = out.count()
+    n_clipped = out.filter(F.col("clipped")).count()
+    # p05/p95 band: ~10% of rows clip (generous slack for small groups)
+    assert 0.04 * n <= n_clipped <= 0.16 * n
+    # clipped values sit exactly at a bound; unclipped pass through
+    ev = load(spark, SF_DIR, "events").select("event_id", "value")
+    joined = out.join(ev, "event_id")
+    moved = joined.filter(
+        (~F.col("clipped"))
+        & (F.abs(F.col("value_w") - F.col("value")) > 0.005 + 1e-9)
+    )
+    assert moved.count() == 0

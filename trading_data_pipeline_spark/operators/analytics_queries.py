@@ -462,3 +462,44 @@ def forward_fill_daily(events: DataFrame) -> DataFrame:
 )
 def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill_daily(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.05) * 100 + 0.5) / 100 AS lo,
+             floor(quantile_cont(value, 0.95) * 100 + 0.5) / 100 AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           floor(least(greatest(e.value, b.lo), b.hi) * 100 + 0.5) / 100
+             AS value_w,
+           e.value < b.lo OR e.value > b.hi AS clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+    doc="Per-group winsorization: clip value to the [p05, p95] band of "
+    "its event_type — the outlier-robust normalization before training "
+    "on heavy-tailed metrics. Bounds are exact interpolated percentiles "
+    "(Spark percentile ≡ DuckDB quantile_cont) QUANTIZED to 2dp before "
+    "any comparison, so a final-ulp interpolation difference can't flip "
+    "a boundary clip between engines. Tiny per-type bound table joins "
+    "back broadcast; one aggregate exchange",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        _q(F.expr("percentile(value, 0.05)"), 100).alias("lo"),
+        _q(F.expr("percentile(value, 0.95)"), 100).alias("hi"),
+    )
+    return ev.join(bounds, "event_type").select(
+        "event_id",
+        "event_type",
+        _q(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 100).alias(
+            "value_w"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
