@@ -289,3 +289,37 @@ def test_winsorize_clips_to_band(spark):
         & (F.abs(F.col("value_w") - F.col("value")) > 0.005 + 1e-9)
     )
     assert moved.count() == 0
+
+
+# --------------------------------------------------------------- autocorr
+
+
+def test_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.analytics_queries import q_autocorr
+
+    got = {r["user_id"]: r["r1"] for r in q_autocorr(spark, SF_DIR).collect()}
+    assert got
+    pdf = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in pdf.groupby("user_id"):
+        vals = np.round(grp["value"].to_numpy(), 2)
+        x, y = vals[:-1], vals[1:]
+        if len(x) < 10:
+            assert uid not in got
+            continue
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[uid] == pytest.approx(r, abs=1e-4), uid
+
+
+def test_autocorr_single_exchange(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import q_autocorr
+
+    plan = _plan(q_autocorr(spark, SF_DIR))
+    # the lag window and the moment aggregate share the user_id key
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

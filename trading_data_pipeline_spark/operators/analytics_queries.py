@@ -503,3 +503,65 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+AUTOCORR_MIN_PAIRS = 10
+
+
+@register(
+    "q_autocorr",
+    f"""
+    WITH pairs AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS y,
+             lag(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM events
+    ), s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n,
+           floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS r1
+    FROM s
+    WHERE n >= {AUTOCORR_MIN_PAIRS}
+      AND (CAST(n AS DOUBLE) * sxx - sx * sx)
+          * (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+    """,
+    doc="Per-user lag-1 autocorrelation of the value series (mean-"
+    "reversion / momentum signal). Built from six decimal-exact sums per "
+    "user — NOT corr(), whose double accumulation is partition-fold-order "
+    "nondeterministic at cluster scale — then one double expression with "
+    "identical association on both engines, quantized to 1e-6. One "
+    "window exchange reused by the aggregate (same user_id key)",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", dec.alias("y"), F.lag(dec).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    dxx = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= AUTOCORR_MIN_PAIRS) & (dxx * dyy > 0))
+        .select("user_id", "n", _q(num / F.sqrt(dxx * dyy), 1_000_000).alias("r1"))
+    )
