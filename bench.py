@@ -58,6 +58,9 @@ EXTRAS = [
     "q_scd2_merge",
     "q_inverted_index",
     "q_forward_fill",
+    "q_rebalance_sample",
+    "q_winsorize",
+    "q_autocorr",
 ]
 
 RUNS = 3

@@ -416,3 +416,23 @@ def test_streaming_funnel_equals_batch_counts(spark, staged_events):
     assert sum(1 for s in stages if s >= 1) == batch["n_signup"]
     assert sum(1 for s in stages if s >= 2) == batch["n_click"]
     assert sum(1 for s in stages if s >= 3) == batch["n_purchase"]
+
+
+def test_streaming_sessionize_equals_batch(spark, staged_events):
+    """The gap-rule state machine must assign the same session ids as the
+    batch window operator on identical events."""
+    from trading_data_pipeline_spark.operators.profiling_queries import sessionize
+    from trading_data_pipeline_spark.streaming.stateful import sessionize_stream
+
+    batch = {
+        (r["event_id"], r["user_id"], r["session_id"])
+        for r in sessionize(spark.read.parquet(staged_events)).collect()
+    }
+    got = run_to_completion(
+        sessionize_stream(stream_events(spark, staged_events)),
+        "t_sessionize",
+        "append",
+        spark,
+    )
+    assert {tuple(r) for r in got.collect()} == batch
+    assert batch

@@ -183,3 +183,53 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSIONIZE_SCHEMA = "event_id long, user_id long, session_id long"
+SESSIONIZE_STATE = "last_us long, sess long"
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Streaming sessionization — the stateful form of
+    ``operators/profiling_queries.sessionize``: per-user state is just
+    (last event micros, session counter); a gap >= ``gap_min`` minutes
+    starts a new session. Emits (event_id, session_id) per event in
+    append mode, matching the batch assignment exactly (streaming≡batch
+    test). Same ordering contract as the other state machines here.
+    """
+    gap_us = gap_min * 60_000_000
+
+    def step(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_us, sess = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        out_ids, out_sess = [], []
+        for eid, t in zip(pdf["event_id"], ts_us):
+            if last_us is None or (t - last_us) >= gap_us:
+                sess += 1
+            last_us = int(t)
+            out_ids.append(int(eid))
+            out_sess.append(sess)
+        state.update((last_us, sess))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [int(key[0])] * len(out_ids),
+                "session_id": out_sess,
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            step,
+            outputStructType=SESSIONIZE_SCHEMA,
+            stateStructType=SESSIONIZE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
