@@ -362,3 +362,22 @@ def test_chunking_is_scan_only(spark, sf_dir, queries):
     plan = plan_of(queries["q_chunk_documents"].fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_rank_limit_windows_get_partial_group_limit(spark, sf_dir, queries):
+    """Per-group top-k via row_number + filter must plan a PARTIAL
+    WindowGroupLimit BEFORE the exchange (Spark's rank-limit pushdown):
+    each map task keeps <= k rows per key, so a hot key ships
+    k x n_partitions rows instead of its full row set. This optimizer
+    behavior is the reason the repo needs no hand-rolled two-phase
+    grouped top-k — pin it so a conf/regression that disables it
+    (spark.sql.window.group.limit.threshold) fails loudly."""
+    df = queries["q_window_rank"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan
+    partial_pos = plan.find("Partial")
+    exchange_pos = plan.find("Exchange hashpartitioning")
+    assert partial_pos != -1 and exchange_pos != -1
+    # toString prints top-down: the Partial limit appears BELOW (after)
+    # the exchange in text order, i.e. upstream of it in dataflow
+    assert plan.find("WindowGroupLimit") < exchange_pos < partial_pos, plan
