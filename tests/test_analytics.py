@@ -323,3 +323,27 @@ def test_autocorr_single_exchange(spark):
     plan = _plan(q_autocorr(spark, SF_DIR))
     # the lag window and the moment aggregate share the user_id key
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# -------------------------------------------------------- type transitions
+
+
+def test_type_transitions_rows_normalize_and_count(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        q_type_transitions,
+    )
+
+    out = q_type_transitions(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # each prev_type's probabilities sum to ~1 (quantization slack)
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    for prev, total_p in by_prev.items():
+        assert abs(total_p - 1.0) < 1e-4, (prev, total_p)
+    # total transition count = events minus one per user (chain length)
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users

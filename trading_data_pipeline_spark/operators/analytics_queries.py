@@ -565,3 +565,45 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("n") >= AUTOCORR_MIN_PAIRS) & (dxx * dyy > 0))
         .select("user_id", "n", _q(num / F.sqrt(dxx * dyy), 1_000_000).alias("r1"))
     )
+
+
+@register(
+    "q_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           floor(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type) * 1000000 + 0.5)
+             / 1000000 AS p
+    FROM t
+    """,
+    doc="Event-type transition matrix (first-order Markov estimate): "
+    "per-user consecutive type pairs -> counts + row-normalized "
+    "probabilities. Sequencing window keys on user_id; the transition "
+    "aggregate is a tiny |types|^2 table, and p is one integer-exact "
+    "division quantized to 1e-6. The sequence-mining shape behind "
+    "next-action prediction and funnel discovery",
+)
+def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        _q(F.col("n").cast("double") / row_total, 1_000_000).alias("p"),
+    )
