@@ -61,6 +61,7 @@ EXTRAS = [
     "q_rebalance_sample",
     "q_winsorize",
     "q_autocorr",
+    "q_type_transitions",
 ]
 
 RUNS = 3
