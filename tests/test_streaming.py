@@ -436,3 +436,54 @@ def test_streaming_sessionize_equals_batch(spark, staged_events):
     )
     assert {tuple(r) for r in got.collect()} == batch
     assert batch
+
+
+def test_streaming_funnel_state_survives_restart(spark, sf_dir, tmp_path):
+    """Funnel stage state must persist across stream restarts: two runs
+    over time-contiguous halves (same checkpoint) must end at exactly the
+    batch operator's stage counts — second-half purchases only convert
+    because first-half signups are remembered."""
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        funnel_counts,
+    )
+    from trading_data_pipeline_spark.registry import load
+    from trading_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "halves")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(ts_us <= cut).coalesce(1).write.mode("append").parquet(src)
+
+    collected: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            # later emissions overwrite: the final stage per user wins
+            collected[r["user_id"]] = max(
+                r["stage"], collected.get(r["user_id"], 0)
+            )
+
+    def run_once():
+        q = (
+            funnel_stream(stream_events(spark, src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    ev.filter(ts_us > cut).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    batch = funnel_counts(ev).collect()[0]
+    stages = list(collected.values())
+    assert sum(1 for s in stages if s >= 1) == batch["n_signup"]
+    assert sum(1 for s in stages if s >= 2) == batch["n_click"]
+    assert sum(1 for s in stages if s >= 3) == batch["n_purchase"]
