@@ -347,3 +347,32 @@ def test_type_transitions_rows_normalize_and_count(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+# ----------------------------------------------------------- active users
+
+
+def test_active_users_wau_matches_bruteforce(spark):
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        q_active_users,
+    )
+
+    got = {str(r["day"]): r for r in q_active_users(spark, SF_DIR).collect()}
+    assert got
+    pairs = {
+        (r["user_id"], r["d"])
+        for r in load(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    }
+    import datetime as _dt
+
+    days = sorted({d for _, d in pairs})
+    for day in days:
+        dau = sum(1 for u, d in pairs if d == day)
+        week = {(u) for u, d in pairs if day - _dt.timedelta(days=6) <= d <= day}
+        r = got[str(day)]
+        assert r["dau"] == dau
+        assert r["wau"] == len(week)
+        assert r["dau"] <= r["wau"]  # DAU can never exceed the window count

@@ -607,3 +607,54 @@ def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _q(F.col("n").cast("double") / row_total, 1_000_000).alias("p"),
     )
+
+
+@register(
+    "q_active_users",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM pairs GROUP BY day
+    ), wau AS (
+      SELECT CAST(u.wd AS DATE) AS day, count(DISTINCT p.user_id) AS wau
+      FROM pairs p,
+           unnest(generate_series(p.day, p.day + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS u(wd)
+      GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           floor(CAST(d.dau AS DOUBLE) / w.wau * 10000 + 0.5) / 10000
+             AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day. Sliding-window "
+    "DISTINCT can't partial-aggregate directly, so the scale shape is: "
+    "distinct (user, day) pairs first (the only corpus-sized shuffle — "
+    "|users|x|days| rows after), then each pair votes into the 7 window "
+    "days it serves via a sequence() explode (7x a SMALL table, not the "
+    "event stream) before the per-day distinct count. Rows restricted to "
+    "days with activity via the DAU join",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence("day", F.date_add("day", 6), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        _q(F.col("dau").cast("double") / F.col("wau"), 10000).alias("stickiness"),
+    )
