@@ -91,10 +91,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_boilerplate", "q_token_rarity", "q_domain_mix", "q_hopping_window",
     "q_salted_join", "q_upsert_merge", "q_zorder_stats",
     "q_chunk_documents",
-    # bench headline set (fresh rows alongside BENCH_r05)
-    "q_tpch_q1", "q_join_multi", "q_topn", "q_window_lag",
-    "q_tumbling_window", "q_session_window", "q_asof_join", "q_dedup_exact",
+    # bench headline representatives (q_tpch_q1 / q_topn / q_window_lag /
+    # q_tumbling_window / q_dedup_exact rotate out — each has 3+ green
+    # driver rows across r1-r4; the newest batch-2 ops take their slots
+    # so every query added this round gets driver evidence)
+    "q_join_multi", "q_session_window", "q_asof_join",
     "q_simhash", "q_topk_cosine", "q_text_stats", "q_sentiment_lexicon",
+    "q_rebalance_sample", "q_winsorize", "q_autocorr",
+    "q_type_transitions", "q_active_users",
     # LLM-curation core (keep the E2E DAG and its stages green)
     "q_curation_full", "q_curation_pipeline", "q_contamination",
     "q_split_leakage", "q_heavy_hitters", "q_dedup_clusters",
