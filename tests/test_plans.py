@@ -381,3 +381,23 @@ def test_rank_limit_windows_get_partial_group_limit(spark, sf_dir, queries):
     # toString prints top-down: the Partial limit appears BELOW (after)
     # the exchange in text order, i.e. upstream of it in dataflow
     assert plan.find("WindowGroupLimit") < exchange_pos < partial_pos, plan
+
+
+def test_bucketed_join_query_has_no_exchange_or_sort(spark, sf_dir, queries):
+    """q_bucketed_join must execute as a scan-side merge once the join is
+    too big to broadcast (the regime bucketing exists for): bucketed +
+    sorted layout on both sides leaves NO Exchange above the scans. At
+    sf0.001 the planner broadcasts instead — also shuffle-free, but the
+    test pins the at-scale shape by disabling broadcast."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = queries["q_bucketed_join"].fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS q_bj_orders")
+        spark.sql("DROP TABLE IF EXISTS q_bj_customer")

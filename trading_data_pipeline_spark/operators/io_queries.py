@@ -138,3 +138,46 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conn.write(part, "sink_orc/part", "orc")
     return conn.read_orc("sink_orc/part")
+
+
+@register(
+    "q_bucketed_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Zero-exchange co-located join over bucketed tables "
+    "(sources/bucketed.py): both sides are written bucketed+sorted by "
+    "the join key, so the recurring orders⋈customer runs as a scan-side "
+    "sort-merge with NO exchange and NO sort — the layout that turns a "
+    "nightly fact join's dominant shuffle into a local merge at 100 TB. "
+    "The oracle is the plain join (bucketing must never change results); "
+    "the no-exchange/no-sort plan is asserted in tests",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources.bucketed import read_table, write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = _os.path.join(TMP_ROOT, "bucketed")
+    write_bucketed(
+        orders, "q_bj_orders", ["o_custkey"], 8, sort_keys=["o_custkey"],
+        path=_os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        customer, "q_bj_customer", ["c_custkey"], 8, sort_keys=["c_custkey"],
+        path=_os.path.join(base, "customer"),
+    )
+    o = read_table(spark, "q_bj_orders")
+    c = read_table(spark, "q_bj_customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
