@@ -376,3 +376,19 @@ def test_active_users_wau_matches_bruteforce(spark):
         assert r["dau"] == dau
         assert r["wau"] == len(week)
         assert r["dau"] <= r["wau"]  # DAU can never exceed the window count
+
+
+def test_zscore_constant_run_yields_no_nan_rows(spark):
+    """A constant-valued window gives a floating-point variance of ~-3e-18;
+    sqrt of that is NaN and NaN > 0 is TRUE under Spark's ordering — the
+    operator must filter on the variance itself and emit nothing."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, "view", 0.11, "{}")
+        for i in range(25)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert zscore_outliers(ev).count() == 0

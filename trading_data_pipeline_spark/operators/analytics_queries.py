@@ -66,12 +66,18 @@ def zscore_outliers(events: DataFrame, lookback: int = ZSCORE_LOOKBACK) -> DataF
     k = F.lit(float(lookback))
     mean = s_d / k
     var = (ss_d - (k * mean) * mean) / F.lit(float(lookback - 1))
-    std = F.sqrt(var)
-    z = (F.col("value") - mean) / std
+    # guard BEFORE sqrt: a constant-valued frame can yield a tiny NEGATIVE
+    # variance in floating point (e.g. 20×0.11 → -2.9e-18); sqrt of that
+    # is NaN, and NaN > 0 is TRUE under Spark's NaN ordering — the filter
+    # must be on var itself (the streaming twin and the oracle agree)
+    z = (F.col("value") - mean) / F.sqrt(var)
     zq = _q(z, 1000)
     return (
-        events.select("event_id", "user_id", "value", n.alias("_n"), std.alias("_std"), zq.alias("zscore"))
-        .filter((F.col("_n") == lookback) & (F.col("_std") > 0))
+        events.select(
+            "event_id", "user_id", "value",
+            n.alias("_n"), var.alias("_var"), zq.alias("zscore"),
+        )
+        .filter((F.col("_n") == lookback) & (F.col("_var") > 0))
         .select(
             "event_id",
             "user_id",
@@ -96,14 +102,14 @@ def zscore_outliers(events: DataFrame, lookback: int = ZSCORE_LOOKBACK) -> DataF
     ), sc AS (
       SELECT event_id, user_id, value,
              _s / {ZSCORE_LOOKBACK}.0 AS _mean,
-             sqrt((_ss - ({ZSCORE_LOOKBACK}.0 * (_s / {ZSCORE_LOOKBACK}.0))
-                          * (_s / {ZSCORE_LOOKBACK}.0)) / {ZSCORE_LOOKBACK - 1}.0) AS _std
+             (_ss - ({ZSCORE_LOOKBACK}.0 * (_s / {ZSCORE_LOOKBACK}.0))
+                    * (_s / {ZSCORE_LOOKBACK}.0)) / {ZSCORE_LOOKBACK - 1}.0 AS _var
       FROM w WHERE _n = {ZSCORE_LOOKBACK}
     )
     SELECT event_id, user_id,
-           floor((value - _mean) / _std * 1000 + 0.5) / 1000 AS zscore,
-           abs(floor((value - _mean) / _std * 1000 + 0.5) / 1000) > {ZSCORE_FLAG} AS is_outlier
-    FROM sc WHERE _std > 0
+           floor((value - _mean) / sqrt(_var) * 1000 + 0.5) / 1000 AS zscore,
+           abs(floor((value - _mean) / sqrt(_var) * 1000 + 0.5) / 1000) > {ZSCORE_FLAG} AS is_outlier
+    FROM sc WHERE _var > 0
     """,
     doc="Rolling z-score anomaly detection: per-user trailing-20 mean/std "
     "(current row excluded), |z|>3 flags. Decimal-exact moments, one "

@@ -1,7 +1,8 @@
 """Sessionization (id assignment) + table profiling.
 
 - ``sessionize`` assigns an explicit per-user session id to EVERY event
-  (gap rule: > 30 min of silence starts a new session). The aggregate
+  (gap rule: >= 30 min of silence starts a new session, matching
+  ``F.session_window``'s half-open merge). The aggregate
   form lives in ``operators/windows.py`` (``q_session_window``); this is
   the assignment form a feature pipeline joins back onto raw events. One
   window exchange on ``user_id``; the id is a running sum of integer

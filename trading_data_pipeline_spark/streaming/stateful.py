@@ -40,13 +40,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        # repo quantization convention (floor(x*s+0.5)/s, half-up) — NOT
+        # Python round(), whose half-even ties diverge from F.round
+        total_q = math.floor(total * 100 + 0.5) / 100
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_q]}
         )
 
     return (
@@ -71,11 +76,12 @@ def anomaly_stream(events: DataFrame, lookback: int = 20, flag: float = 3.0) -> 
     against the previous ``lookback`` values of the same user, held as an
     O(lookback) ring buffer in the state store.
 
-    Bit-exact with the batch op (streaming≡batch test): the buffer
-    re-derives the same decimal(18,2)-exact moments (Python ``Decimal``
-    HALF_UP mirrors Spark's decimal cast; shortest-repr round-trip keeps
-    the 2-dp values exact through the double-typed state column) and the
-    variance/z expressions use the identical floating-point association.
+    Bit-exact with the batch op (streaming≡batch test): values are
+    quantized to integer cents on arrival (Python ``Decimal`` HALF_UP
+    mirrors Spark's decimal(18,2) cast), the moments are O(1) running
+    integer sums (float(S)/100 is the correctly-rounded double of the
+    exact decimal sum — same bits as the batch cast), and the variance/z
+    expressions use the identical floating-point association.
 
     Ordering contract: events are sorted by (ts, event_id) WITHIN each
     micro-batch; across batches the source must deliver each key's events
@@ -92,30 +98,40 @@ def anomaly_stream(events: DataFrame, lookback: int = 20, flag: float = 3.0) -> 
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        buf = list(state.get[0]) if state.exists else []
+        # buffer holds integer CENTS (exact in a double column): one
+        # Decimal quantization per event on ARRIVAL, O(1) running integer
+        # sums per score instead of re-deriving 20 Decimals per event.
+        # float(S)/100 and float(SS)/10000 are the correctly-rounded
+        # doubles of the exact rationals S/100, SS/10000 — bit-identical
+        # to the batch op's decimal-sum-then-cast (S < 2^53 by far).
+        buf = [int(b) for b in state.get[0]] if state.exists else []
+        s_c = sum(buf)
+        ss_c = sum(b * b for b in buf)
         out: dict[str, list] = {"event_id": [], "user_id": [], "zscore": [], "is_outlier": []}
         pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for eid, val in zip(pdf["event_id"], pdf["value"]):
             v = float(val)
             if len(buf) == lookback:
-                ds = [Decimal(str(b)).quantize(two_dp, ROUND_HALF_UP) for b in buf]
-                s = float(sum(ds))
-                ss = float(sum(d * d for d in ds))
+                s = float(s_c) / 100.0
+                ss = float(ss_c) / 10000.0
                 k = float(lookback)
                 mean = s / k
                 var = (ss - (k * mean) * mean) / float(lookback - 1)
                 if var > 0:
-                    std = math.sqrt(var)
-                    if std > 0:
-                        zq = math.floor((v - mean) / std * 1000 + 0.5) / 1000
-                        out["event_id"].append(int(eid))
-                        out["user_id"].append(int(key[0]))
-                        out["zscore"].append(zq)
-                        out["is_outlier"].append(abs(zq) > flag)
-            buf.append(v)
+                    zq = math.floor((v - mean) / math.sqrt(var) * 1000 + 0.5) / 1000
+                    out["event_id"].append(int(eid))
+                    out["user_id"].append(int(key[0]))
+                    out["zscore"].append(zq)
+                    out["is_outlier"].append(abs(zq) > flag)
+            cents = int(Decimal(str(v)).quantize(two_dp, ROUND_HALF_UP) * 100)
+            buf.append(cents)
+            s_c += cents
+            ss_c += cents * cents
             if len(buf) > lookback:
-                buf.pop(0)
-        state.update((buf,))
+                old = buf.pop(0)
+                s_c -= old
+                ss_c -= old * old
+        state.update(([float(b) for b in buf],))
         yield pd.DataFrame(out)
 
     return (
