@@ -128,3 +128,26 @@ def test_rebalance_sample_rate_and_determinism(spark):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in q_rebalance_sample(spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_scd2_carries_untracked_attributes(spark):
+    """History may carry attribute columns outside the change-detection
+    set; new versions take them from the update batch."""
+    import datetime as dt
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [(1, "a1", "en", d(2024, 1, 1), None, True)],
+        "id long, attr string, lang string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", "de")], "id long, attr string, lang string"
+    )
+    out = {
+        (r["id"], r["attr"]): r
+        for r in scd2_apply(hist, updates, "id", "2024-06-01", tracked=["attr"]).collect()
+    }
+    assert len(out) == 2
+    assert out[(1, "a1")]["lang"] == "en" and out[(1, "a1")]["is_current"] is False
+    assert out[(1, "a2")]["lang"] == "de" and out[(1, "a2")]["is_current"] is True

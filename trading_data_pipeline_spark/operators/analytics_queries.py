@@ -38,9 +38,7 @@ ZSCORE_LOOKBACK = 20  # trailing events per user feeding the moments
 ZSCORE_FLAG = 3.0  # |z| above this is an outlier
 
 
-def _q(x, s: int):
-    """floor(x*s+0.5)/s — engine-exact quantization."""
-    return F.floor(x * s + 0.5) / s
+from ..functions.quantize import q as _q  # repo-wide quantization convention
 
 
 def zscore_outliers(events: DataFrame, lookback: int = ZSCORE_LOOKBACK) -> DataFrame:

@@ -28,9 +28,7 @@ from .dedup import hashed_shingles
 BOILER_MIN_DOCS = 2  # a gram seen in >= this many distinct docs is boilerplate
 
 
-def _q(x, s: int):
-    """floor(x*s+0.5)/s — engine-exact quantization."""
-    return F.floor(x * s + 0.5) / s
+from ..functions.quantize import q as _q  # repo-wide quantization convention
 
 
 def boilerplate_stats(docs: DataFrame, n: int = 8, hashed: bool = True) -> DataFrame:
@@ -292,10 +290,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# distinct LCG constants from the split/sample mixers in quality_queries —
-# same overflow-free construction (id reduced mod 2^31 before the multiply)
+# distinct LCG constants from the split/sample mixers in quality_queries;
+# the bucket construction itself is shared (lockstep Spark/SQL pair)
+from .quality_queries import _bucket_sql, _hash_bucket  # noqa: E402
+
 _REBAL_A, _REBAL_C = 1597334677, 2034674403
-_M31, _M32 = 2147483648, 4294967296
 REBAL_TARGET_PCT = 60  # target mass: 60% of the smallest source
 
 
@@ -310,7 +309,7 @@ REBAL_TARGET_PCT = 60  # target mass: 60% of the smallest source
                FROM c, m)
     SELECT d.doc_id, d.source
     FROM documents d JOIN t ON d.source = t.source
-    WHERE (((d.doc_id % {_M31}) * {_REBAL_A} + {_REBAL_C}) % {_M32}) % 100
+    WHERE {_bucket_sql(_REBAL_A, _REBAL_C).replace("doc_id", "d.doc_id")}
           < t.thr
     """,
     doc="Deterministic mixture rebalancing: down-sample every source to "
@@ -331,7 +330,7 @@ def q_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mn").cast("double") / F.col("n") * REBAL_TARGET_PCT + 0.5
         ).alias("thr"),
     )
-    bucket = (((F.col("doc_id") % _M31) * _REBAL_A + _REBAL_C) % _M32) % 100
+    bucket = _hash_bucket("doc_id", _REBAL_A, _REBAL_C)
     return (
         docs.join(thr, "source")
         .filter(bucket < F.col("thr"))

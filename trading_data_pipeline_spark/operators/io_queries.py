@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from ..registry import load, register
 from ..sources.connector import FileSystemConnector
 
-TMP_ROOT = "/root/repo/.tmp/io"
+# scratch root inside the repo checkout, wherever it lives
+TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp", "io",
+)
 
 NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 CUSTOMER_SCHEMA = (

@@ -184,11 +184,17 @@ def scd2_apply(
     updates: DataFrame,
     key: str,
     effective: str,
-    tracked: list[str],
+    tracked: list[str] | None = None,
 ) -> DataFrame:
     """SCD-type-2 MERGE: apply an update batch to a versioned history
     table (``valid_from``/``valid_to``/``is_current``), keeping full
     change history instead of overwriting (the type-1 form above).
+
+    ``updates`` must carry the key and EVERY attribute column of the
+    history (everything except the three SCD columns) — new versions are
+    built from the update rows, so untracked attributes are carried from
+    the batch too. ``tracked`` (default: all attributes) is only the
+    change-detection subset.
 
     Semantics: for every update key present in the current snapshot, the
     current row is CLOSED (``valid_to = effective``, ``is_current =
@@ -204,24 +210,25 @@ def scd2_apply(
     rows: combined with a ``valid_from``-partitioned sink, each apply
     touches only current partitions.
     """
-    upd = updates.select(key, *tracked).withColumn("__upd", F.lit(1))
+    scd_cols = ("valid_from", "valid_to", "is_current")
+    attrs = [c for c in history.columns if c != key and c not in scd_cols]
+    missing = [c for c in attrs if c not in updates.columns]
+    assert not missing, f"updates must carry every attribute column; missing {missing}"
+    tracked = tracked if tracked is not None else attrs
+    assert tracked, "tracked must name at least one attribute"
+    upd = updates.select(key, *attrs).withColumn("__upd", F.lit(1))
     closed = history.filter(~F.col("is_current"))
     curr = history.filter(F.col("is_current"))
-    # changed iff any tracked attribute differs (NULL-safe: exactly one
-    # side NULL counts as a change; both NULL does not)
-    cmp_cols = [
-        (F.col(f"u.{c}") != F.col(f"h.{c}"))
-        | (F.col(f"u.{c}").isNull() != F.col(f"h.{c}").isNull())
-        for c in tracked
-    ]
+    # changed iff any tracked attribute differs, NULL-safely (both NULL
+    # is NOT a change; exactly one NULL is)
     changed_pred = None
-    for c in cmp_cols:
-        changed_pred = c if changed_pred is None else (changed_pred | c)
-    # a change requires the update row to EXIST: for unmatched left rows
-    # the NULL-mismatch arm of cmp_cols would otherwise fire on every
-    # tracked column
+    for c in tracked:
+        diff = ~F.col(f"u.{c}").eqNullSafe(F.col(f"h.{c}"))
+        changed_pred = diff if changed_pred is None else (changed_pred | diff)
+    # a change requires the update row to EXIST: on unmatched left rows
+    # eqNullSafe(NULL, h) would otherwise flag every non-NULL attribute
     joined = curr.alias("h").join(upd.alias("u"), on=key, how="left")
-    changed = F.col("u.__upd").isNotNull() & F.coalesce(changed_pred, F.lit(False))
+    changed = F.col("u.__upd").isNotNull() & changed_pred
     untouched = joined.filter(~changed).select("h.*")
     to_close = joined.filter(changed).select("h.*")
     closed_now = to_close.withColumn(
@@ -229,9 +236,10 @@ def scd2_apply(
     ).withColumn("is_current", F.lit(False))
     # new versions: changed keys + brand-new keys
     curr_keys = curr.select(key)
+    base = upd.drop("__upd")
     new_versions = (
-        upd.drop("__upd").join(to_close.select(key), key, "semi")
-        .unionByName(upd.drop("__upd").join(curr_keys, key, "anti"))
+        base.join(to_close.select(key), key, "semi")
+        .unionByName(base.join(curr_keys, key, "anti"))
         .withColumn("valid_from", F.lit(effective).cast("date"))
         .withColumn("valid_to", F.lit(None).cast("date"))
         .withColumn("is_current", F.lit(True))
