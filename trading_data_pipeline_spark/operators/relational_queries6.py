@@ -389,3 +389,37 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "q_lateral_topn",
+    """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey,
+           round(t.o_totalprice, 2) AS top_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+    doc="LATERAL correlated subquery: each customer's single most "
+    "expensive order via a per-row dependent subquery — the SQL-standard "
+    "form of grouped top-1. Catalyst decorrelates the lateral into a "
+    "join + rank-limit (same WindowGroupLimit map-side pruning as the "
+    "window form, pinned in tests/test_plans.py), so the declarative "
+    "LATERAL costs the same as the hand-written top-k; customers with "
+    "no orders drop (inner lateral). Unique tie-break on o_orderkey "
+    "makes the pick deterministic on both engines",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               round(t.o_totalprice, 2) AS top_price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )
