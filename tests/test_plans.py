@@ -401,3 +401,50 @@ def test_bucketed_join_query_has_no_exchange_or_sort(spark, sf_dir, queries):
         )
         spark.sql("DROP TABLE IF EXISTS q_bj_orders")
         spark.sql("DROP TABLE IF EXISTS q_bj_customer")
+
+
+def test_bloom_prune_filters_fact_before_exchange(spark, sf_dir, queries):
+    """The Bloom membership test must sit in the orders scan stage (below
+    the join's exchange), and it must actually thin the fact side: only
+    probable matches + false positives reach the shuffle."""
+    from trading_data_pipeline_spark.plans.bloom import (
+        bloom_bitmap, bloom_might_contain,
+    )
+
+    plan = plan_of(queries["q_bloom_join"].fn(spark, sf_dir))
+    # the probe is element_at over the literal bitmap; it must appear in a
+    # Filter, and that Filter must not sit above any Exchange in the
+    # fact branch — locate the first exchange and check the probe text
+    # occurs after it in bottom-up string order (executedPlan prints
+    # top-down, so "after" in text = deeper = before the shuffle).
+    assert "element_at" in plan, plan
+    probe_pos = plan.rindex("element_at")
+    assert "Exchange" in plan
+    first_exchange_pos = plan.index("Exchange")
+    assert probe_pos > first_exchange_pos, "bloom probe must be below the exchange"
+
+    # pruning power: non-member fact keys are mostly rejected
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    bitmap = bloom_bitmap(dim, "c_custkey")
+    pruned = orders.filter(bloom_might_contain(F.col("o_custkey"), bitmap)).count()
+    total = orders.count()
+    members = orders.join(dim, orders.o_custkey == dim.c_custkey, "left_semi").count()
+    assert members <= pruned < total, (members, pruned, total)
+    # false-positive rate among non-members is sized for <1% (m=128Ki, k=5)
+    fp = pruned - members
+    assert fp <= max(5, 0.02 * (total - members)), (fp, total - members)
+
+
+def test_bloom_never_rejects_members(spark, sf_dir):
+    from trading_data_pipeline_spark.plans.bloom import (
+        bloom_bitmap, bloom_might_contain,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    bitmap = bloom_bitmap(nation, "n_nationkey")
+    hits = (
+        nation.filter(bloom_might_contain(F.col("n_nationkey"), bitmap)).count()
+    )
+    assert hits == nation.count()

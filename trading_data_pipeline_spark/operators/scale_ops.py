@@ -304,3 +304,48 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "valid_to", F.coalesce(F.col("valid_to").cast("string"), F.lit("open"))
     )
+
+
+@register(
+    "q_bloom_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100 + 0.5) / 100 AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bloom-filter runtime join pruning (plans/bloom.py): a 2 KiB "
+    "bitmap over BUILDING-segment custkeys filters the orders scan "
+    "BEFORE its exchange, so the shuffle carries only probable matches; "
+    "the closing equi-join removes false positives. Oracle is the PLAIN "
+    "join — pruning must not change the result. The pre-exchange filter "
+    "position and the thinned fact side are asserted in "
+    "tests/test_plans.py; DECIMAL-exact sum so the aggregate is "
+    "fold-order-free",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.bloom import bloom_pruned_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = bloom_pruned_join(orders, cust, "o_custkey", "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("total_price"),
+    )
