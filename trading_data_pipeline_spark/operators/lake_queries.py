@@ -1,0 +1,258 @@
+"""Lake-maintenance operators a 100 TB table needs between queries:
+
+- ``q_scan_binary``  — the ``binaryFile`` source: opaque payloads (the
+  multimodal layout's on-disk form) read as (path, length, content)
+  without decoding, the scan path for image/audio corpora;
+- ``q_compaction``   — small-file compaction: rewrite a fragmented
+  partitioned table into ~target-sized files per partition (the
+  OPTIMIZE half of lakehouse maintenance; q_zorder_stats is the
+  clustering half), with row/value conservation as the oracle;
+- ``q_cdc_apply``    — apply an ordered CDC changelog (upserts +
+  deletes) to produce the current snapshot: one shuffle on the key,
+  last-writer-wins, deletes drop the key.
+
+Conservation oracles: compaction and CDC produce results derivable from
+the raw events table by plain SQL, so the physical rewrite / changelog
+machinery is value-checked exactly, and file-layout effects are asserted
+in pytest (tests/test_lake_ops.py) where row-hashes can't see them.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp", "lake",
+)
+
+
+# ---------------------------------------------------------------- binaryFile
+
+def export_binary_payloads(docs, out_dir: str) -> int:
+    """Write each (doc_id, text) row as ``<doc_id>.bin`` (utf-8 bytes).
+
+    Driver-side by design: this exports a SMALL deterministic sample (the
+    callers pass <= a few hundred rows) to model an object-store payload
+    prefix; a full-corpus export would go through foreachPartition. The
+    interesting distributed path is the READ below.
+    """
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = docs.collect()  # tiny by design (subset filter at the caller)
+    for r in rows:
+        with open(os.path.join(out_dir, f"{r['doc_id']:08d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    return len(rows)
+
+
+@register(
+    "q_scan_binary",
+    "SELECT doc_id, strlen(text) AS n_bytes FROM documents WHERE doc_id % 25 = 0",
+    doc="binaryFile source over an exported payload prefix: read opaque "
+    "*.bin objects distributed (path/length/content schema, no decode), "
+    "recover the id from the path and the byte length from BOTH the "
+    "file-status length and length(content) (cross-checked in the "
+    "filter). Oracle: utf-8 byte lengths straight from the documents "
+    "table — a full write/read round-trip of the multimodal payload "
+    "layout",
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    out_dir = os.path.join(TMP_ROOT, "binary_scan")
+    export_binary_payloads(docs.select("doc_id", "text"), out_dir)
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out_dir)
+    )
+    return (
+        scanned.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.length(F.col("content")).alias("_content_bytes"),
+        )
+        # file-status length and actual payload length must agree
+        .filter(F.col("n_bytes") == F.col("_content_bytes"))
+        .drop("_content_bytes")
+    )
+
+
+# ---------------------------------------------------------------- compaction
+
+def compact_table(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    salt_key: str | None = None,
+) -> DataFrame:
+    """Rewrite a partitioned parquet table with ~``target_bytes`` files.
+
+    Per-partition file stats come from one Hadoop FS listing (one row per
+    partition — tiny); each partition's rows get a deterministic salt in
+    [0, ceil(bytes/target)) and the rewrite shuffles on (partition, salt),
+    so every output partition holds whole (partition, salt) groups and
+    writes ceil(bytes/target) files of ~target size. No driver-side data
+    movement — the listing is metadata, the rewrite is one exchange.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = root.getFileSystem(hconf)
+    n_files_by_part: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if "=" not in name:
+            continue
+        val = name.split("=", 1)[1]
+        bytes_ = sum(
+            f.getLen()
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        n_files_by_part[val] = max(1, -(-bytes_ // target_bytes))
+
+    df = spark.read.parquet(src_dir)
+    salt_src = F.xxhash64(F.col(salt_key)) if salt_key else F.monotonically_increasing_id()
+    n_map = F.create_map(
+        *[x for v, n in sorted(n_files_by_part.items())
+          for x in (F.lit(v), F.lit(n))]
+    )
+    n_col = F.coalesce(
+        n_map[F.col(partition_col).cast("string")], F.lit(1)
+    )
+    salted = df.withColumn("_salt", F.pmod(salt_src, n_col))
+    # Explicit partition count (= total target files): a bare
+    # repartition(cols) is REPARTITION_BY_COL, which AQE may coalesce
+    # back into fewer, oversized partitions — defeating the whole point.
+    # REPARTITION_BY_NUM is exempt from AQE coalescing.
+    n_total = max(1, sum(n_files_by_part.values()))
+    (
+        salted.repartition(n_total, F.col(partition_col), F.col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst_dir)
+    )
+    return spark.read.parquet(dst_dir)
+
+
+@register(
+    "q_compaction",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           count(*) AS n_rows,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Small-file compaction round-trip: events written fragmented "
+    "(16-way repartition x date partitions), compacted to ~target-size "
+    "files per date partition via a (date, salt) exchange, read back and "
+    "aggregated. Oracle is the same aggregate over the raw table — the "
+    "rewrite must conserve every row and value; the file-count collapse "
+    "itself is asserted in tests/test_lake_ops.py. DECIMAL sum so the "
+    "fold order of the rewritten layout can't change the hash",
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    frag_dir = os.path.join(TMP_ROOT, "compaction", "fragmented")
+    dst_dir = os.path.join(TMP_ROOT, "compaction", "compacted")
+    (
+        ev.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(frag_dir)
+    )
+    compacted = compact_table(
+        spark, frag_dir, dst_dir, "date", target_bytes=128 * 1024 * 1024,
+        salt_key="event_id",
+    )
+    return compacted.groupBy(F.col("date").cast("date").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 100
+                + 0.5
+            )
+            / 100
+        ).alias("sum_value"),
+    )
+
+
+# ----------------------------------------------------------------- CDC apply
+
+def apply_changelog(
+    changes: DataFrame,
+    key: str,
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Current snapshot from an ordered changelog: per key, the row with
+    the highest (order_cols) wins; a terminal delete removes the key.
+
+    One hash exchange on the key (the window), then a per-key top-1 —
+    Spark's rank-limit pushdown turns this into a partial group-limit
+    before the shuffle, so the exchange carries at most one candidate
+    row per (key, input partition), not the whole changelog.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != "D")
+        .drop("_rn")
+    )
+
+
+@register(
+    "q_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value, ts, event_id
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM log
+    )
+    SELECT user_id, op, event_type,
+           floor(value * 10000 + 0.5) / 10000 AS value, ts, event_id
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC changelog apply (last-writer-wins MERGE): events become an "
+    "ordered changelog (error => delete, anything else => upsert, ts + "
+    "event_id as the commit order); the snapshot keeps each key's final "
+    "upsert and drops keys whose final op is a delete. One key exchange "
+    "with rank-limit pushdown (partial top-1 before the shuffle) — the "
+    "pattern that folds a day of Debezium/binlog traffic into a table "
+    "state without a transaction log",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    snap = apply_changelog(log, "user_id", ["ts", "event_id"])
+    return snap.withColumn("value", _q(F.col("value"), 10000))

@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_queries,
         dedup_queries,
         io_queries,
+        lake_queries,
         meta_queries,
         multimodal_queries,
         profiling_queries,
