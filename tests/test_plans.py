@@ -448,3 +448,15 @@ def test_bloom_never_rejects_members(spark, sf_dir):
         nation.filter(bloom_might_contain(F.col("n_nationkey"), bitmap)).count()
     )
     assert hits == nation.count()
+
+
+def test_score_rank_norm_has_no_global_window_funnel(spark, sf_dir, queries):
+    """Global percentile normalization must never route all rows through
+    one task: no empty-partitionBy window in the executed plan."""
+    plan = plan_of(queries["q_score_rank_norm"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_quality_score_is_scan_only(spark, sf_dir, queries):
+    plan = plan_of(queries["q_quality_score"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan

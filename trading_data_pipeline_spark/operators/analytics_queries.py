@@ -662,3 +662,52 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         _q(F.col("dau").cast("double") / F.col("wau"), 10000).alias("stickiness"),
     )
+
+
+_EWMA_LAGS = 8  # bounded lookback; alpha = 1/2 so every weight 2^-j is IEEE-exact
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w * {2.0 ** -j!r}, 0)" if j else "value"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {2.0 ** -j!r} ELSE 0 END)"
+        if j
+        else "1.0"
+        for j in range(_EWMA_LAGS)
+    )
+    return num, den
+
+
+@register(
+    "q_ewma",
+    f"""
+    SELECT user_id, ts, event_id,
+           floor(({_ewma_sql_terms()[0]}) / ({_ewma_sql_terms()[1]})
+                 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Bounded-lookback EWMA (alpha=1/2, 8 lags) per user: one window "
+    "exchange on user_id, then pure lag arithmetic. alpha=1/2 makes every "
+    "weight an exact power of two, and the explicit left-to-right "
+    "addition order is identical in Spark and DuckDB, so the smoothed "
+    "value is IEEE-bit-exact across engines before quantization. The "
+    "unbounded-recursion EWMA needs a sequential scan per key; the "
+    "bounded form is the shape that parallelizes (weights below 2^-8 are "
+    "under float noise anyway)",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value")
+    den = F.lit(1.0)
+    for j in range(1, _EWMA_LAGS):
+        lj = F.lag("value", j).over(w)
+        num = num + F.coalesce(lj * F.lit(2.0 ** -j), F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(2.0 ** -j)).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id", "ts", "event_id", _q(num / den, 1_000_000).alias("ewma")
+    )

@@ -588,3 +588,112 @@ def split_leakage_pairs(docs: DataFrame, fingerprint_key: bool = True) -> DataFr
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("split_a") != F.col("split_b")))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+# Linear quality-classifier weights. A production pipeline distills a
+# fastText/BERT quality model into features like these; the weights here
+# are fixed, documented constants (all exactly representable doubles) so
+# the score is reproducible and oracle-checkable. The squash is the
+# rational sigmoid x/(1+|x|) — unlike exp(), it uses only IEEE ops that
+# round identically on every engine.
+_QW_BIAS = -1.0
+_QW_MEAN_WL = -0.125   # very long "words" -> junk (URLs, base64 blobs)
+_QW_STOP = 1.5         # natural prose carries stopwords
+_QW_PUNCT = -2.0       # symbol soup -> junk
+_QW_LEN = 0.5          # saturating credit for enough tokens
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Linear quality score in (0, 1), engine-exact (no exp/log)."""
+    n_chars = F.length(text_col).cast("double")
+    n_tokens = F.size(F.split(text_col, " ")).cast("double")
+    raw = (
+        F.lit(_QW_BIAS)
+        + F.lit(_QW_MEAN_WL) * (n_chars / n_tokens)
+        + F.lit(_QW_STOP) * stopword_ratio(text_col)
+        + F.lit(_QW_PUNCT) * punct_ratio(text_col)
+        + F.lit(_QW_LEN) * (n_tokens / (n_tokens + 100.0))
+    )
+    return 0.5 * (1.0 + raw / (1.0 + F.abs(raw)))
+
+
+_QSCORE_SQL_RAW = f"""(
+      {_QW_BIAS}
+      + {_QW_MEAN_WL} * (length(text) * 1.0 / len(string_split(text, ' ')))
+      + {_QW_STOP} * (len(list_filter(string_split(text, ' '),
+                          w -> w IN ({_STOP_SQL}))) * 1.0
+                      / len(string_split(text, ' ')))
+      + {_QW_PUNCT} * (length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+                       / length(lower(text)))
+      + {_QW_LEN} * (len(string_split(text, ' ')) * 1.0
+                     / (len(string_split(text, ' ')) + 100.0))
+    )"""
+_QSCORE_SQL = (
+    f"(0.5 * (1.0 + {_QSCORE_SQL_RAW} / (1.0 + abs({_QSCORE_SQL_RAW}))))"
+)
+
+
+@register(
+    "q_quality_score",
+    f"""
+    SELECT doc_id, lang, source,
+           floor({_QSCORE_SQL} * 1000000 + 0.5) / 1000000 AS quality
+    FROM documents
+    """,
+    doc="Distilled linear quality classifier: fixed exactly-representable "
+    "weights over mean word length / stopword ratio / punct ratio / "
+    "saturating length credit, squashed by the rational sigmoid "
+    "x/(1+|x|) (identical IEEE rounding on every engine, unlike exp). "
+    "Single codegen pass, zero shuffle — runs at scan speed at 100 TB; "
+    "the model-distillation pattern for corpus-wide quality gating when "
+    "running the real classifier per-document is unaffordable",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantize import q as _q
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", "source",
+        _q(quality_score("text"), 1_000_000).alias("quality"),
+    )
+
+
+@register(
+    "q_score_rank_norm",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             floor({_QSCORE_SQL} * 1000000 + 0.5) / 1000000 AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, quality,
+             row_number() OVER (ORDER BY quality, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, quality,
+           floor((rn - 1) * 1.0 / (n - 1) * 1000000 + 0.5) / 1000000 AS pct
+    FROM ranked
+    """,
+    doc="Global percentile normalization of the quality score WITHOUT a "
+    "single-partition window: quantile-bucket two-pass row_number "
+    "(plans/global_rank.py) gives the exact global rank with every stage "
+    "partition-parallel; pct = (rn-1)/(n-1) with doc_id tie-break. The "
+    "normalization step that makes per-corpus quality thresholds "
+    "comparable across corpora; the oracle's OVER () global window is "
+    "exactly the cluster-killer shape the two-pass plan avoids",
+)
+def q_score_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantize import q as _q
+    from ..plans.global_rank import global_row_number
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", _q(quality_score("text"), 1_000_000).alias("quality")
+    )
+    ranked, n = global_row_number(scored, ["quality", "doc_id"])
+    return ranked.select(
+        "doc_id",
+        "quality",
+        _q((F.col("_grn") - 1) / F.lit(float(max(n - 1, 1))), 1_000_000).alias("pct"),
+    )

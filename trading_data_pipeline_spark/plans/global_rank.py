@@ -24,18 +24,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_ntile(
+def global_row_number(
     df: DataFrame,
-    n_tiles: int,
     order_cols: list[str],
-    bucket_col: str | None = None,
-    out_col: str = "tile",
     n_buckets: int | None = None,
-) -> DataFrame:
-    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` without a
-    SinglePartition window. ``order_cols[0]`` must be numeric (it feeds
-    approx_percentile); remaining cols break ties. Output keeps ``df``'s
-    columns named in ``order_cols[0:1]``'s select plus ``out_col``."""
+) -> tuple[DataFrame, int]:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` without a
+    SinglePartition window: quantile-bucket on ``order_cols[0]`` (must be
+    numeric), per-bucket ``row_number``, then exact bucket-size offsets
+    folded in as literals. Returns (df + ``_grn`` column, total rows);
+    callers drop or rename ``_grn``. The only driver-side data is the
+    per-bucket count vector (<= n_buckets rows)."""
     spark = df.sparkSession
     key = order_cols[0]
     nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
@@ -56,7 +55,7 @@ def global_ntile(
     }
     n = sum(sizes.values())
     if n == 0:
-        return df.withColumn(out_col, F.lit(0).cast("int"))
+        return df.withColumn("_grn", F.lit(0).cast("long")), 0
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(sizes):
@@ -64,6 +63,25 @@ def global_ntile(
         acc += sizes[b]
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     rank = F.element_at(off_map, F.col("_bkt")) + F.col("_lr")
+    return ranked.withColumn("_grn", rank.cast("long")).drop("_bkt", "_lr"), n
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str],
+    bucket_col: str | None = None,
+    out_col: str = "tile",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` without a
+    SinglePartition window. ``order_cols[0]`` must be numeric (it feeds
+    approx_percentile); remaining cols break ties. Output keeps ``df``'s
+    columns named in ``order_cols[0:1]``'s select plus ``out_col``."""
+    ranked, n = global_row_number(df, order_cols, n_buckets)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(0).cast("int"))
+    rank = F.col("_grn")
 
     # ntile semantics: first (n % t) tiles get floor(n/t)+1 rows, rest floor(n/t)
     base, rem = n // n_tiles, n % n_tiles
@@ -74,4 +92,4 @@ def global_ntile(
         tile = F.when(
             F.lit(rem > 0) & (rank <= head), ((rank - 1) / (base + 1)).cast("long") + 1
         ).otherwise(F.lit(rem) + ((rank - F.lit(head) - 1) / base).cast("long") + 1)
-    return ranked.withColumn(out_col, tile.cast("int")).drop("_bkt", "_lr")
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_grn")
