@@ -658,3 +658,66 @@ def test_ivf_append_absorbs_batch_without_refit(spark, emb, tmp_path):
     assert loaded.assigned.count() == emb.count()
     stats = {r["__cell"]: r["count"] for r in loaded.cell_stats().collect()}
     assert sum(stats.values()) == emb.count()
+
+
+def test_asof_tolerance_and_direction_semantics(spark):
+    from trading_data_pipeline_spark.operators.asof import asof_join_tolerance
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000), (2, 1, 5000), (3, 2, 1000)],
+        "id int, key int, ts long",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, 900, 1.0),   # 100us before left id=1 @1000
+            (11, 1, 4000, 2.0),  # 1000us before left id=2 @5000
+            (12, 1, 4000, 3.0),  # same ts, higher tiebreak -> wins
+            (13, 2, 1500, 4.0),  # after left id=3 @1000 (forward only)
+        ],
+        "rid long, key int, ts long, value double",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+
+    back = {
+        r["id"]: r["asof_value"]
+        for r in asof_join_tolerance(
+            left, right, on="key", tolerance_micros=500,
+            direction="backward", right_tiebreak="rid",
+        ).collect()
+    }
+    # id=1: match @900 within 500us; id=2: nearest is 4000 (1000us away) ->
+    # nulled by tolerance; id=3: only right row is in the future -> null
+    assert back == {1: 1.0, 2: None, 3: None}
+
+    fwd = {
+        r["id"]: r["asof_value"]
+        for r in asof_join_tolerance(
+            left, right, on="key", tolerance_micros=600,
+            direction="forward", right_tiebreak="rid",
+        ).collect()
+    }
+    # id=3: match @1500 (500us ahead, within 600); id=1/2: no future row
+    # within tolerance (id=1's future rows are >= 3000us ahead)
+    assert fwd == {1: None, 2: None, 3: 4.0}
+
+    # no tolerance, backward, same-ts tiebreak: highest rid wins
+    no_tol = {
+        r["id"]: r["asof_value"]
+        for r in asof_join_tolerance(
+            left, right, on="key", direction="backward", right_tiebreak="rid",
+        ).collect()
+    }
+    assert no_tol[2] == 3.0  # rid=12 beats rid=11 at equal ts
+
+
+def test_asof_tolerance_single_exchange(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.asof import asof_join_tolerance
+    from trading_data_pipeline_spark.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), "user_id", "ts", "value")
+    out = asof_join_tolerance(p, s, on="user_id", tolerance_micros=10**9,
+                              right_tiebreak="sid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

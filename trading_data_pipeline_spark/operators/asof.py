@@ -129,3 +129,82 @@ def asof_join_pandas(
         .cogroup(right_fresh.groupBy(on))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_alias: str = "asof_value",
+    tolerance_micros: int | None = None,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join with a staleness bound and a direction — the pandas
+    ``merge_asof(tolerance=..., direction=...)`` surface on the same
+    one-shuffle union+window plan as :func:`asof_join_union`.
+
+    - ``backward``: latest right row with ``r.ts <= l.ts`` (and
+      ``l.ts - r.ts <= tolerance``); the trade-print-vs-quote shape.
+    - ``forward``: earliest right row with ``r.ts >= l.ts`` (and
+      ``r.ts - l.ts <= tolerance``); next-event attribution.
+
+    ``right_tiebreak`` (e.g. an event id) makes the choice among
+    same-timestamp right rows deterministic: the HIGHEST tiebreak wins in
+    both directions. The matched right timestamp rides in the payload
+    struct so the tolerance check is a post-window filter — still exactly
+    one exchange on the key.
+    """
+    assert direction in ("backward", "forward")
+    lcols = left.columns
+    rtype = dict(right.dtypes)[value_col]
+    rts_type = dict(right.dtypes)[ts_col]  # timestamp vs timestamp_ntz
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    l_tag = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_tb", F.lit(0).cast("long"))
+        .withColumn(
+            "_rv", F.lit(None).cast(f"struct<ts:{rts_type},v:{rtype}>")
+        )
+    )
+    r_tag = (
+        right.select(
+            on,
+            ts_col,
+            F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("v")).alias("_rv"),
+            tb.cast("long").alias("_tb"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in lcols:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    else:
+        order = [F.col(ts_col).desc(), F.col("_side").asc(), F.col("_tb").asc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_micros is not None:
+        # unix_micros only accepts TIMESTAMP (LTZ); NTZ columns cast
+        # identically on both operands, so the DIFFERENCE is exact
+        l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        r_us = F.unix_micros(F.col("_m.ts").cast("timestamp"))
+        if direction == "backward":
+            dist = l_us - r_us
+        else:
+            dist = r_us - l_us
+        matched = matched.withColumn(
+            "_m", F.when(dist <= F.lit(tolerance_micros), F.col("_m"))
+        )
+    return matched.select(*lcols, F.col("_m.v").alias(value_alias))
