@@ -437,3 +437,42 @@ def test_ewma_matches_sequential_reference(spark):
         n = sum(v * 2.0 ** -j for j, v in enumerate(lags))
         d = sum(2.0 ** -j for j in range(len(lags)))
         assert math.isclose(got[t], n / d, rel_tol=1e-12), (t, got[t], n / d)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.graph_queries import pagerank
+
+    # path graph 0-1-2-3 plus an isolated triangle 4-5-6
+    raw = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(edges, n_iters=30).collect()}
+
+    # numpy reference: column-stochastic undirected transition matrix
+    nodes = sorted({x for p in raw for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in raw:
+        A[idx[d], idx[s]] = 1.0
+        A[idx[s], idx[d]] = 1.0
+    A /= A.sum(axis=0, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(30):
+        r = (1 - 0.85) / n + 0.85 * A @ r
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    from trading_data_pipeline_spark.operators.graph_queries import pagerank
+
+    # 0 -> 1 -> 2, node 2 dangling: mass must redistribute, sum stays 1
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = pagerank(edges, undirected=False, n_iters=20).collect()
+    total = sum(r["pr"] for r in got)
+    assert abs(total - 1.0) < 1e-9, total
+    ranks = {r["node"]: r["pr"] for r in got}
+    assert ranks[2] > ranks[1] > ranks[0]

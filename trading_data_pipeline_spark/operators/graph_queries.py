@@ -1,0 +1,116 @@
+"""Graph analytics over similarity graphs: PageRank centrality.
+
+In an LLM-data pipeline, a similarity graph (docs linked by near-dup /
+semantic-similarity edges) ranks documents by how "central" they are to
+a content cluster — high-PageRank nodes are canonical versions worth
+keeping, low-rank satellites are candidates for down-sampling. Same
+iterative shape as connected components (operators/dedup.dup_clusters):
+per round one join on the edge set + one aggregation, lineage truncated
+with ``localCheckpoint``, O(iterations) rounds with only a scalar (the
+iteration counter) on the driver.
+
+Scale: state per round is one (node, rank) row per node and the
+pairs-sized edge list, both hash-partitioned on node id — no full-corpus
+shuffle beyond those keyed exchanges, no driver-side data. Rank values
+are float-iterative and engine-specific, so the registered query is
+rows-only; exactness is covered by a numpy fixed-point cross-check in
+tests/test_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iters: int = 15,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank over an edge list → (node, pr), Σpr = 1.
+
+    ``undirected=True`` mirrors every edge. Dangling nodes (no out-edges)
+    redistribute uniformly — handled by accumulating their mass as a
+    scalar per round (an aggregate, not a data collect).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    deg = (
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("s", "node")
+    )
+    # dangling nodes can only exist in a DIRECTED graph; detect once so
+    # the common undirected case pays no per-round driver action
+    has_dangling = (
+        not undirected and nodes.join(deg, "node", "left_anti").count() > 0
+    )
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iters):
+        rd = ranks.join(deg, "node")
+        contribs = (
+            e.join(rd, e["s"] == rd["node"])
+            .select(F.col("d").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        if has_dangling:
+            dangling = (
+                ranks.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dangling = 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@register(
+    "q_pagerank",
+    None,  # float fixed-point iteration is engine-specific -> rows-only
+    doc="PageRank centrality over the embedding-similarity graph "
+    "(same-label pairs with cosine >= 0.4, the blocked self-join from "
+    "operators/dedup.embedding_near_dup_pairs). 15 rounds of "
+    "join-on-edges + per-node aggregation, localCheckpoint lineage "
+    "truncation; numpy power-iteration cross-check in tests. Ranks "
+    "canonical documents inside content clusters for keep/downsample "
+    "decisions",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    pr = pagerank(pairs)
+    return pr.select("node", _q(F.col("pr"), 1_000_000).alias("pr")).orderBy(
+        F.desc("pr"), F.asc("node")
+    )

@@ -354,3 +354,46 @@ def ivf_topk(
     return build_ivf_index(df, n_cells, id_col, vec_col, seed).probe(
         query_vec, k, n_probe
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    top-k most similar corpus vectors that are NOT near-duplicates
+    (cosine < ``max_cos``) and not the query itself.
+
+    Plan: broadcast the (small) query set into a nested-loop join — each
+    corpus partition scores all queries locally, so the corpus never
+    shuffles for scoring; the per-query top-k window then benefits from
+    rank-limit pushdown (partial top-k before the single exchange on
+    qid). This exact form doubles as the oracle; at web scale the
+    candidate-generation step is IVF ``probe_batch`` and this ranking
+    runs over candidates only.
+    """
+    from pyspark.sql import Window
+
+    scored = corpus.join(
+        F.broadcast(queries), F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine_similarity(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec_col).cast("array<double>"),
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
+    return (
+        scored.filter(F.col("_sim") < max_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, F.round("_sim", 4).alias("cosine"))
+    )

@@ -154,3 +154,42 @@ def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / F.size("embedding"), 6).alias("mean_comp"),
         F.round(F.array_max(v), 6).alias("max_comp"),
     )
+
+
+HN_K = 5
+HN_MAX_COS = 0.95
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id != q.qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored WHERE cos < {HN_MAX_COS}
+    )
+    SELECT qid, vec_id, round(cos, 4) AS cosine
+    FROM ranked WHERE rn <= {HN_K}
+    """,
+    doc="Hard-negative mining for contrastive training: per query vector "
+    "the top-5 most-similar corpus vectors BELOW the near-dup threshold "
+    "(similar but not the same content). Broadcast query set -> corpus "
+    "scores locally with no corpus shuffle; per-query top-k via "
+    "rank-limit-pushdown window. Cosine fold bit-identical to DuckDB",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return hard_negatives(emb, queries, k=HN_K, max_cos=HN_MAX_COS)

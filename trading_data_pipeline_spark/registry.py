@@ -127,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_queries,
         corpus_queries,
         dedup_queries,
+        graph_queries,
         io_queries,
         lake_queries,
         meta_queries,
