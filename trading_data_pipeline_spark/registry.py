@@ -74,11 +74,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # oracle harness (``tools/parity.py``) and pytest.
 # Round-5 window. After round 4, every query registered before round 4
 # has at least one green driver row (r1-r4 windows jointly cover all
-# 119). This window pins: (a) the four round-4 additions that have never
-# had a driver row, (b) the ten round-5 additions (TPC-H batch 6 +
-# corpus-curation ops + hopping window), (c) the two flagship canaries,
-# and (d) the 14-query bench headline set plus the SURVEY §2 report1
-# micro-family for fresh re-verification of the core surface.
+# 119). This window pins, in order: the two flagship canaries, then
+# EVERY query that has never had a driver row — the round-4 batch-1/2
+# additions, TPC-H batch 6, the corpus/lake ops, and the 13 queries
+# added in round 5 itself (bloom join, lake maintenance, EWMA, quality
+# scoring, as-of variants, hard negatives, PageRank, bucketed join,
+# LATERAL top-n). Bench-headline re-verification slots rotate out this
+# round (each of those has 3+ green rows across r1-r4).
 _PRIORITY: tuple[str, ...] = (
     # flagship canaries (continuity: one green row per round)
     "q_report1", "q_dedup_near",
@@ -91,18 +93,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_boilerplate", "q_token_rarity", "q_domain_mix", "q_hopping_window",
     "q_salted_join", "q_upsert_merge", "q_zorder_stats",
     "q_chunk_documents",
-    # bench headline representatives (q_tpch_q1 / q_topn / q_window_lag /
-    # q_tumbling_window / q_dedup_exact rotate out — each has 3+ green
-    # driver rows across r1-r4; the newest batch-2 ops take their slots
-    # so every query added this round gets driver evidence)
-    "q_join_multi", "q_session_window", "q_asof_join",
-    "q_simhash", "q_topk_cosine", "q_text_stats", "q_sentiment_lexicon",
+    # round-5 additions (this session) — never driver-verified
+    "q_bloom_join", "q_scan_binary", "q_compaction", "q_cdc_apply",
+    "q_ewma", "q_quality_score", "q_score_rank_norm",
+    "q_asof_tolerance", "q_asof_forward", "q_hard_negatives",
+    "q_pagerank", "q_bucketed_join", "q_lateral_topn",
     "q_rebalance_sample", "q_winsorize", "q_autocorr",
     "q_type_transitions", "q_active_users",
-    # LLM-curation core (keep the E2E DAG and its stages green)
-    "q_curation_full", "q_curation_pipeline", "q_contamination",
-    "q_split_leakage", "q_heavy_hitters", "q_dedup_clusters",
-    "q_sequence_packing",
+    # LLM-curation flagship DAG (rows-only; keep one continuity row)
+    "q_curation_full",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
     # q_dropna / q_rename / q_round / q_filter_date rotate out this
     # round — each has green rows from r1-r3; round-5 ops take their
