@@ -45,7 +45,10 @@ def pagerank(
         e = e.unionByName(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
         )
-    e = e.distinct()
+    # materialize the edge list once: it feeds every iteration, and its
+    # lineage (often an expensive similarity self-join) must not re-run
+    # per round
+    e = e.distinct().localCheckpoint()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
