@@ -487,3 +487,65 @@ def test_streaming_funnel_state_survives_restart(spark, sf_dir, tmp_path):
     assert sum(1 for s in stages if s >= 1) == batch["n_signup"]
     assert sum(1 for s in stages if s >= 2) == batch["n_click"]
     assert sum(1 for s in stages if s >= 3) == batch["n_purchase"]
+
+
+def test_stream_stream_left_outer_interval_join(spark, staged_events):
+    """Left-outer stream-stream join: matched pairs equal the batch inner
+    join exactly, and every unmatched click whose eligibility window the
+    final watermark provably closed emits a null-purchase row. Clicks
+    inside the watermark tail may stay buffered — the documented
+    streaming-tail semantics — so the assertion is scoped to the closed
+    region."""
+    from trading_data_pipeline_spark.streaming.jobs import (
+        interval_join_stream,
+        stream_events,
+    )
+
+    gap, wm = "1 hour", "2 hours"
+
+    def split_sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch_l, batch_r = split_sides(spark.read.parquet(staged_events))
+    want_pairs = sorted(
+        (r.l_event, r.r_event)
+        for r in interval_join_stream(batch_l, batch_r, max_gap=gap,
+                                      watermark=wm).collect()
+    )
+    matched_left = {p[0] for p in want_pairs}
+
+    stream_l, stream_r = split_sides(stream_events(spark, staged_events))
+    got_df = run_to_completion(
+        interval_join_stream(stream_l, stream_r, max_gap=gap, watermark=wm,
+                             how="leftOuter"),
+        "t_louter", "append", spark,
+    )
+    got_pairs = sorted(
+        (r.l_event, r.r_event)
+        for r in got_df.filter(F.col("r_event").isNotNull()).collect()
+    )
+    assert got_pairs == want_pairs  # outer mode must not change matches
+
+    # closed region: left rows whose l_ts + gap + wm < max event time
+    import datetime
+
+    # the final watermark derives from the max event time of the
+    # second-to-last micro-batch, so leave slack well beyond gap+wm for
+    # whatever span the last batch covered
+    max_ts = spark.read.parquet(staged_events).agg(F.max("ts")).first()[0]
+    closed_cutoff = max_ts - datetime.timedelta(hours=9)
+    want_nulls = {
+        r.event_id
+        for r in batch_l.filter(F.col("ts") < F.lit(closed_cutoff)).collect()
+        if r.event_id not in matched_left
+    }
+    got_nulls = {
+        r.l_event for r in got_df.filter(F.col("r_event").isNull()).collect()
+    }
+    assert want_nulls, "no closed-region unmatched clicks — vacuous"
+    assert want_nulls <= got_nulls, want_nulls - got_nulls
+    # and no null row contradicts a matched pair
+    assert not (got_nulls & matched_left)

@@ -711,3 +711,56 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "ts", "event_id", _q(num / den, 1_000_000).alias("ewma")
     )
+
+
+_EVENT_CODES = {"signup": "S", "view": "V", "click": "C", "purchase": "P", "error": "E"}
+
+
+@register(
+    "q_sequence_pattern",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 'S'
+                                        WHEN 'view' THEN 'V'
+                                        WHEN 'click' THEN 'C'
+                                        WHEN 'purchase' THEN 'P'
+                                        ELSE 'E' END,
+                        '' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(journey) AS journey_len,
+           len(regexp_extract_all(journey, 'CP')) AS n_quick_conversions,
+           strpos(journey, 'CP') AS first_conversion_pos
+    FROM j
+    """,
+    doc="MATCH_RECOGNIZE-style sequence pattern detection: each user's "
+    "event journey becomes a code string (deterministic (ts, event_id) "
+    "order via array_sort over structs), then click->purchase "
+    "adjacencies are counted with plain JVM regex. ONE exchange on "
+    "user_id; journeys stay bounded per key (the per-user event list), "
+    "so the pattern scan parallelizes per user where a true sequential "
+    "NFA over the global stream would not",
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    code = F.lit("E")
+    for k, v in reversed(list(_EVENT_CODES.items())):
+        code = F.when(F.col("event_type") == k, v).otherwise(code)
+    j = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("code")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["code"]),
+                "",
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        F.regexp_count("journey", F.lit("CP")).cast("long").alias("n_quick_conversions"),
+        F.instr("journey", "CP").cast("long").alias("first_conversion_pos"),
+    )

@@ -256,3 +256,123 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = apply_changelog(log, "user_id", ["ts", "event_id"])
     return snap.withColumn("value", _q(F.col("value"), 10000))
+
+
+# ------------------------------------------------- incremental aggregation
+
+_INC_CUTOFF = "2024-01-21"
+
+
+def merge_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Combine partial aggregate states (n / sum / min / max per key) —
+    the algebraic-aggregate merge that lets a materialized daily rollup
+    absorb a new batch WITHOUT rescanning history: old state and the
+    delta batch's state union, then re-combine per key. count and sum
+    add; min/max fold; avg derives at read time as sum/n."""
+    return states.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def _agg_state(df: DataFrame) -> DataFrame:
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "q_incremental_agg",
+    f"""
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_value,
+           floor(min(value) * 10000 + 0.5) / 10000 AS min_value,
+           floor(max(value) * 10000 + 0.5) / 10000 AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental materialized-rollup maintenance: history (days "
+    f"before {_INC_CUTOFF}) is persisted as ALGEBRAIC partial states "
+    "(n/sum/min/max), the delta batch aggregates independently, and the "
+    "two state sets merge per key — history is never rescanned. DECIMAL "
+    "sums make the merge fold-order-exact, so the oracle (a full "
+    "recompute over all days) must match bit-for-bit. The pattern that "
+    "turns a daily 100 TB rescan into a delta-sized job",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    state_dir = os.path.join(TMP_ROOT, "inc_agg_state")
+    old_state = _agg_state(ev.filter(F.col("day") < F.lit(_INC_CUTOFF)))
+    old_state.write.mode("overwrite").parquet(state_dir)  # the stored rollup
+    delta_state = _agg_state(ev.filter(F.col("day") >= F.lit(_INC_CUTOFF)))
+    merged = merge_agg_states(
+        spark.read.parquet(state_dir).unionByName(delta_state), ["day"]
+    )
+    return merged.select(
+        "day",
+        "n",
+        (F.floor(F.col("sum_v").cast("double") * 100 + 0.5) / 100).alias("sum_value"),
+        (F.floor(F.col("sum_v").cast("double") / F.col("n") * 10000 + 0.5) / 10000).alias("avg_value"),
+        _q(F.col("min_v"), 10000).alias("min_value"),
+        _q(F.col("max_v"), 10000).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------- schema evolution
+
+@register(
+    "q_schema_evolution",
+    f"""
+    SELECT CASE WHEN CAST(ts AS DATE) < DATE '{_INC_CUTOFF}'
+                THEN '_missing' ELSE event_type END AS event_type,
+           count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Schema-evolution read: batch v1 lands WITHOUT the event_type "
+    "column, batch v2 adds it; mergeSchema=true reconciles the footers "
+    "and backfills v1 rows with NULL (surfaced as '_missing'). The "
+    "add-a-column migration every long-lived lake table goes through — "
+    "no rewrite of historical files",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    lake_dir = os.path.join(TMP_ROOT, "schema_evo")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    v1 = ev.filter(F.col("day") < F.lit(_INC_CUTOFF)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v2 = ev.filter(F.col("day") >= F.lit(_INC_CUTOFF)).select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    v1.write.parquet(os.path.join(lake_dir, "batch=1"))
+    v2.write.parquet(os.path.join(lake_dir, "batch=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(lake_dir)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("_missing")).alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("sum_value"),
+        )
+    )

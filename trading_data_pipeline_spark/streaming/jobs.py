@@ -81,6 +81,7 @@ def interval_join_stream(
     ts_col: str = "ts",
     max_gap: str = "1 hour",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (attribution pattern): pair each left
     event with right events for the same key whose timestamp falls in
@@ -109,7 +110,12 @@ def interval_join_stream(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
     )
-    return l.join(r, cond).select(
+    # leftOuter emits (left, NULL) once the watermark proves no match can
+    # arrive — unmatched rows are produced by state EVICTION, so nulls for
+    # a left row land only after the right watermark passes
+    # l_ts + max_gap + delay; rows newer than that stay buffered (the
+    # streaming-tail caveat the equivalence test accounts for).
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(on), "l_event", "r_event", "l_ts", "r_ts"
     )
 
