@@ -460,3 +460,28 @@ def test_score_rank_norm_has_no_global_window_funnel(spark, sf_dir, queries):
 def test_quality_score_is_scan_only(spark, sf_dir, queries):
     plan = plan_of(queries["q_quality_score"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_round5_lake_and_analytics_shuffle_budgets(spark, sf_dir, queries):
+    """Exchange budgets for the round-5 additions: every one must stay a
+    fixed small number of key shuffles regardless of data size."""
+    budgets = {
+        "q_cdc_apply": 1,          # one exchange on the key
+        "q_ewma": 1,               # one window exchange on user_id
+        "q_sequence_pattern": 1,   # one exchange for the journey agg
+        "q_incremental_agg": 3,    # old-state agg + delta agg + merge
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= budget, (name, n, plan)
+
+
+def test_cdc_apply_gets_rank_limit_pushdown(spark, sf_dir, queries):
+    """The per-key top-1 must run as a partial group-limit BEFORE the
+    exchange so the shuffle carries one candidate per (key, partition),
+    not the whole changelog."""
+    plan = plan_of(queries["q_cdc_apply"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    # partial mode present below the exchange
+    assert plan.count("WindowGroupLimit") >= 2, plan
