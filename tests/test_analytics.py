@@ -476,3 +476,29 @@ def test_pagerank_directed_dangling_mass(spark):
     assert abs(total - 1.0) < 1e-9, total
     ranks = {r["node"]: r["pr"] for r in got}
     assert ranks[2] > ranks[1] > ranks[0]
+
+
+def test_skyline_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from trading_data_pipeline_spark.plans.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 1000), rng.randrange(0, 100)) for i in range(500)]
+    # inject x-ties and y-ties to pin the strict-domination edge cases
+    pts += [(1000, 50, 50), (1001, 50, 60), (1002, 40, 60), (1003, 40, 60)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i for (i, x, y) in pts
+        if not any(x2 < x and y2 > y for (_, x2, y2) in pts)
+    )
+    assert got == want
+
+
+def test_skyline_empty_input(spark):
+    from trading_data_pipeline_spark.plans.skyline import skyline_2d
+
+    df = spark.createDataFrame([], "id long, x long, y long")
+    assert skyline_2d(df, "x", "y").count() == 0

@@ -485,3 +485,8 @@ def test_cdc_apply_gets_rank_limit_pushdown(spark, sf_dir, queries):
     assert "WindowGroupLimit" in plan, plan
     # partial mode present below the exchange
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_skyline_has_no_global_window_funnel(spark, sf_dir, queries):
+    plan = plan_of(queries["q_skyline"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan

@@ -764,3 +764,40 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("journey", F.lit("CP")).cast("long").alias("n_quick_conversions"),
         F.instr("journey", "CP").cast("long").alias("first_conversion_pos"),
     )
+
+
+@register(
+    "q_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+             p_size
+      FROM part
+    ), m AS (
+      SELECT *,
+             max(p_size) OVER (ORDER BY price_c
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS dom
+      FROM p
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM m WHERE dom IS NULL OR p_size >= dom
+    """,
+    doc="2-D skyline / Pareto frontier (min price, max size): parts not "
+    "strictly dominated on both dimensions. The oracle's global RANGE "
+    "window is the SinglePartition cluster-killer; the plan "
+    "(plans/skyline.py) is the two-pass quantile-bucket form — "
+    "per-bucket integer-RANGE running max + literal prefix maxima — "
+    "with every stage partition-parallel (no-SinglePartition asserted "
+    "in tests/test_plans.py)",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.skyline import skyline_2d
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_c"),
+        "p_size",
+    )
+    return skyline_2d(part, "price_c", "p_size")
