@@ -502,3 +502,16 @@ def test_skyline_empty_input(spark):
 
     df = spark.createDataFrame([], "id long, x long, y long")
     assert skyline_2d(df, "x", "y").count() == 0
+
+
+def test_topic_clusters_deterministic_and_complete(spark, sf_dir):
+    from trading_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()["q_topic_clusters"].fn
+    a = [(r["cluster"], r["n_docs"]) for r in q(spark, sf_dir).collect()]
+    b = [(r["cluster"], r["n_docs"]) for r in q(spark, sf_dir).collect()]
+    assert a == b  # fixed seed -> identical assignment
+    total = sum(n for _, n in a)
+    from trading_data_pipeline_spark.registry import load as _load
+
+    assert total == _load(spark, sf_dir, "embeddings").count()

@@ -27,5 +27,5 @@ def test_oracle_coverage_accounting():
         "q_dedup_near", "q_ann_lsh", "q_ann_ivf", "q_ann_batch",
         "q_tfidf", "q_approx_distinct", "q_approx_percentile",
         "q_image_features", "q_audio_features", "q_dedup_clusters",
-        "q_curation_full", "q_pagerank",
+        "q_curation_full", "q_pagerank", "q_topic_clusters",
     }, sorted(rows_only)

@@ -117,3 +117,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", _q(F.col("pr"), 1_000_000).alias("pr")).orderBy(
         F.desc("pr"), F.asc("node")
     )
+
+
+@register(
+    "q_topic_clusters",
+    None,  # k-means cell assignment is engine/seed-specific -> rows-only
+    doc="Corpus topic clustering summary: spherical k-means over the "
+    "embedding table (the IVF index's sample-fit + one-pass JVM "
+    "assignment path reused as an analytics op), reporting per-cluster "
+    "size and mean vector norm. The coarse structure pass before "
+    "per-topic curation decisions (mixture weights, per-topic dedup "
+    "thresholds). Deterministic seed; stability asserted in tests",
+)
+def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import l2_norm
+    from .similarity import build_ivf_index
+
+    idx = build_ivf_index(load(spark, sf_dir, "embeddings"), n_cells=8)
+    assigned = idx.assigned  # (vec_id, embedding, __cell)
+    return (
+        assigned.select(
+            F.col("__cell").alias("cluster"),
+            l2_norm(F.col("embedding").cast("array<double>")).alias("_n"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _q(F.avg("_n"), 10000).alias("mean_norm"),
+        )
+        .orderBy("cluster")
+    )
