@@ -241,3 +241,39 @@ def test_binary_scan_round_trips_content(spark, sf_dir, tmp_path):
     want = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == want
+
+
+def test_wap_rejected_audit_publishes_nothing(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        AuditFailed,
+        write_audit_publish,
+    )
+
+    ev = load(spark, sf_dir, "events").limit(100)
+    final = str(tmp_path / "published")
+    with _pytest.raises(AuditFailed):
+        write_audit_publish(ev, final, lambda staged: False)
+    assert not os.path.exists(final)
+    assert not os.path.exists(final + "._staging")  # rolled back
+
+    out = write_audit_publish(ev, final, lambda staged: staged.count() == 100)
+    assert out.count() == 100
+    assert os.path.exists(final)
+    assert not os.path.exists(final + "._staging")
+
+
+def test_wap_publish_replaces_previous_version(spark, sf_dir, tmp_path):
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        write_audit_publish,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    final = str(tmp_path / "published")
+    write_audit_publish(ev.limit(10), final, lambda s: True)
+    out = write_audit_publish(ev.limit(25), final, lambda s: True)
+    assert out.count() == 25
+    assert spark.read.parquet(final).count() == 25

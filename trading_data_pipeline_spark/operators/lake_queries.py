@@ -376,3 +376,86 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------------------ write-audit-publish
+
+class AuditFailed(RuntimeError):
+    """Raised when a staged write fails its audit; nothing is published."""
+
+
+def write_audit_publish(
+    df: DataFrame,
+    final_dir: str,
+    audit,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """WAP: write to a staging prefix, run ``audit(staged_df) -> bool``
+    over the MATERIALIZED files (what readers would actually see), and
+    only then move the staging directory to ``final_dir``. A failed audit
+    removes the staging data and raises — the published path never holds
+    unaudited rows, and a crashed job leaves only a ``._staging`` prefix
+    that the next run overwrites. Directory rename is one metadata op on
+    HDFS-like stores; on S3 the same pattern runs against a staging
+    prefix + manifest swap.
+    """
+    spark = df.sparkSession
+    staging = final_dir + "._staging"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    staged = spark.read.parquet(staging)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    s_path = jvm.org.apache.hadoop.fs.Path(staging)
+    f_path = jvm.org.apache.hadoop.fs.Path(final_dir)
+    fs = s_path.getFileSystem(hconf)
+    if not audit(staged):
+        fs.delete(s_path, True)
+        raise AuditFailed(f"audit rejected staged write for {final_dir}")
+    if fs.exists(f_path):
+        fs.delete(f_path, True)
+    if not fs.rename(s_path, f_path):
+        raise IOError(f"publish rename {staging} -> {final_dir} failed")
+    return spark.read.parquet(final_dir)
+
+
+@register(
+    "q_wap_publish",
+    """
+    SELECT event_type, count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Write-audit-publish round-trip: events stage to a ._staging "
+    "prefix, the one-scan q_data_quality-style audit runs over the "
+    "MATERIALIZED staged files, and only a passing audit publishes (one "
+    "directory rename). Oracle aggregates the source directly — a "
+    "published table must be byte-equivalent to its input. Failed-audit "
+    "rollback is asserted in tests/test_lake_ops.py",
+)
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    final_dir = os.path.join(TMP_ROOT, "wap", "events")
+
+    def audit(staged: DataFrame) -> bool:
+        m = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_value"),
+            F.countDistinct("event_id").alias("n_id"),
+        ).first()
+        return m["n"] > 0 and m["n_value"] == m["n"] and m["n_id"] == m["n"]
+
+    published = write_audit_publish(ev, final_dir, audit)
+    return published.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * 100
+                + 0.5
+            )
+            / 100
+        ).alias("sum_value"),
+    )

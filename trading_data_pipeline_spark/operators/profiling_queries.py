@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..registry import load, register
 
 SESSION_GAP_MIN = 30
@@ -152,3 +153,87 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
     return profile_table(orders)
+
+
+_DQ_SCALE = 10000
+
+
+@register(
+    "q_data_quality",
+    f"""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(value) AS n_value,
+             count(DISTINCT event_id) AS n_distinct_id,
+             sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS n_nonneg,
+             sum(CASE WHEN event_type IN
+                   ('click','view','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS n_known_type,
+             sum(CASE WHEN props LIKE '{{%' THEN 1 ELSE 0 END) AS n_json
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'completeness_value' AS check_name,
+             floor(n_value * 1.0 / n_rows * {_DQ_SCALE} + 0.5) / {_DQ_SCALE} AS metric,
+             n_value = n_rows AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness_event_id',
+             floor(n_distinct_id * 1.0 / n_rows * {_DQ_SCALE} + 0.5) / {_DQ_SCALE},
+             n_distinct_id = n_rows FROM m
+      UNION ALL
+      SELECT 'range_value_nonnegative',
+             floor(n_nonneg * 1.0 / n_rows * {_DQ_SCALE} + 0.5) / {_DQ_SCALE},
+             n_nonneg = n_rows FROM m
+      UNION ALL
+      SELECT 'domain_event_type',
+             floor(n_known_type * 1.0 / n_rows * {_DQ_SCALE} + 0.5) / {_DQ_SCALE},
+             n_known_type = n_rows FROM m
+      UNION ALL
+      SELECT 'format_props_json',
+             floor(n_json * 1.0 / n_rows * {_DQ_SCALE} + 0.5) / {_DQ_SCALE},
+             n_json = n_rows FROM m
+    )
+    """,
+    doc="Deequ-style data-quality constraint suite in ONE scan: "
+    "completeness, key uniqueness, value range, categorical domain, and "
+    "format checks all computed as a single multi-aggregate pass (the "
+    "same single-scan shape as q_profile), then unpivoted into "
+    "(check_name, metric, passed) rows — the audit half of a "
+    "write-audit-publish gate. At 100 TB the one-pass property is the "
+    "whole point: five checks, one table read, zero joins",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.countDistinct("event_id").alias("n_distinct_id"),
+        F.sum(F.when(F.col("value") >= 0, 1).otherwise(0)).alias("n_nonneg"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_known_type"),
+        F.sum(F.when(F.col("props").startswith("{"), 1).otherwise(0)).alias("n_json"),
+    )
+    checks = [
+        ("completeness_value", "n_value"),
+        ("uniqueness_event_id", "n_distinct_id"),
+        ("range_value_nonnegative", "n_nonneg"),
+        ("domain_event_type", "n_known_type"),
+        ("format_props_json", "n_json"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                _q(F.col(col) / F.col("n_rows"), _DQ_SCALE).alias("metric"),
+                (F.col(col) == F.col("n_rows")).alias("passed"),
+            )
+            for name, col in checks
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")
