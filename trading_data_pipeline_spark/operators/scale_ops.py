@@ -349,3 +349,76 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("total_price"),
     )
+
+
+PIT_TTL_DAYS = 7
+
+
+@register(
+    "q_pit_join",
+    f"""
+    WITH s AS (
+      SELECT user_id, ts AS valid_from, value, event_id,
+             least(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+                   ts + INTERVAL {PIT_TTL_DAYS} DAY) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           round(p.value, 2) AS purchase_value,
+           round(s.value, 2) AS profile_value
+    FROM p LEFT JOIN s
+      ON s.user_id = p.user_id
+     AND s.valid_from <= p.ts AND p.ts < s.valid_to
+    """,
+    doc="Point-in-time correct feature join (the feature-store "
+    "correctness op): each purchase picks up the profile VERSION valid "
+    "at its timestamp — versions derive from signup events, expire "
+    f"after {PIT_TTL_DAYS} days (TTL), and close when superseded, so "
+    "gaps yield NULL instead of a stale or future value (no training "
+    "leakage). Implemented as the one-shuffle as-of union+window with "
+    "the interval end riding in the payload struct — not the oracle's "
+    "interval join, which nest-loops per row at scale",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .asof import asof_join_tolerance
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts"), "value", F.col("event_id").alias("vid"))
+        .withColumn(
+            "valid_to",
+            F.least(
+                F.lead("ts").over(w.orderBy("ts", "vid")),
+                F.col("ts") + F.expr(f"INTERVAL {PIT_TTL_DAYS} DAY"),
+            ),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.struct(F.col("value").alias("attr"), F.col("valid_to").alias("vt")).alias("payload"),
+            "vid",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join_tolerance(
+        purchases, versions, on="user_id", value_col="payload",
+        value_alias="p", direction="backward", right_tiebreak="vid",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round(
+            F.when(F.col("ts") < F.col("p.vt"), F.col("p.attr")), 2
+        ).alias("profile_value"),
+    )

@@ -330,3 +330,42 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", '"(k|v)":', '"<KEY>":').alias("props_keymasked"),
         F.regexp_replace("props", r"-?\d+\.?\d*", "<NUM>").alias("props_nummasked"),
     )
+
+
+FEATURE_BUCKETS = 64
+
+
+@register(
+    "q_feature_hash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(t.w, ''), c -> ascii(c)::BIGINT)),
+               (a, c) -> (a*17 + c) % {MOD}) % {FEATURE_BUCKETS} AS bucket
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    )
+    SELECT doc_id, bucket, count(*) AS n
+    FROM toks GROUP BY doc_id, bucket
+    """,
+    doc="Hashing-trick sparse feature vectors (the HashingTF shape, but "
+    "cross-engine-exact): token -> polynomial char fold mod 1e9+7 -> "
+    "bucket mod 64 -> per-(doc, bucket) counts. explode + map-side "
+    "partial agg, ONE exchange on (doc_id, bucket); the fixed-width "
+    "sparse encoding that feeds linear classifiers without a vocabulary "
+    "build (no second pass, no driver-side dictionary — the property "
+    "that matters at 100 TB)",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok_hash = (
+        f"aggregate(split(w, ''), 0L, (a, c) -> (a*17 + ascii(c)) % {MOD})"
+        f" % {FEATURE_BUCKETS}"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", F.expr(tok_hash).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
