@@ -490,3 +490,20 @@ def test_cdc_apply_gets_rank_limit_pushdown(spark, sf_dir, queries):
 def test_skyline_has_no_global_window_funnel(spark, sf_dir, queries):
     plan = plan_of(queries["q_skyline"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
+
+
+def test_pit_and_feature_hash_shuffle_budgets(spark, sf_dir, queries):
+    budgets = {
+        "q_pit_join": 2,      # version window + as-of window, both on user_id
+        "q_feature_hash": 1,  # explode -> partial agg -> one exchange
+        "q_wap_publish": 1,   # group agg over the published scan
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= budget, (name, n, plan)
+
+
+def test_feature_hash_has_partial_aggregation(spark, sf_dir, queries):
+    plan = formatted_plan_of(queries["q_feature_hash"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "Partial" in plan, plan
