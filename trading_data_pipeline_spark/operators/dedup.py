@@ -415,3 +415,70 @@ def dup_clusters(
             "max_iters (rounds needed ~ graph diameter)"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs token-Jaccard join above ``threshold`` via prefix
+    filtering (the PPJoin family) — the deterministic complement to the
+    probabilistic banded-MinHash path.
+
+    Positional-filter principle: order every document's distinct tokens
+    by ONE global canonical order (document frequency ascending, token as
+    tiebreak — rarest first); if ``J(a,b) >= t`` then the first
+    ``|d| - ceil(t*|d|) + 1`` tokens of each side must share at least one
+    token. Candidate pairs therefore come from a self-join on PREFIX
+    tokens only — and because prefixes lead with the rarest tokens,
+    bucket sizes stay small where a full token inverted index would put
+    every stopword-sharing pair in one bucket. Exact verification then
+    removes false candidates, so the result is identical to the naive
+    O(n²) join (that identity IS the oracle).
+
+    Shuffles: token-df aggregation, the df join-back, the per-doc sort
+    (id-keyed), the prefix-token candidate join, and two id-keyed verify
+    joins — all on bounded keys, no cross join anywhere.
+    """
+    t = float(threshold)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .select("id", F.struct("df", "tok").alias("k"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("k")).alias("ks"))
+        .select(
+            "id",
+            F.transform("ks", lambda k: k["tok"]).alias("tks"),
+            F.size("ks").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
+    prefixes = ordered.select(
+        "id", F.explode(F.slice("tks", 1, prefix_len)).alias("ptok")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "ptok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    left = ordered.select(F.col("id").alias("id_a"), F.col("tks").alias("tks_a"))
+    right = ordered.select(F.col("id").alias("id_b"), F.col("tks").alias("tks_b"))
+    jac = F.size(F.array_intersect("tks_a", "tks_b")) / F.size(
+        F.array_union("tks_a", "tks_b")
+    )
+    return (
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= t)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )

@@ -144,3 +144,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = banded_minhash_pairs(load(spark, sf_dir, "documents"))
     return dup_clusters(pairs)
+
+
+PREFIX_JACCARD_T = 0.9
+
+
+@register(
+    "q_jaccard_prefix_join",
+    f"""
+    WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.tk, b.tk)) * 1.0
+                 / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk)) * 1.0
+          / len(list_distinct(list_concat(a.tk, b.tk))) >= {PREFIX_JACCARD_T}
+    """,
+    doc="EXACT all-pairs token-Jaccard similarity join (threshold 0.9) "
+    "via prefix filtering: docs sort their tokens by global df (rarest "
+    "first); only pairs sharing a token inside the pruning prefix become "
+    "candidates, then exact verification runs. The oracle is the naive "
+    "O(n^2) join — the plan must return IDENTICAL pairs while generating "
+    "candidates from rare-token buckets only (pruning power asserted in "
+    "tests/test_extensions.py). The deterministic complement to banded "
+    "MinHash: no recall loss, for the thresholds where prefixes stay "
+    "selective",
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        load(spark, sf_dir, "documents"), threshold=PREFIX_JACCARD_T
+    )
