@@ -177,3 +177,49 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(
         load(spark, sf_dir, "documents"), threshold=PREFIX_JACCARD_T
     )
+
+
+FUZZY_MAX_EDITS = 2
+
+
+@register(
+    "q_fuzzy_join",
+    f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edits
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_EDITS}
+      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
+    """,
+    doc="Fuzzy entity matching: near-identical part names within brand "
+    "blocks at edit distance <= 2. Blocking bounds the self-join (the "
+    "same refuse-the-cross-join discipline as embedding dedup); the "
+    "LENGTH pre-filter runs before levenshtein so the O(len^2) DP only "
+    "evaluates survivors — |len(a)-len(b)| > k implies distance > k. "
+    "Spark and DuckDB implement the same Wagner-Fischer distance, so "
+    "values hash identically",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("blk"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_EDITS
+        )
+        .withColumn("edits", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+        .select("key_a", "key_b", "name_a", "name_b", "edits")
+    )
