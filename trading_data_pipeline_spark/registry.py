@@ -100,10 +100,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_pagerank", "q_bucketed_join", "q_lateral_topn",
     "q_rebalance_sample", "q_winsorize", "q_autocorr",
     "q_type_transitions", "q_active_users",
-    # round-5 batch 2 (the remaining four — q_sequence_pattern,
-    # q_incremental_agg, q_schema_evolution, q_topic_clusters — follow
-    # in registration order right after the window and get pinned next
-    # round, same pattern round 4 used for its batch-2)
+    # round-5 batch 2 (the remaining additions — q_sequence_pattern,
+    # q_incremental_agg, q_schema_evolution, q_topic_clusters,
+    # q_data_quality, q_wap_publish, q_pit_join, q_feature_hash,
+    # q_jaccard_prefix_join, q_fuzzy_join — follow in registration
+    # order after the window and get pinned next round, same pattern
+    # round 4 used for its batch-2)
     "q_skyline",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
     # q_dropna / q_rename / q_round / q_filter_date rotate out this
