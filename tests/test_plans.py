@@ -507,3 +507,30 @@ def test_pit_and_feature_hash_shuffle_budgets(spark, sf_dir, queries):
 def test_feature_hash_has_partial_aggregation(spark, sf_dir, queries):
     plan = formatted_plan_of(queries["q_feature_hash"].fn(spark, sf_dir))
     assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_max_drawdown_single_exchange(spark, sf_dir, queries):
+    """Equity window, peak window and the per-user aggregate all key on
+    user_id — one hash exchange carries the whole metric."""
+    plan = plan_of(queries["q_max_drawdown"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_vwap_bars_single_exchange_with_partial_agg(spark, sf_dir, queries):
+    """Bar building is one groupBy on (event_type, bar_start): partial
+    aggregation map-side, one exchange on the grouping key."""
+    df = queries["q_vwap_bars"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial" in formatted_plan_of(df).lower(), plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir, queries):
+    """The per-type median/MAD tables are group-cardinality-sized — they
+    must come back to the event stream as broadcasts, never a
+    SortMergeJoin over the fact table."""
+    plan = plan_of(queries["q_mad_outliers"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1,0 +1,90 @@
+"""Hand-built semantic tests for the trading/time-series batch
+(operators/trading_queries.py): values verified by hand, independent of
+the DuckDB oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.trading_queries import (
+    mad_outliers,
+    max_drawdown,
+    vwap_bars,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 9, minute, second)
+
+
+def test_max_drawdown_hand_built(spark):
+    # equity [10,7,12,4,6] → peak [10,10,12,12,12] → drawdown max = 8
+    rows = [
+        (i, _ts(i), 1, "trade", v, "{}")
+        for i, v in enumerate([10.0, -3.0, 5.0, -8.0, 2.0])
+    ]
+    out = max_drawdown(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.max_drawdown == 8.0
+    assert r.peak_equity == 12.0
+    assert r.n_events == 5
+
+
+def test_max_drawdown_monotone_curve_is_zero(spark):
+    rows = [(i, _ts(i), 7, "trade", 1.0, "{}") for i in range(4)]
+    r = max_drawdown(_events(spark, rows)).collect()[0]
+    assert r.max_drawdown == 0.0
+    assert r.peak_equity == 4.0
+
+
+def test_vwap_bars_hand_built(spark):
+    # one 15-min bar: prices 10@1, 20@3 → vwap (10+60)/4 = 17.5
+    rows = [
+        (0, _ts(0), 1, "trade", 10.0, '{"k": 1}'),
+        (1, _ts(5), 1, "trade", 20.0, '{"k": 3}'),
+        # second bar, and a zero-size row that must be excluded entirely
+        (2, _ts(20), 1, "trade", 30.0, '{"k": 2}'),
+        (3, _ts(21), 1, "trade", 99.0, '{"k": 0}'),
+    ]
+    out = {r.bar_start: r for r in vwap_bars(_events(spark, rows)).collect()}
+    assert len(out) == 2
+    first = out[min(out)]
+    assert (first.open, first.high, first.low, first.close) == (10.0, 20.0, 10.0, 20.0)
+    assert first.volume == 4 and first.n_trades == 2
+    assert first.vwap == 17.5
+    second = out[max(out)]
+    assert second.n_trades == 1 and second.vwap == 30.0  # size-0 row dropped
+
+
+def test_vwap_bar_boundaries_are_900s_aligned(spark):
+    rows = [(i, _ts(0, i), 1, "t", 1.0, '{"k": 1}') for i in (0, 1)]
+    bars = vwap_bars(_events(spark, rows)).collect()
+    assert all(b.bar_start % 900 == 0 for b in bars)
+
+
+def test_mad_outliers_hand_built(spark):
+    # nine values 1..9 plus a wild 100: median 5.5, MAD 2.5,
+    # threshold 4.4478*2.5 = 11.1 cents-scale → only 100 is an outlier
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    rows = [(i, _ts(i), 1, "trade", v, "{}") for i, v in enumerate(vals)]
+    r = mad_outliers(_events(spark, rows)).collect()[0]
+    assert r.n == 10
+    assert r.med_value == 5.5
+    assert r.mad_value == 2.5
+    assert r.n_outliers == 1
+
+
+def test_mad_no_outliers_on_constant_group(spark):
+    rows = [(i, _ts(i), 1, "trade", 3.0, "{}") for i in range(5)]
+    r = mad_outliers(_events(spark, rows)).collect()[0]
+    assert r.mad_value == 0.0 and r.n_outliers == 0

@@ -1,0 +1,254 @@
+"""Trading/time-series analytics (round-5 batch 3).
+
+The reference pipeline's domain is daily trading reports (SURVEY §2.c:
+OHLC aggregation over an event stream). This module adds the three
+time-series shapes a trading lake serves next, each as a pure DataFrame
+plan with a DuckDB oracle:
+
+- **max drawdown** per account: running-peak-minus-equity over the event
+  stream — the canonical risk metric. DECIMAL-exact cumulative sums make
+  the result order-free and bit-identical to the oracle; both windows and
+  the final per-user aggregate share ONE hash exchange on ``user_id``.
+- **intraday VWAP bars**: 15-minute OHLCV + volume-weighted average price
+  per event type — the report1 daily-bar pipeline generalized to
+  sub-day bars with a volume weight parsed from the JSON props column.
+  One exchange on the (type, bar) grouping key.
+- **MAD outliers**: robust per-group location/scale (median + median
+  absolute deviation) and the 3σ-equivalent outlier count — the
+  heavy-tail-safe twin of ``q_zscore_outliers``. Values are lifted to
+  exact integer cents so both engines' median interpolation lands on
+  exact binary fractions (same trick as ``q_median``'s integral input).
+
+Determinism: every sum that crosses rows is DECIMAL (order-free); every
+double expression has identical association on both engines; ratios are
+quantized floor(x*s+0.5)/s via functions.quantize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+BAR_SECONDS = 900  # 15-minute bars
+MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency factor)
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user maximum drawdown of the cumulative ``value`` curve.
+
+    Equity curve = running sum of ``value`` in (ts, event_id) order;
+    drawdown at a row = running peak − equity. All accumulation happens
+    in DECIMAL(18,2)/(38,2), so results are exact regardless of
+    intra-partition order. Scale design: both running windows and the
+    closing ``groupBy`` key the same ``user_id`` — one hash exchange
+    total (asserted in tests/test_plans.py).
+    """
+    dec = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = events.select("user_id", "ts", "event_id", dec.alias("_v")).withColumn(
+        "_equity", F.sum("_v").over(w)
+    )
+    peaked = curve.withColumn("_peak", F.max("_equity").over(w))
+    return (
+        peaked.groupBy("user_id")
+        .agg(
+            F.max(F.col("_peak") - F.col("_equity")).alias("_mdd"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_equity").cast("double").alias("peak_equity"),
+        )
+        .select(
+            "user_id",
+            F.col("_mdd").cast("double").alias("max_drawdown"),
+            "peak_equity",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_max_drawdown",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(value AS DECIMAL(18,2))) OVER w AS equity
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), p AS (
+      SELECT user_id, equity,
+             max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c
+    )
+    SELECT user_id,
+           CAST(max(peak - equity) AS DOUBLE) AS max_drawdown,
+           CAST(max(equity) AS DOUBLE)        AS peak_equity,
+           count(*)                           AS n_events
+    FROM p GROUP BY user_id
+    """,
+    doc="Per-user max drawdown of the cumulative value curve: two running "
+    "windows (equity, peak) plus the closing aggregate all keyed on "
+    "user_id — ONE exchange; DECIMAL-exact sums so the metric is "
+    "bit-identical to the oracle",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return max_drawdown(load(spark, sf_dir, "events"))
+
+
+def vwap_bars(events: DataFrame, bar_seconds: int = BAR_SECONDS) -> DataFrame:
+    """15-minute OHLCV + VWAP bars per event type.
+
+    ``props.$.k`` (JSON) supplies the trade size; notional accumulates as
+    DECIMAL(18,2)×qty (exact), and the single closing double division is
+    quantized. Open/close are ``min_by``/``max_by`` on the (ts, event_id)
+    struct — deterministic because event_id is unique. One exchange on
+    the (event_type, bar_start) grouping key; the bar id is epoch-bucket
+    integer arithmetic, identical on both engines.
+    """
+    qty = F.get_json_object("props", "$.k").cast("long")
+    bar = (F.floor(F.unix_timestamp("ts") / bar_seconds) * bar_seconds).cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    tie = F.struct("ts", "event_id")
+    events = events.filter(qty > 0)  # only rows carrying a trade size are trades
+    return (
+        events.select(
+            "event_type",
+            bar.alias("bar_start"),
+            "ts",
+            "event_id",
+            "value",
+            qty.alias("_qty"),
+            (dec * qty).alias("_notional"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.sum("_qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+            _q(
+                F.sum("_notional").cast("double") / F.sum("_qty"),
+                10000,
+            ).alias("vwap"),
+        )
+    )
+
+
+@register(
+    "q_vwap_bars",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {BAR_SECONDS}) * {BAR_SECONDS} AS BIGINT)
+               AS bar_start,
+             ts, event_id, value,
+             json_extract_string(props, '$.k')::BIGINT AS qty
+      FROM events
+      WHERE json_extract_string(props, '$.k')::BIGINT > 0
+    ), w AS (
+      SELECT *,
+             first_value(value) OVER
+               (PARTITION BY event_type, bar_start ORDER BY ts, event_id) AS o,
+             last_value(value) OVER
+               (PARTITION BY event_type, bar_start ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      FROM e
+    )
+    SELECT event_type, bar_start,
+           min(o)     AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(c)     AS close,
+           sum(qty)   AS volume,
+           count(*)   AS n_trades,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2)) * qty) AS DOUBLE)
+                 / sum(qty) * 10000 + 0.5) / 10000 AS vwap
+    FROM w GROUP BY event_type, bar_start
+    """,
+    doc="Intraday 15-min OHLCV+VWAP bars per event type: report1's daily "
+    "bars generalized to sub-day buckets with a JSON-parsed volume "
+    "weight. DECIMAL-exact notional, one exchange on the grouping key",
+)
+def q_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vwap_bars(load(spark, sf_dir, "events"))
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Per-event-type robust stats: median, MAD, and the count of rows
+    beyond ``MAD_K × MAD`` (≈3σ for normal data).
+
+    ``value`` is lifted to exact integer cents (floor(v*100+0.5)) so the
+    two median interpolations land on exact binary fractions (.0/.5 and
+    .0/.25/.5/.75 of a cent) — the same integral-input trick q_median
+    uses, making both engines bit-identical. Two aggregate passes over
+    the same grouping key plus one broadcast-sized join back.
+    """
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = events.select("event_type", cents.alias("_c"))
+    med = base.groupBy("event_type").agg(
+        F.expr("median(_c)").alias("_med_c"), F.count(F.lit(1)).alias("n")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "_med_c",
+        F.abs(F.col("_c") - F.col("_med_c")).alias("_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("median(_dev)").alias("_mad_c"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min(F.col("_med_c") / 100.0).alias("med_value"),
+            F.min(F.col("_mad_c") / 100.0).alias("mad_value"),
+            F.sum(
+                F.when(F.col("_dev") > MAD_K * F.col("_mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_mad_outliers",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT event_type, median(cents) AS med_c, count(*) AS n
+      FROM c GROUP BY event_type
+    ), d AS (
+      SELECT c.event_type, m.n, m.med_c,
+             abs(c.cents - m.med_c) AS dev
+      FROM c JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type, median(dev) AS mad_c
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           min(d.n)                AS n,
+           min(d.med_c / 100.0)    AS med_value,
+           min(s.mad_c / 100.0)    AS mad_value,
+           sum(CASE WHEN d.dev > {MAD_K} * s.mad_c THEN 1 ELSE 0 END)
+                                   AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-type outlier stats: median + MAD on exact integer "
+    "cents (both engines' interpolation is exact on integral input), "
+    "outliers = |dev| > 3*1.4826*MAD. The heavy-tail-safe twin of "
+    "q_zscore_outliers",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(load(spark, sf_dir, "events"))

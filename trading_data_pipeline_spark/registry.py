@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         similarity_queries,
         text_queries,
+        trading_queries,
         window_queries,
     )
 
