@@ -1,0 +1,115 @@
+"""Hand-built semantic tests for the BI batch (operators/bi_queries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from trading_data_pipeline_spark.operators.bi_queries import (
+    ab_test,
+    basket_pairs,
+    rfm_segments,
+)
+
+
+def test_rfm_scores_follow_metric_order(spark):
+    # five customers, strictly increasing frequency/monetary and strictly
+    # decreasing recency → with 5 buckets each score equals the rank
+    rows = []
+    okey = 0
+    for cust in range(1, 6):
+        for k in range(cust):  # cust orders → frequency = cust
+            okey += 1
+            rows.append(
+                (okey, cust, "O", 100.0 * cust,
+                 dt.datetime(2024, 1, cust, 12, 0, 0), "1-URGENT")
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.o_custkey: r for r in rfm_segments(orders).collect()}
+    assert len(out) == 5
+    # customer 5: most recent (recency 0 → r_score 1), most frequent and
+    # highest spend (f_score = m_score = 5)
+    assert out[5].recency_days == 0 and out[5].r_score == 1
+    assert out[5].f_score == 5 and out[5].m_score == 5
+    assert out[5].segment == "1-5-5"
+    # customer 1: oldest, least frequent, least spend
+    assert out[1].r_score == 5 and out[1].f_score == 1 and out[1].m_score == 1
+    assert out[1].frequency == 1 and out[1].monetary == 100.0
+
+
+def test_ab_test_hand_built(spark):
+    # arm 0 = even user ids (2 converts, 4 doesn't), arm 1 = odd (both convert)
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 2, "purchase", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1), 4, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1), 3, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    r = ab_test(events).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (2, 1, 2, 2)
+    assert (r.rate_a, r.rate_b) == (0.5, 1.0)
+    assert r.lift == 1.0
+    assert r.z_stat == 1.154701  # 0.5 / sqrt(0.75*0.25*(0.5+0.5)), quantized
+
+
+def test_ab_test_degenerate_rates_are_null(spark):
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1), 2, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    r = ab_test(events).collect()[0]
+    assert r.rate_a == 1.0 and r.rate_b == 1.0
+    assert r.z_stat is None  # pooled conversion = 1 → zero variance
+
+
+def test_basket_pairs_hand_built(spark):
+    # baskets {1,2,3}, {1,2}, {2,3} → (1,2)x2, (2,3)x2 survive min_count=2
+    rows = []
+    for okey, parts in [(1, [1, 2, 3]), (2, [1, 2]), (3, [2, 3])]:
+        for i, p in enumerate(parts):
+            rows.append((okey, p, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = {(r.pa, r.pb): r for r in basket_pairs(li, min_count=2).collect()}
+    assert set(out) == {(1, 2), (2, 3)}
+    r12 = out[(1, 2)]
+    assert r12.c_ab == 2 and r12.c_a == 2 and r12.c_b == 3
+    assert r12.lift == 1.0  # 2*3 / (2*3)
+    assert r12.support == 0.6667
+
+
+def test_basket_pairs_duplicate_lines_count_once(spark):
+    # the same part twice in one order is one basket membership
+    rows = [
+        (1, 7, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (1, 7, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (1, 8, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (2, 7, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+        (2, 8, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = basket_pairs(li, min_count=2).collect()
+    assert len(out) == 1 and out[0].c_ab == 2

@@ -534,3 +534,20 @@ def test_mad_outliers_broadcasts_group_stats(spark, sf_dir, queries):
     plan = plan_of(queries["q_mad_outliers"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rfm_has_no_global_window_funnel(spark, sf_dir, queries):
+    """All three quintile scores come from the two-pass bucketed global
+    rank — a SinglePartition window over all customers must never
+    appear."""
+    plan = plan_of(queries["q_rfm"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_basket_pairs_never_self_joins_the_fact(spark, sf_dir, queries):
+    """Pair generation is per-basket array arithmetic: the plan must not
+    contain a cartesian product, and the only joins are against the
+    part-frequency aggregate."""
+    plan = plan_of(queries["q_basket_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "collect_set" in plan, plan

@@ -1,0 +1,296 @@
+"""Business-intelligence shapes (round-5 batch 3): RFM segmentation,
+A/B-test lift, market-basket affinity.
+
+Classic warehouse workloads a user of the reference pipeline would run
+next to it, each as a declarative plan with a DuckDB oracle:
+
+- **RFM segmentation**: per-customer recency/frequency/monetary metrics
+  and quintile scores. The quintiles come from the two-pass
+  ``plans.global_rank.global_row_number`` — exact global ranks without a
+  SinglePartition window, so the scoring pass stays partition-parallel
+  at any customer count.
+- **A/B test**: deterministic 50/50 assignment on ``user_id % 2``,
+  user-level conversion (any ``purchase`` event), per-arm rates, lift and
+  the pooled two-proportion z statistic. Two aggregates (user → arm) and
+  a one-row conditional-agg finish — exact integers feed every double,
+  each expression written with identical association on both engines.
+- **Market basket**: co-purchased part pairs per order with support and
+  lift. Pair generation is per-basket JVM array arithmetic (collect_set
+  → sorted pairs) — Σ|basket|² work bounded by basket size, NOT a fact
+  self-join; the only wide shuffles carry (order → basket) and the pair
+  aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..plans.global_rank import global_row_number
+from ..registry import load, register
+
+N_SCORE_BUCKETS = 5
+MIN_PAIR_COUNT = 2  # keep pairs co-purchased in >= 2 orders
+CONVERSION_EVENT = "purchase"
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Per-customer RFM metrics + quintile scores (1-5).
+
+    Scores are quantiles of the customers themselves (rank-based, exact):
+    ``score = (rank-1)*5 // n + 1`` over ascending metric order with the
+    customer key as tiebreak. r_score 1 = most recent purchaser,
+    f_score/m_score 5 = most frequent / highest spend. Each rank pass is
+    the two-pass bucketed global row_number — no SinglePartition stage.
+    """
+    ref = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max(F.to_date("o_orderdate"))).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = cust
+    for metric, score in (
+        ("recency_days", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scored, n = global_row_number(scored, [metric, "o_custkey"])
+        scored = scored.withColumn(
+            score,
+            F.expr(f"CAST((_grn - 1) * {N_SCORE_BUCKETS} DIV {n} AS INT) + 1"),
+        ).drop("_grn")
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+@register(
+    "q_rfm",
+    f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders),
+    c AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT d FROM ref))                         AS recency_days,
+             count(*)                                               AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), n AS (SELECT count(*) AS n FROM c),
+    r AS (
+      SELECT *,
+        CAST((row_number() OVER (ORDER BY recency_days, o_custkey) - 1)
+             * {N_SCORE_BUCKETS} // (SELECT n FROM n) AS INT) + 1 AS r_score,
+        CAST((row_number() OVER (ORDER BY frequency, o_custkey) - 1)
+             * {N_SCORE_BUCKETS} // (SELECT n FROM n) AS INT) + 1 AS f_score,
+        CAST((row_number() OVER (ORDER BY monetary, o_custkey) - 1)
+             * {N_SCORE_BUCKETS} // (SELECT n FROM n) AS INT) + 1 AS m_score
+      FROM c
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           concat_ws('-', r_score, f_score, m_score) AS segment
+    FROM r
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary metrics "
+    "with exact rank-based quintile scores via the two-pass global "
+    "row_number (no SinglePartition window at any customer count)",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load(spark, sf_dir, "orders"))
+
+
+def ab_test(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B readout: arm = ``user_id % 2`` (deterministic,
+    reproducible assignment — the hash-bucket split q_dataset_split uses,
+    reduced to two arms), conversion = any ``purchase`` event.
+
+    One exchange on ``user_id`` for the user rollup; everything after is
+    aggregate-of-aggregate on a two-row stream. z is the pooled
+    two-proportion statistic; all doubles derive from exact integers with
+    oracle-identical association.
+    """
+    user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == CONVERSION_EVENT, 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "conv")
+    )
+    arms = user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    one = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_b - rate_a) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # degenerate readouts (0% or 100% pooled conversion → zero variance;
+    # 0% control rate → undefined lift) yield NULL, not a division error
+    return one.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        _q(rate_a, 1000000).alias("rate_a"),
+        _q(rate_b, 1000000).alias("rate_b"),
+        F.when(rate_a > 0, _q((rate_b - rate_a) / rate_a, 1000000)).alias("lift"),
+        F.when((pooled > 0) & (pooled < 1), _q(z, 1000000)).alias("z_stat"),
+    )
+
+
+@register(
+    "q_ab_test",
+    f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             max(CASE WHEN event_type = '{CONVERSION_EVENT}' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY arm
+    ), one AS (
+      SELECT sum(CASE WHEN arm = 0 THEN n END) AS n_a,
+             sum(CASE WHEN arm = 0 THEN c END) AS conv_a,
+             sum(CASE WHEN arm = 1 THEN n END) AS n_b,
+             sum(CASE WHEN arm = 1 THEN c END) AS conv_b
+      FROM a
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           floor(CAST(conv_a AS DOUBLE) / n_a * 1000000 + 0.5) / 1000000 AS rate_a,
+           floor(CAST(conv_b AS DOUBLE) / n_b * 1000000 + 0.5) / 1000000 AS rate_b,
+           CASE WHEN CAST(conv_a AS DOUBLE) / n_a > 0 THEN
+             floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                   / (CAST(conv_a AS DOUBLE) / n_a) * 1000000 + 0.5) / 1000000
+           END AS lift,
+           CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0
+                 AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1 THEN
+             floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                   * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM one
+    """,
+    doc="A/B test readout: deterministic user_id%2 arms, user-level "
+    "purchase conversion, per-arm rates + lift + pooled two-proportion "
+    "z — one user_id exchange, then tiny aggregate-of-aggregate",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_test(load(spark, sf_dir, "events"))
+
+
+def basket_pairs(lineitem: DataFrame, min_count: int = MIN_PAIR_COUNT) -> DataFrame:
+    """Co-purchase affinity: part pairs appearing together in ≥
+    ``min_count`` orders, with support (share of orders) and lift
+    (observed/independent co-rate).
+
+    Scale design: pairs are generated per basket with JVM array
+    arithmetic (collect_set → sorted array → a<b pairs) — Σ|basket|²
+    bounded by basket size, never a lineitem self-join; the pair
+    aggregate shrinks to ``min_count``-filtered survivors before the
+    part-frequency joins (part-count side is a per-key aggregate, AQE
+    broadcasts it while it fits).
+    """
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
+    )
+    n_orders = baskets.count()
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "pk",
+                            lambda x: F.transform(
+                                "pk",
+                                lambda y: F.struct(
+                                    x.alias("pa"), y.alias("pb")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p.pa < p.pb,
+                )
+            ).alias("pr")
+        )
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    pc = baskets.select(F.explode("pk").alias("pk_")).groupBy("pk_").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    joined = (
+        pairs.join(pc.select(F.col("pk_").alias("pa"), F.col("c").alias("c_a")), "pa")
+        .join(pc.select(F.col("pk_").alias("pb"), F.col("c").alias("c_b")), "pb")
+    )
+    return joined.select(
+        "pa",
+        "pb",
+        "c_ab",
+        "c_a",
+        "c_b",
+        _q(F.col("c_ab").cast("double") / n_orders, 10000).alias("support"),
+        _q(
+            (F.col("c_ab").cast("double") * n_orders)
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+            10000,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "q_basket_pairs",
+    f"""
+    WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS c FROM dp GROUP BY l_partkey),
+    pr AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_ab
+      FROM dp a JOIN dp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_PAIR_COUNT}
+    )
+    SELECT pa, pb, c_ab, ca.c AS c_a, cb.c AS c_b,
+           floor(CAST(c_ab AS DOUBLE) / (SELECT n FROM n) * 10000 + 0.5)
+             / 10000 AS support,
+           floor((CAST(c_ab AS DOUBLE) * (SELECT n FROM n))
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS lift
+    FROM pr
+    JOIN pc ca ON pr.pa = ca.l_partkey
+    JOIN pc cb ON pr.pb = cb.l_partkey
+    """,
+    doc="Market-basket part affinity (support + lift): per-basket JVM "
+    "pair generation bounded by basket size — the oracle's O(n²) "
+    "self-join is exactly the shape the Spark plan refuses",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_pairs(load(spark, sf_dir, "lineitem"))

@@ -129,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         analytics_queries,
         asof_queries,
+        bi_queries,
         corpus_queries,
         dedup_queries,
         graph_queries,
