@@ -277,3 +277,27 @@ def test_wap_publish_replaces_previous_version(spark, sf_dir, tmp_path):
     out = write_audit_publish(ev.limit(25), final, lambda s: True)
     assert out.count() == 25
     assert spark.read.parquet(final).count() == 25
+
+
+def test_file_stats_multi_file_layout(spark, sf_dir, tmp_path):
+    """Zone-map stats over a multi-file table: per-file rows sum to the
+    table count, the global min/max equal the fold of per-file bounds,
+    and every data file gets a stats row."""
+    import os
+
+    from trading_data_pipeline_spark.operators.lake_queries import file_stats
+    from trading_data_pipeline_spark.registry import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    out = os.path.join(str(tmp_path), "li4")
+    li.repartition(4).write.parquet(out)
+    stats = file_stats(
+        spark.read.parquet(out), ["l_orderkey", "l_extendedprice"]
+    ).collect()
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert len(stats) == n_files
+    assert sum(r.n_rows for r in stats) == li.count()
+    lo = min(r.min_l_orderkey for r in stats)
+    hi = max(r.max_l_orderkey for r in stats)
+    row = li.selectExpr("min(l_orderkey) lo", "max(l_orderkey) hi").collect()[0]
+    assert (lo, hi) == (row.lo, row.hi)

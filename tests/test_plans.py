@@ -551,3 +551,25 @@ def test_basket_pairs_never_self_joins_the_fact(spark, sf_dir, queries):
     plan = plan_of(queries["q_basket_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "collect_set" in plan, plan
+
+
+def test_cooccurrence_vocab_joins_are_broadcast(spark, sf_dir, queries):
+    """The vocabulary is K rows: it must fold back as broadcasts, and
+    pair generation must stay array-side (no token-stream self-join)."""
+    plan = plan_of(queries["q_cooccurrence"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangle_count_stays_edge_sized(spark, sf_dir, queries):
+    plan = plan_of(queries["q_triangle_count"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_file_stats_single_partial_agg_exchange(spark, sf_dir, queries):
+    df = queries["q_file_stats"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial" in formatted_plan_of(df).lower(), plan

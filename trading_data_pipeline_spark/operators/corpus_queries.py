@@ -336,3 +336,129 @@ def q_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "source")
     )
+
+
+# ------------------------------------------------------- token co-occurrence
+
+COOC_VOCAB_K = 50  # PMI over the top-K document-frequency tokens
+COOC_MIN_DOCS = 5  # pairs co-occurring in >= this many docs
+
+
+def cooccurrence_pairs(
+    docs: DataFrame, vocab_k: int = COOC_VOCAB_K, min_docs: int = COOC_MIN_DOCS
+) -> DataFrame:
+    """Vocabulary-bounded token co-occurrence with a PMI-style lift.
+
+    ``pmi_ratio = P(a,b) / (P(a)·P(b))`` (= exp(PMI)) over the top-K
+    document-frequency tokens — kept as the rational ratio rather than
+    its log so both engines compute it from exact integers with one
+    double division (no libm).
+
+    Scale design: the vocabulary is K rows collected once and folded
+    back in as a broadcast; per-document pair generation is JVM array
+    arithmetic over the ≤K vocab tokens present (≤K² per doc, bounded by
+    the vocabulary — never a token-stream self-join). The wide shuffles
+    carry only the doc-frequency aggregate and the (ta, tb) pair counts.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    )
+    dfc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dfc.orderBy(F.col("c").desc(), "t").limit(vocab_k).collect()
+    n_docs = docs.count()
+    vocab_arr = F.array(*[F.lit(r["t"]) for r in vocab])
+    spark = docs.sparkSession
+    vocab_counts = spark.createDataFrame(
+        [(r["t"], r["c"]) for r in vocab], "t string, c long"
+    )
+    pairs = (
+        docs.select(
+            F.array_sort(
+                F.array_intersect(
+                    F.array_distinct(F.split("text", " ")), vocab_arr
+                )
+            ).alias("vt")
+        )
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "vt",
+                            lambda x: F.transform(
+                                "vt",
+                                lambda y: F.struct(
+                                    x.alias("ta"), y.alias("tb")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p.ta < p.tb,
+                )
+            ).alias("pr")
+        )
+        .select("pr.ta", "pr.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_docs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                vocab_counts.select(F.col("t").alias("ta"), F.col("c").alias("c_a"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                vocab_counts.select(F.col("t").alias("tb"), F.col("c").alias("c_b"))
+            ),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            _q(
+                (F.col("c_ab").cast("double") * n_docs)
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                10000,
+            ).alias("pmi_ratio"),
+        )
+    )
+
+
+@register(
+    "q_cooccurrence",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    dfc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    vocab AS (SELECT t, c FROM dfc ORDER BY c DESC, t LIMIT {COOC_VOCAB_K}),
+    n AS (SELECT count(*) AS n FROM documents),
+    vt AS (SELECT tok.doc_id, tok.t FROM tok JOIN vocab ON tok.t = vocab.t),
+    pr AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS c_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_DOCS}
+    )
+    SELECT ta, tb, c_ab, va.c AS c_a, vb.c AS c_b,
+           floor((CAST(c_ab AS DOUBLE) * (SELECT n FROM n))
+                 / (CAST(va.c AS DOUBLE) * CAST(vb.c AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS pmi_ratio
+    FROM pr
+    JOIN vocab va ON pr.ta = va.t
+    JOIN vocab vb ON pr.tb = vb.t
+    """,
+    doc="Token co-occurrence PMI over the top-50-DF vocabulary: "
+    "per-doc pair generation is vocab-bounded JVM array arithmetic, "
+    "the vocabulary folds back as a 50-row broadcast; the ratio form "
+    "of PMI keeps the oracle libm-free",
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cooccurrence_pairs(load(spark, sf_dir, "documents"))

@@ -147,3 +147,67 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------------------------ triangle count
+
+TRIANGLE_COS = 0.2  # similarity-edge threshold for the triangle graph
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an (id_a < id_b) edge list.
+
+    The a<b<c orientation enumerates each triangle exactly once: wedge
+    (a,b)-(b,c) joined on the middle node, closed by an (a,c) edge
+    lookup. Both joins are edge-list-sized hash joins — work is
+    Σ deg(v)² for the wedge step (the standard distributed bound), never
+    node-count-quadratic. Per-node counts come from exploding each
+    triangle's three corners.
+    """
+    e = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    wedges = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "q_triangle_count",
+    f"""
+    WITH e AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {TRIANGLE_COS}
+    ), t AS (
+      SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+      FROM e e1
+      JOIN e e2 ON e1.eb = e2.ea
+      JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM t)
+    GROUP BY node
+    """,
+    doc="Per-node triangle counts in the cosine>=0.2 similarity graph "
+    "(label-blocked edges, the q_dedup_embed derivation): a<b<c wedge "
+    "join closed by an edge lookup — edge-list-sized joins only, each "
+    "triangle counted once; clustering-coefficient numerator for "
+    "community detection over near-dup graphs",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    edges = embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=TRIANGLE_COS
+    )
+    return triangle_counts(edges)

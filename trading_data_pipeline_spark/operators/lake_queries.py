@@ -459,3 +459,51 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_value"),
     )
+
+
+# ------------------------------------------------------- file-level zone map
+
+def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file zone-map statistics (row count + min/max per column) via
+    the ``_metadata`` hidden column — the stats a table format (Delta/
+    Iceberg) keeps per data file to skip non-matching files at planning
+    time.
+
+    One partial-aggregated groupBy on the file name: each task folds its
+    own file's rows map-side, so the exchange carries one row per
+    (file, task). Output columns are ``min_<col>``/``max_<col>``.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(
+        F.col("_metadata.file_name").alias("file_name")
+    ).agg(*aggs)
+
+
+@register(
+    "q_file_stats",
+    """
+    SELECT 'lineitem.parquet'     AS file_name,
+           count(*)               AS n_rows,
+           min(l_orderkey)        AS min_l_orderkey,
+           max(l_orderkey)        AS max_l_orderkey,
+           min(l_extendedprice)   AS min_l_extendedprice,
+           max(l_extendedprice)   AS max_l_extendedprice
+    FROM lineitem
+    """,
+    doc="Zone-map stats collection (the OPTIMIZE-time companion to "
+    "q_compaction): per-file row count + column min/max from the "
+    "_metadata hidden column, one partial-aggregated exchange. The "
+    "source table is a single file, so the oracle is the table-level "
+    "aggregate under that file's name; the multi-file layout is "
+    "covered by tests/test_lake_ops.py",
+)
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw read (not registry.load): _metadata must bind to the scan, and
+    # the projected columns carry no nano timestamps — but the footer
+    # schema does, so set the legacy conf the same way load() does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return file_stats(df, ["l_orderkey", "l_extendedprice"])
