@@ -145,3 +145,32 @@ def test_compact_partitions_reduces_files_and_preserves_data(spark, tmp_path):
     assert sorted(glob.glob(f"{cold_dir}/part-*")) == cold_files  # untouched
     after = spark.read.parquet(path)
     assert after.count() == n_rows
+
+
+def test_vacuum_orphans_removes_only_debris(spark, tmp_path):
+    """vacuum_orphans deletes ._staging/._spark_tmp/_temporary leftovers
+    and nothing else; a fresh TTL protects a live job's staging dir."""
+    import os
+
+    from trading_data_pipeline_spark.sources.connector import (
+        FileSystemConnector,
+    )
+
+    root = str(tmp_path)
+    live = os.path.join(root, "events")
+    os.makedirs(os.path.join(live, "date=2024-01-01"))
+    orphan1 = os.path.join(root, "events._staging")
+    orphan2 = os.path.join(live, "_temporary")
+    os.makedirs(orphan1)
+    os.makedirs(orphan2)
+    conn = FileSystemConnector(spark, root)
+
+    # a huge TTL treats everything as too fresh to touch
+    assert conn.vacuum_orphans(ttl_seconds=3600) == []
+    assert os.path.exists(orphan1) and os.path.exists(orphan2)
+
+    deleted = conn.vacuum_orphans()
+    assert len(deleted) == 2
+    assert not os.path.exists(orphan1)
+    assert not os.path.exists(orphan2)
+    assert os.path.exists(os.path.join(live, "date=2024-01-01"))

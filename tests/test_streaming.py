@@ -549,3 +549,88 @@ def test_stream_stream_left_outer_interval_join(spark, staged_events):
     assert want_nulls <= got_nulls, want_nulls - got_nulls
     # and no null row contradicts a matched pair
     assert not (got_nulls & matched_left)
+
+
+def test_streaming_cdc_snapshot_equals_batch(spark, sf_dir, tmp_path):
+    """The CDC upsert sink, fed the changelog in 4 micro-batches, must
+    land on exactly the snapshot batch apply_changelog computes over the
+    full log — including keys whose terminal change is a delete."""
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        apply_changelog,
+    )
+    from trading_data_pipeline_spark.streaming.sinks import (
+        read_cdc_table,
+        write_stream_cdc,
+    )
+
+    changelog = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    src = str(tmp_path / "cdc_src")
+    changelog.repartition(4).write.parquet(src)
+    path = str(tmp_path / "cdc_snapshot")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    q = write_stream_cdc(
+        stream, path, str(tmp_path / "cdc_ckpt"), "user_id",
+        ["ts", "event_id"], trigger_available_now=True,
+    )
+    assert q.awaitTermination(180), "cdc stream did not finish"
+
+    got = read_cdc_table(spark, path)
+    want = apply_changelog(
+        spark.read.parquet(src), "user_id", ["ts", "event_id"]
+    ).drop("op")
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_cdc_sink_tombstone_blocks_late_update(spark, tmp_path):
+    """An out-of-order micro-batch carrying an update OLDER than a key's
+    delete must not resurrect the key — the stored tombstone outranks it."""
+    from trading_data_pipeline_spark.streaming.sinks import (
+        make_cdc_sink,
+        read_cdc_table,
+    )
+
+    path = str(tmp_path / "snap")
+    sink = make_cdc_sink(path, "k", ["v"])
+    schema = "k long, op string, v long"
+    # batch 0: delete at version 5
+    sink(spark.createDataFrame([(1, "D", 5)], schema), 0)
+    # batch 1 (late): update at version 3 — must stay dead
+    sink(spark.createDataFrame([(1, "U", 3)], schema), 1)
+    assert read_cdc_table(spark, path).count() == 0
+    # batch 2: newer update at version 7 — key comes back
+    sink(spark.createDataFrame([(1, "U", 7)], schema), 2)
+    rows = read_cdc_table(spark, path).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 7)]
+
+
+def test_cdc_sink_replay_is_idempotent(spark, tmp_path):
+    from trading_data_pipeline_spark.streaming.sinks import (
+        make_cdc_sink,
+        read_cdc_table,
+    )
+
+    path = str(tmp_path / "snap2")
+    sink = make_cdc_sink(path, "k", ["v"])
+    schema = "k long, op string, v long"
+    batch = spark.createDataFrame([(1, "U", 1), (2, "U", 1)], schema)
+    sink(batch, 0)
+    before = sorted(map(tuple, read_cdc_table(spark, path).collect()))
+    sink(batch, 0)  # crash-replay of the same batch
+    after = sorted(map(tuple, read_cdc_table(spark, path).collect()))
+    assert before == after

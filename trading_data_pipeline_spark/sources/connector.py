@@ -243,3 +243,50 @@ class FileSystemConnector:
             raise IOError(f"single-object write left no file at {dest}")
         fs.delete(tmp_path, True)
         return True
+
+    # -- maintenance ---------------------------------------------------------
+    ORPHAN_SUFFIXES = ("._staging", "._spark_tmp")
+    ORPHAN_NAMES = ("_temporary",)
+
+    def vacuum_orphans(
+        self, prefix: str = "", ttl_seconds: float = 0.0
+    ) -> list[str]:
+        """Delete leftover intermediate directories under ``root/prefix``:
+        WAP/CDC ``._staging`` prefixes, single-object ``._spark_tmp``
+        dirs, and committer ``_temporary`` dirs — the debris a crashed
+        job leaves behind (every writer in this repo either renames these
+        away on success or overwrites them on the next run, so anything
+        still present is dead weight readers must never see).
+
+        ``ttl_seconds`` guards against racing a LIVE job: only
+        directories whose modification time is older than the TTL are
+        removed (Delta VACUUM's retention-window rule). Returns the
+        deleted paths. Driver-side recursive listing — run it per table
+        prefix, the way VACUUM takes a table, not over a whole lake.
+        """
+        import time
+
+        base = f"{self.root}/{prefix.lstrip('/')}" if prefix else self.root
+        fs, base_path, _ = self._fs(base)
+        if not fs.exists(base_path):
+            return []
+        cutoff_ms = (time.time() - ttl_seconds) * 1000.0
+        deleted: list[str] = []
+
+        def walk(dir_path) -> None:
+            for st in fs.listStatus(dir_path):
+                if not st.isDirectory():
+                    continue
+                p = st.getPath()
+                name = p.getName()
+                is_orphan = name in self.ORPHAN_NAMES or any(
+                    name.endswith(s) for s in self.ORPHAN_SUFFIXES
+                )
+                if is_orphan and st.getModificationTime() <= cutoff_ms:
+                    fs.delete(p, True)
+                    deleted.append(p.toString())
+                elif not is_orphan:
+                    walk(p)
+
+        walk(base_path)
+        return sorted(deleted)

@@ -140,3 +140,108 @@ def _meta_dates(connector: FileSystemConnector, meta_key: str) -> set[str]:
     if meta is None:
         return set()
     return {r[0] for r in meta.select("source_date").collect()}
+
+
+# --------------------------------------------------------- CDC upsert sink
+
+def _swap_dir(spark, staging: str, final: str) -> None:
+    """Replace ``final`` with ``staging`` (delete + rename) via the JVM
+    FileSystem — same publish step as lake_queries.write_audit_publish."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    s_path = jvm.org.apache.hadoop.fs.Path(staging)
+    f_path = jvm.org.apache.hadoop.fs.Path(final)
+    fs = s_path.getFileSystem(hconf)
+    if fs.exists(f_path):
+        fs.delete(f_path, True)
+    if not fs.rename(s_path, f_path):
+        raise IOError(f"publish rename {staging} -> {final} failed")
+
+
+def make_cdc_sink(path: str, key: str, order_cols: list[str], op_col: str = "op"):
+    """foreachBatch sink maintaining a CURRENT-SNAPSHOT table at ``path``
+    from a CDC changelog stream (the streaming twin of
+    operators.lake_queries.apply_changelog).
+
+    Each micro-batch unions the existing snapshot with the batch's
+    changes and re-runs last-writer-wins per key. The stored snapshot
+    KEEPS the winning row even when it is a delete — a 'D' tombstone must
+    outrank any older update that arrives in a later (out-of-order or
+    replayed) micro-batch, or the deleted key would resurrect; readers
+    go through :func:`read_cdc_table`, which hides tombstones. (At 100 TB
+    tombstones compact away after a retention window, the same rule Kafka
+    compaction and Delta DELETE follow.) Properties under foreachBatch's
+    at-least-once contract:
+
+    - REPLAY-IDEMPOTENT: re-applying a batch re-unions rows the snapshot
+      already reflects — the same winners win again.
+    - OUT-OF-ORDER-SAFE: a late batch whose rows are older than the
+      snapshot's (by ``order_cols``) changes nothing, because the
+      snapshot row outranks it in the same window.
+    - READ-THEN-REPLACE is staged: the new snapshot writes to a
+      ``._staging`` prefix while the old one is still readable, then one
+      directory rename publishes it.
+
+    Scale: state is the snapshot itself (one row per key), stored as a
+    table — not executor memory; per batch the work is one
+    rank-limit-pushed window over snapshot+delta keyed on ``key``. For a
+    partitioned 100 TB snapshot the same sink narrows to the touched
+    partitions via dynamic partition overwrite (the make_meta_sink
+    pattern); the full-rewrite form here is the simplest correct core.
+    """
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            current = spark.read.parquet(path)
+            combined = current.unionByName(batch_df.select(*current.columns))
+        else:
+            combined = batch_df
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        snapshot = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = path + "._staging"
+        snapshot.write.mode("overwrite").parquet(staging)
+        _swap_dir(spark, staging, path)
+
+    return sink
+
+
+def read_cdc_table(spark, path: str, op_col: str = "op") -> DataFrame:
+    """Live-row view over a make_cdc_sink snapshot (tombstones hidden)."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col(op_col) != "D").drop(op_col)
+
+
+def write_stream_cdc(
+    changes: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    order_cols: list[str],
+    op_col: str = "op",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Run a CDC changelog stream into a current-snapshot table."""
+    writer = (
+        changes.writeStream.foreachBatch(
+            make_cdc_sink(path, key, order_cols, op_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
