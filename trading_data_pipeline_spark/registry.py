@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         report1_queries,
         scale_ops,
         similarity_queries,
+        sketch_queries,
         text_queries,
         trading_queries,
         window_queries,
