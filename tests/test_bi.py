@@ -113,3 +113,34 @@ def test_basket_pairs_duplicate_lines_count_once(spark):
     )
     out = basket_pairs(li, min_count=2).collect()
     assert len(out) == 1 and out[0].c_ab == 2
+
+
+def test_attribution_hand_built(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        last_touch_attribution,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    rows = [
+        # user 1: view -> click -> purchase(10)  => click credited
+        (0, t(0), 1, "view", 0.0, "{}"),
+        (1, t(1), 1, "click", 0.0, "{}"),
+        (2, t(2), 1, "purchase", 10.0, "{}"),
+        # user 1 again: purchase(5) right after => still click (last non-purchase)
+        (3, t(3), 1, "purchase", 5.0, "{}"),
+        # user 2: purchase with no preceding touch => (none)
+        (4, t(0), 2, "purchase", 7.0, "{}"),
+        # user 3: view -> purchase(1) => view credited
+        (5, t(0), 3, "view", 0.0, "{}"),
+        (6, t(1), 3, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {r.last_touch: r for r in last_touch_attribution(events).collect()}
+    assert out["click"].n_purchases == 2 and out["click"].attributed_value == 15.0
+    assert out["view"].n_purchases == 1 and out["view"].attributed_value == 1.0
+    assert out["(none)"].n_purchases == 1 and out["(none)"].attributed_value == 7.0

@@ -301,3 +301,45 @@ def test_file_stats_multi_file_layout(spark, sf_dir, tmp_path):
     hi = max(r.max_l_orderkey for r in stats)
     row = li.selectExpr("min(l_orderkey) lo", "max(l_orderkey) hi").collect()[0]
     assert (lo, hi) == (row.lo, row.hi)
+
+
+def test_pruned_scan_actually_skips_files(spark, sf_dir, tmp_path):
+    """Zone-map pruning must read a strict subset of the data files while
+    returning exactly the rows a full scan + filter returns."""
+    import os
+
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        file_stats,
+        prune_files_by_stats,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    out = os.path.join(str(tmp_path), "li_range")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li.repartitionByRange(8, "l_orderkey").write.parquet(out)
+    stats = file_stats(spark.read.parquet(out), ["l_orderkey"]).collect()
+    pruned = prune_files_by_stats(spark, out, stats, "l_orderkey", 100, 900)
+    n_all = len(spark.read.parquet(out).inputFiles())
+    assert len(pruned.inputFiles()) < n_all
+    got = pruned.filter("l_orderkey BETWEEN 100 AND 900")
+    want = spark.read.parquet(out).filter("l_orderkey BETWEEN 100 AND 900")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_prune_everything_returns_empty_with_schema(spark, sf_dir, tmp_path):
+    import os
+
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        file_stats,
+        prune_files_by_stats,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    out = os.path.join(str(tmp_path), "li_none")
+    load(spark, sf_dir, "lineitem").select("l_orderkey").repartitionByRange(
+        2, "l_orderkey"
+    ).write.parquet(out)
+    stats = file_stats(spark.read.parquet(out), ["l_orderkey"]).collect()
+    pruned = prune_files_by_stats(spark, out, stats, "l_orderkey", -10, -5)
+    assert pruned.count() == 0
+    assert pruned.columns == ["l_orderkey"]

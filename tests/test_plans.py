@@ -573,3 +573,9 @@ def test_file_stats_single_partial_agg_exchange(spark, sf_dir, queries):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "partial" in formatted_plan_of(df).lower(), plan
+
+
+def test_attribution_single_exchange(spark, sf_dir, queries):
+    plan = plan_of(queries["q_attribution"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # window + rollup

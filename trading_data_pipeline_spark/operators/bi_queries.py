@@ -23,7 +23,7 @@ next to it, each as a declarative plan with a DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.quantize import q as _q
@@ -294,3 +294,72 @@ def basket_pairs(lineitem: DataFrame, min_count: int = MIN_PAIR_COUNT) -> DataFr
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pairs(load(spark, sf_dir, "lineitem"))
+
+
+# ------------------------------------------------------ marketing attribution
+
+NO_TOUCH = "(none)"
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the nearest
+    PRECEDING non-purchase event of the same user, then roll purchases
+    and value up by touchpoint type.
+
+    One window exchange on ``user_id`` (``last(..., ignorenulls)`` over
+    the open preceding frame) feeding a tiny touchpoint aggregate —
+    first-touch is the same plan with ``first()``. Purchases with no
+    preceding touch credit ``(none)``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != CONVERSION_EVENT, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select(
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+            touch.alias("_touch"),
+        )
+        .filter(F.col("event_type") == CONVERSION_EVENT)
+        .groupBy(F.coalesce("_touch", F.lit(NO_TOUCH)).alias("last_touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.floor(F.sum("_v").cast("double") * 100 + 0.5) / 100
+            ).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "q_attribution",
+    f"""
+    WITH w AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             last_value(CASE WHEN event_type <> '{CONVERSION_EVENT}'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT coalesce(last_touch, '{NO_TOUCH}') AS last_touch,
+           count(*) AS n_purchases,
+           floor(CAST(sum(v) AS DOUBLE) * 100 + 0.5) / 100 AS attributed_value
+    FROM w
+    WHERE event_type = '{CONVERSION_EVENT}'
+    GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase credits the "
+    "nearest preceding non-purchase event of the same user (open "
+    "preceding frame, ignorenulls last) — one user_id exchange, tiny "
+    "touchpoint rollup, decimal-exact value attribution",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load(spark, sf_dir, "events"))

@@ -507,3 +507,72 @@ def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return file_stats(df, ["l_orderkey", "l_extendedprice"])
+
+
+# ------------------------------------------------------ stats-based skipping
+
+PRUNE_LO, PRUNE_HI = 100, 900  # l_orderkey band for the registered query
+
+
+def prune_files_by_stats(
+    spark: SparkSession,
+    table_dir: str,
+    stats_rows,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Planning-time file skipping from zone-map stats: read only the
+    files whose ``[min_col, max_col]`` range intersects ``[lo, hi]``.
+
+    ``stats_rows`` is the collected output of :func:`file_stats` — one
+    row per data file, i.e. planning METADATA (what a table format keeps
+    in its log); selecting from it on the driver is the Delta/Iceberg
+    planning step, not a data collect. Returns an empty frame with the
+    table's schema when every file is pruned.
+    """
+    keep = [
+        r["file_name"]
+        for r in stats_rows
+        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    if not keep:
+        schema = spark.read.parquet(table_dir).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, name) for name in keep]
+    )
+
+
+@register(
+    "q_pruned_scan",
+    f"""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+    doc="Zone-map file skipping end to end: lay lineitem out with "
+    "repartitionByRange (each file owns a contiguous l_orderkey range), "
+    "collect q_file_stats-style per-file min/max, and answer a range "
+    "predicate by scanning ONLY the files whose range intersects — the "
+    "residual filter then makes the result exact. The files-skipped "
+    "assertion lives in tests/test_lake_ops.py; the oracle checks the "
+    "pruned read loses no rows",
+)
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(TMP_ROOT, "pruned", "lineitem")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartitionByRange(8, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    stats = file_stats(spark.read.parquet(out), ["l_orderkey"]).collect()
+    pruned = prune_files_by_stats(
+        spark, out, stats, "l_orderkey", PRUNE_LO, PRUNE_HI
+    )
+    return pruned.filter(
+        F.col("l_orderkey").between(PRUNE_LO, PRUNE_HI)
+    ).select("l_orderkey", "l_extendedprice")
