@@ -62,6 +62,19 @@ EXTRAS = [
     "q_winsorize",
     "q_autocorr",
     "q_type_transitions",
+    # round-5 batch 3
+    "q_max_drawdown",
+    "q_vwap_bars",
+    "q_mad_outliers",
+    "q_rfm",
+    "q_ab_test",
+    "q_basket_pairs",
+    "q_cooccurrence",
+    "q_triangle_count",
+    "q_hll_rollup",
+    "q_kll_quantiles",
+    "q_attribution",
+    "q_pruned_scan",
 ]
 
 RUNS = 3

@@ -144,3 +144,28 @@ def test_attribution_hand_built(spark):
     assert out["click"].n_purchases == 2 and out["click"].attributed_value == 15.0
     assert out["view"].n_purchases == 1 and out["view"].attributed_value == 1.0
     assert out["(none)"].n_purchases == 1 and out["(none)"].attributed_value == 7.0
+
+
+def test_basket_cap_drops_degenerate_basket_whole(spark):
+    # order 1 is a 5-item wholesale basket; with max_basket=4 it must
+    # contribute neither pairs nor part frequencies
+    rows = []
+    for p in range(10, 15):
+        rows.append((1, p, 1, p, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     dt.datetime(2024, 1, 1)))
+    for okey in (2, 3):
+        for p in (10, 11):
+            rows.append((okey, p, 1, p, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = basket_pairs(li, min_count=2, max_basket=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pa, r.pb, r.c_ab) == (10, 11, 2)
+    assert r.c_a == 2 and r.c_b == 2  # wholesale basket excluded from freqs

@@ -28,4 +28,7 @@ def test_oracle_coverage_accounting():
         "q_tfidf", "q_approx_distinct", "q_approx_percentile",
         "q_image_features", "q_audio_features", "q_dedup_clusters",
         "q_curation_full", "q_pagerank", "q_topic_clusters",
+        # DataSketches estimates are engine-specific; accuracy vs exact
+        # answers is pinned in tests/test_sketches.py
+        "q_hll_rollup", "q_theta_overlap", "q_kll_quantiles",
     }, sorted(rows_only)

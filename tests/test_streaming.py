@@ -634,3 +634,53 @@ def test_cdc_sink_replay_is_idempotent(spark, tmp_path):
     sink(batch, 0)  # crash-replay of the same batch
     after = sorted(map(tuple, read_cdc_table(spark, path).collect()))
     assert before == after
+
+
+def test_streaming_vwap_bars_equal_batch(spark, staged_events):
+    """The streaming bar builder shares the batch aggregate list; on the
+    same files the emitted bars must match exactly (same epoch-aligned
+    bar ids, same OHLCV/VWAP values)."""
+    from trading_data_pipeline_spark.operators.trading_queries import vwap_bars
+    from trading_data_pipeline_spark.streaming.jobs import vwap_stream
+
+    batch = vwap_bars(spark.read.parquet(staged_events))
+    got = run_to_completion(
+        vwap_stream(stream_events(spark, staged_events)),
+        "t_vwap", "complete", spark,
+    )
+    assert sorted(map(tuple, got.select(*batch.columns).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert batch.count() > 0
+
+
+def test_streaming_drawdown_equals_batch(spark, staged_events):
+    """The O(1)-state streaming drawdown must land bit-for-bit on the
+    batch decimal-exact figures (final update per user)."""
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        max_drawdown,
+    )
+    from trading_data_pipeline_spark.streaming.stateful import drawdown_stream
+
+    batch = {
+        tuple(r)
+        for r in max_drawdown(spark.read.parquet(staged_events)).collect()
+    }
+    got = run_to_completion(
+        drawdown_stream(stream_events(spark, staged_events)),
+        "t_mdd", "update", spark,
+    )
+    # update mode emits one row per user per batch; keep the last emission
+    final = {
+        tuple(r)
+        for r in got.groupBy("user_id")
+        .agg(
+            F.last("max_drawdown").alias("max_drawdown"),
+            F.last("peak_equity").alias("peak_equity"),
+            F.last("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert final == batch and batch

@@ -203,7 +203,14 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test(load(spark, sf_dir, "events"))
 
 
-def basket_pairs(lineitem: DataFrame, min_count: int = MIN_PAIR_COUNT) -> DataFrame:
+MAX_BASKET = 200  # drop degenerate wholesale baskets (pair-gen is O(|basket|²))
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    min_count: int = MIN_PAIR_COUNT,
+    max_basket: int = MAX_BASKET,
+) -> DataFrame:
     """Co-purchase affinity: part pairs appearing together in ≥
     ``min_count`` orders, with support (share of orders) and lift
     (observed/independent co-rate).
@@ -213,11 +220,18 @@ def basket_pairs(lineitem: DataFrame, min_count: int = MIN_PAIR_COUNT) -> DataFr
     bounded by basket size, never a lineitem self-join; the pair
     aggregate shrinks to ``min_count``-filtered survivors before the
     part-frequency joins (part-count side is a per-key aggregate, AQE
-    broadcasts it while it fits).
+    broadcasts it while it fits). Baskets above ``max_basket`` items are
+    dropped whole BEFORE any pair math — the hot-bucket cap from the
+    MinHash path applied to affinity: a degenerate 10k-item wholesale
+    order would otherwise expand to 10⁸ pairs inside one task, and its
+    "co-purchases" are noise for affinity anyway. The cap is far above
+    every real basket in the synthetic data, so the uncapped oracle
+    still matches; cap semantics are pinned in tests/test_bi.py.
     """
     baskets = (
         lineitem.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
+        .filter(F.size("pk") <= max_basket)
     )
     n_orders = baskets.count()
     pairs = (

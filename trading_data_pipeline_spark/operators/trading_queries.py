@@ -102,6 +102,40 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_drawdown(load(spark, sf_dir, "events"))
 
 
+def bar_prep(events: DataFrame) -> DataFrame:
+    """Shared trade-row prep for the batch and streaming bar builders:
+    keep only rows with a positive JSON trade size, carry the exact
+    decimal notional."""
+    qty = F.get_json_object("props", "$.k").cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    return events.filter(qty > 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        qty.alias("_qty"),
+        (dec * qty).alias("_notional"),
+    )
+
+
+def bar_aggs() -> list:
+    """The OHLCV+VWAP aggregate list, shared verbatim by the batch
+    (epoch-bucket groupBy) and streaming (watermarked ``F.window``)
+    forms — the unified-API guarantee for the bar pipeline."""
+    tie = F.struct("ts", "event_id")
+    return [
+        F.min_by("value", tie).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tie).alias("close"),
+        F.sum("_qty").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+        _q(F.sum("_notional").cast("double") / F.sum("_qty"), 10000).alias(
+            "vwap"
+        ),
+    ]
+
+
 def vwap_bars(events: DataFrame, bar_seconds: int = BAR_SECONDS) -> DataFrame:
     """15-minute OHLCV + VWAP bars per event type.
 
@@ -112,34 +146,12 @@ def vwap_bars(events: DataFrame, bar_seconds: int = BAR_SECONDS) -> DataFrame:
     the (event_type, bar_start) grouping key; the bar id is epoch-bucket
     integer arithmetic, identical on both engines.
     """
-    qty = F.get_json_object("props", "$.k").cast("long")
     bar = (F.floor(F.unix_timestamp("ts") / bar_seconds) * bar_seconds).cast("long")
-    dec = F.col("value").cast("decimal(18,2)")
-    tie = F.struct("ts", "event_id")
-    events = events.filter(qty > 0)  # only rows carrying a trade size are trades
     return (
-        events.select(
-            "event_type",
-            bar.alias("bar_start"),
-            "ts",
-            "event_id",
-            "value",
-            qty.alias("_qty"),
-            (dec * qty).alias("_notional"),
-        )
+        bar_prep(events)
+        .withColumn("bar_start", bar)
         .groupBy("event_type", "bar_start")
-        .agg(
-            F.min_by("value", tie).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", tie).alias("close"),
-            F.sum("_qty").alias("volume"),
-            F.count(F.lit(1)).alias("n_trades"),
-            _q(
-                F.sum("_notional").cast("double") / F.sum("_qty"),
-                10000,
-            ).alias("vwap"),
-        )
+        .agg(*bar_aggs())
     )
 
 

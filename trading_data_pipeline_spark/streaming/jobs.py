@@ -204,3 +204,31 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def vwap_stream(
+    events: DataFrame,
+    bar: str = "15 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked streaming OHLCV+VWAP bars — the SAME aggregate list as
+    the batch ``operators.trading_queries.vwap_bars`` (shared via
+    ``bar_aggs``), grouped on ``F.window`` so the state store can evict
+    closed bars past the watermark. ``window.start`` is epoch-aligned
+    exactly like the batch form's floor(epoch/900)*900 bucket, so the
+    emitted ``bar_start`` values are identical."""
+    from ..operators.trading_queries import bar_aggs, bar_prep
+
+    return (
+        bar_prep(events)
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", bar))
+        .agg(*bar_aggs())
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).cast("long").alias(
+                "bar_start"
+            ),
+            "open", "high", "low", "close", "volume", "n_trades", "vwap",
+        )
+    )

@@ -249,3 +249,62 @@ def sessionize_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DRAWDOWN_SCHEMA = (
+    "user_id long, max_drawdown double, peak_equity double, n_events long"
+)
+DRAWDOWN_STATE = "equity_c long, peak_c long, mdd_c long, n long"
+
+
+def drawdown_stream(events: DataFrame) -> DataFrame:
+    """Streaming max drawdown — the stateful form of
+    ``operators.trading_queries.max_drawdown``: O(1) state per user
+    (equity, running peak, max drawdown, all in exact integer cents),
+    folded event by event; each micro-batch emits the user's current
+    figures (outputMode('update')).
+
+    Exactness: one Decimal HALF_UP quantization per event on arrival
+    mirrors the batch decimal(18,2) cast; everything after is integer
+    arithmetic, and cents/100.0 is the correctly-rounded double of the
+    exact decimal — bit-identical to the batch output. Ordering
+    contract: sorted by (ts, event_id) within each micro-batch; across
+    batches the source must deliver each key's events in event-time
+    order (the per-key guarantee a partitioned log gives).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    two_dp = Decimal("0.01")
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        equity_c, peak_c, mdd_c, n = (
+            state.get if state.exists else (0, None, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for val in pdf["value"]:
+            cents = int(Decimal(str(float(val))).quantize(two_dp, ROUND_HALF_UP) * 100)
+            equity_c += cents
+            peak_c = equity_c if peak_c is None else max(peak_c, equity_c)
+            mdd_c = max(mdd_c, peak_c - equity_c)
+            n += 1
+        state.update((equity_c, peak_c, mdd_c, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "max_drawdown": [mdd_c / 100.0],
+                "peak_equity": [peak_c / 100.0],
+                "n_events": [n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=DRAWDOWN_SCHEMA,
+        stateStructType=DRAWDOWN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
