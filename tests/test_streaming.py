@@ -684,3 +684,74 @@ def test_streaming_drawdown_equals_batch(spark, staged_events):
         .collect()
     }
     assert final == batch and batch
+
+
+def test_streaming_drawdown_state_survives_restart(spark, sf_dir, tmp_path):
+    """Drawdown state (equity/peak/mdd cents) must persist across stream
+    restarts: after restarting on the second half of the data, emitted
+    figures must reflect FIRST-half equity — i.e. equal the batch result
+    over the full stream for every user the second run touches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        max_drawdown,
+    )
+    from trading_data_pipeline_spark.registry import load
+    from trading_data_pipeline_spark.streaming.stateful import drawdown_stream
+
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "halves")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(ts_us <= cut).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "emissions")
+
+    def run_once():
+        # foreachBatch sink: checkpoint-recoverable (the memory sink is
+        # not), and update-mode emissions append with their batch id so
+        # the latest emission per user is identifiable
+        def emit(batch_df, batch_id):
+            batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            drawdown_stream(stream_events(spark, src))
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    ev.filter(ts_us > cut).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # checkpoint resumes: only new files
+    assert spark.read.parquet(out).count() > n_first  # run 2 emitted rows
+
+    emissions = spark.read.parquet(out)
+    finals = {
+        r.user_id: (r.max_drawdown, r.peak_equity, r.n_events)
+        for r in emissions.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("_b").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert finals  # the restarted run saw second-half events
+    batch = {
+        r.user_id: (r.max_drawdown, r.peak_equity, r.n_events)
+        for r in max_drawdown(ev).collect()
+    }
+    for uid, got in finals.items():
+        assert got == batch[uid], (uid, got, batch[uid])

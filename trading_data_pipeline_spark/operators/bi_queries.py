@@ -54,6 +54,10 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
+    # each global-rank pass reads the customer aggregate twice (cut
+    # points + bucket sizes); materialize it once instead of seven
+    # re-aggregations of orders
+    cust = cust.localCheckpoint(eager=True)
     scored = cust
     for metric, score in (
         ("recency_days", "r_score"),
@@ -232,6 +236,10 @@ def basket_pairs(
         lineitem.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
         .filter(F.size("pk") <= max_basket)
+        # three consumers (order count, pair-gen, part frequencies):
+        # materialize the basket aggregate once instead of re-shuffling
+        # lineitem per consumer
+        .localCheckpoint(eager=True)
     )
     n_orders = baskets.count()
     pairs = (

@@ -207,7 +207,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import embedding_near_dup_pairs
 
+    # the edge list feeds three join legs — materialize the (small)
+    # cosine self-join result once instead of recomputing it per leg
+    # (same pattern as the PageRank edge list)
     edges = embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=TRIANGLE_COS
-    )
+    ).localCheckpoint(eager=True)
     return triangle_counts(edges)
