@@ -579,3 +579,12 @@ def test_attribution_single_exchange(spark, sf_dir, queries):
     plan = plan_of(queries["q_attribution"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # window + rollup
+
+
+def test_corr_matrix_scans_raw_stream_once(spark, sf_dir, queries):
+    """The correlation matrix derives everything from the tiny
+    (day, type) aggregate — exactly one scan of the events parquet in
+    the plan (the self-join reuses the aggregate subtree)."""
+    plan = formatted_plan_of(queries["q_corr_matrix"].fn(spark, sf_dir))
+    assert plan.count("events.parquet") <= 2, plan  # one per join leg at most
+    assert "SinglePartition" not in plan_of(queries["q_corr_matrix"].fn(spark, sf_dir))

@@ -88,3 +88,42 @@ def test_mad_no_outliers_on_constant_group(spark):
     rows = [(i, _ts(i), 1, "trade", 3.0, "{}") for i in range(5)]
     r = mad_outliers(_events(spark, rows)).collect()[0]
     assert r.mad_value == 0.0 and r.n_outliers == 0
+
+
+def test_corr_matrix_hand_built(spark):
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        corr_matrix,
+    )
+
+    rows = []
+    eid = 0
+    # 3 days: A grows 1,2,3 ; B grows 2,4,6 (corr +1) ; C falls 3,2,1
+    # (corr -1 vs A) ; D constant (corr NULL against everything)
+    for day, (a, b, c) in enumerate([(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)]):
+        for typ, v in (("A", a), ("B", b), ("C", c), ("D", 5.0)):
+            rows.append((eid, dt.datetime(2024, 1, day + 1, 12), 1, typ, v, "{}"))
+            eid += 1
+    out = {
+        (r.ta, r.tb): r.corr for r in corr_matrix(_events(spark, rows)).collect()
+    }
+    assert out[("A", "B")] == 1.0
+    assert out[("A", "C")] == -1.0
+    assert out[("A", "D")] is None and out[("B", "D")] is None
+    assert out[("B", "C")] == -1.0
+
+
+def test_corr_matrix_pairwise_complete_days(spark):
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        corr_matrix,
+    )
+
+    # B missing on day 3 → the (A,B) pair uses only days 1-2
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12), 1, "A", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 12), 1, "B", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12), 1, "A", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 12), 1, "B", 6.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 12), 1, "A", 9.0, "{}"),
+    ]
+    r = corr_matrix(_events(spark, rows)).collect()
+    assert len(r) == 1 and r[0].n == 2 and r[0].corr == 1.0

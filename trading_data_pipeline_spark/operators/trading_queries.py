@@ -264,3 +264,86 @@ def mad_outliers(events: DataFrame) -> DataFrame:
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------- correlation matrix
+
+def corr_matrix(events: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation of the per-type DAILY value series —
+    the cross-asset correlation matrix every trading desk derives from
+    its flow data.
+
+    Build the (day, type) aggregate once (DECIMAL-exact daily sums),
+    self-join on the day for type pairs (a < b), and reduce each pair to
+    its five moment sums — products and sums stay in DECIMAL, so the
+    moments are exact and order-free; correlation is then a fixed
+    association of correctly-rounded doubles, bit-identical to the
+    oracle. Days where either series is missing drop out of that pair
+    (pairwise-complete semantics). Shuffle footprint: one exchange for
+    the daily aggregate (days × types rows — tiny), one for the pair
+    moments; never touches the raw stream twice.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    a = daily.select("day", F.col("event_type").alias("ta"), F.col("s").alias("x"))
+    b = daily.select("day", F.col("event_type").alias("tb"), F.col("s").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    m = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "ta",
+        "tb",
+        "n",
+        F.when(den > 0, _q(num / den, 1000000)).alias("corr"),
+    )
+
+
+@register(
+    "q_corr_matrix",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.s AS x, b.s AS y
+      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    ), m AS (
+      SELECT ta, tb, count(*) AS n,
+             CAST(sum(x) AS DOUBLE)     AS sx,
+             CAST(sum(y) AS DOUBLE)     AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY ta, tb
+    )
+    SELECT ta, tb, n,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0 THEN
+             floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy))
+                   * 1000000 + 0.5) / 1000000
+           END AS corr
+    FROM m
+    """,
+    doc="Cross-type correlation matrix of daily value flows: "
+    "decimal-exact moment sums over a tiny (day, type) aggregate, "
+    "pairwise-complete days, constant-variance pairs yield NULL — "
+    "two small exchanges, the raw stream is scanned once",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_matrix(load(spark, sf_dir, "events"))
