@@ -165,11 +165,12 @@ def test_vacuum_orphans_removes_only_debris(spark, tmp_path):
     os.makedirs(orphan2)
     conn = FileSystemConnector(spark, root)
 
-    # a huge TTL treats everything as too fresh to touch
-    assert conn.vacuum_orphans(ttl_seconds=3600) == []
+    # the DEFAULT TTL (24 h) must treat just-created dirs as too fresh —
+    # a live job's staging dir is protected without any argument
+    assert conn.vacuum_orphans() == []
     assert os.path.exists(orphan1) and os.path.exists(orphan2)
 
-    deleted = conn.vacuum_orphans()
+    deleted = conn.vacuum_orphans(ttl_seconds=0)
     assert len(deleted) == 2
     assert not os.path.exists(orphan1)
     assert not os.path.exists(orphan2)

@@ -112,11 +112,13 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir, queries):
             assert bounds.lo <= est <= bounds.hi, (t, p, est, bounds)
 
 
-def test_sketch_aggs_have_partial_aggregation(spark, sf_dir, queries):
+def test_sketch_aggs_have_partial_aggregation(spark, sf_dir):
     """The build step must partial-aggregate (sketch bytes cross the
-    exchange, not raw user ids)."""
+    exchange, not raw user ids). Asserted on the build plan itself —
+    the registered query materializes it once (localCheckpoint), so its
+    own plan shows the cached table."""
     from tests.test_plans import formatted_plan_of
 
-    plan = formatted_plan_of(queries["q_hll_rollup"].fn(spark, sf_dir))
+    plan = formatted_plan_of(user_sketches(load(spark, sf_dir, "events")))
     assert "ObjectHashAggregate" in plan, plan
     assert "partial_hll_sketch_agg" in plan, plan

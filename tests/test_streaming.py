@@ -672,15 +672,19 @@ def test_streaming_drawdown_equals_batch(spark, staged_events):
         drawdown_stream(stream_events(spark, staged_events)),
         "t_mdd", "update", spark,
     )
-    # update mode emits one row per user per batch; keep the last emission
+    # update mode emits one row per user per batch; n_events grows
+    # monotonically, so the final state is the max_by(n_events) row
+    # (F.last over an unordered aggregate would be nondeterministic)
     final = {
         tuple(r)
         for r in got.groupBy("user_id")
         .agg(
-            F.last("max_drawdown").alias("max_drawdown"),
-            F.last("peak_equity").alias("peak_equity"),
-            F.last("n_events").alias("n_events"),
+            F.max_by(
+                F.struct("max_drawdown", "peak_equity", "n_events"),
+                "n_events",
+            ).alias("s")
         )
+        .select("user_id", "s.max_drawdown", "s.peak_equity", "s.n_events")
         .collect()
     }
     assert final == batch and batch

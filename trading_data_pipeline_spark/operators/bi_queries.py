@@ -65,10 +65,19 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         ("monetary", "m_score"),
     ):
         scored, n = global_row_number(scored, [metric, "o_custkey"])
-        scored = scored.withColumn(
-            score,
-            F.expr(f"CAST((_grn - 1) * {N_SCORE_BUCKETS} DIV {n} AS INT) + 1"),
-        ).drop("_grn")
+        scored = (
+            scored.withColumn(
+                score,
+                F.expr(
+                    f"CAST((_grn - 1) * {N_SCORE_BUCKETS} DIV {n} AS INT) + 1"
+                ),
+            )
+            .drop("_grn")
+            # each pass issues two driver actions over its input; without
+            # this the f/m passes would re-execute every earlier pass's
+            # rank plan per action (the table stays customer-count-sized)
+            .localCheckpoint(eager=True)
+        )
     return scored.select(
         "o_custkey",
         "recency_days",

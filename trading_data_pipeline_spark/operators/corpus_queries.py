@@ -360,25 +360,24 @@ def cooccurrence_pairs(
     the vocabulary — never a token-stream self-join). The wide shuffles
     carry only the doc-frequency aggregate and the (ta, tb) pair counts.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
-    )
+    # tokenize ONCE: every downstream need (doc-frequency counts, corpus
+    # size, vocab-filtered per-doc arrays) derives from this materialized
+    # (doc_id, distinct-token-array) frame — one scan of the corpus
+    base = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).localCheckpoint(eager=True)
+    toks = base.select("doc_id", F.explode("toks").alias("t"))
     dfc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     vocab = dfc.orderBy(F.col("c").desc(), "t").limit(vocab_k).collect()
-    n_docs = docs.count()
+    n_docs = base.count()
     vocab_arr = F.array(*[F.lit(r["t"]) for r in vocab])
     spark = docs.sparkSession
     vocab_counts = spark.createDataFrame(
         [(r["t"], r["c"]) for r in vocab], "t string, c long"
     )
     pairs = (
-        docs.select(
-            F.array_sort(
-                F.array_intersect(
-                    F.array_distinct(F.split("text", " ")), vocab_arr
-                )
-            ).alias("vt")
+        base.select(
+            F.array_sort(F.array_intersect("toks", vocab_arr)).alias("vt")
         )
         .select(
             F.explode(

@@ -200,9 +200,13 @@ def apply_changelog(
     key: str,
     order_cols: list[str],
     op_col: str = "op",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Current snapshot from an ordered changelog: per key, the row with
-    the highest (order_cols) wins; a terminal delete removes the key.
+    the highest (order_cols) wins; a terminal delete removes the key —
+    unless ``keep_deletes``, which retains the winning 'D' row as a
+    tombstone (the streaming CDC sink needs tombstones in storage so a
+    late older update cannot resurrect a deleted key).
 
     One hash exchange on the key (the window), then a per-key top-1 —
     Spark's rank-limit pushdown turns this into a partial group-limit
@@ -210,12 +214,12 @@ def apply_changelog(
     row per (key, input partition), not the whole changelog.
     """
     w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
+    top = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(F.col(op_col) != "D")
         .drop("_rn")
     )
+    return top if keep_deletes else top.filter(F.col(op_col) != "D")
 
 
 @register(
@@ -399,6 +403,8 @@ def write_audit_publish(
     HDFS-like stores; on S3 the same pattern runs against a staging
     prefix + manifest swap.
     """
+    from ..streaming.sinks import _paths, _swap_dir
+
     spark = df.sparkSession
     staging = final_dir + "._staging"
     writer = df.write.mode("overwrite")
@@ -406,18 +412,13 @@ def write_audit_publish(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     staged = spark.read.parquet(staging)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    s_path = jvm.org.apache.hadoop.fs.Path(staging)
-    f_path = jvm.org.apache.hadoop.fs.Path(final_dir)
-    fs = s_path.getFileSystem(hconf)
     if not audit(staged):
+        fs, s_path = _paths(spark, staging)
         fs.delete(s_path, True)
         raise AuditFailed(f"audit rejected staged write for {final_dir}")
-    if fs.exists(f_path):
-        fs.delete(f_path, True)
-    if not fs.rename(s_path, f_path):
-        raise IOError(f"publish rename {staging} -> {final_dir} failed")
+    # shared crash-safe publish: the previous version is renamed aside,
+    # never deleted before the new data is live (streaming/sinks._swap_dir)
+    _swap_dir(spark, staging, final_dir)
     return spark.read.parquet(final_dir)
 
 
@@ -463,23 +464,29 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- file-level zone map
 
-def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+def file_stats(df: DataFrame, cols: list[str], by_path: bool = False) -> DataFrame:
     """Per-file zone-map statistics (row count + min/max per column) via
     the ``_metadata`` hidden column — the stats a table format (Delta/
     Iceberg) keeps per data file to skip non-matching files at planning
     time.
 
-    One partial-aggregated groupBy on the file name: each task folds its
+    One partial-aggregated groupBy on the file key: each task folds its
     own file's rows map-side, so the exchange carries one row per
     (file, task). Output columns are ``min_<col>``/``max_<col>``.
+    ``by_path`` keys rows by the full ``file_path`` (needed to resolve
+    files in partitioned layouts); the default basename key is the
+    human/oracle-friendly form for flat tables.
     """
+    key = (
+        F.col("_metadata.file_path").alias("file_path")
+        if by_path
+        else F.col("_metadata.file_name").alias("file_name")
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return df.groupBy(
-        F.col("_metadata.file_name").alias("file_name")
-    ).agg(*aggs)
+    return df.groupBy(key).agg(*aggs)
 
 
 @register(
@@ -528,20 +535,31 @@ def prune_files_by_stats(
     ``stats_rows`` is the collected output of :func:`file_stats` — one
     row per data file, i.e. planning METADATA (what a table format keeps
     in its log); selecting from it on the driver is the Delta/Iceberg
-    planning step, not a data collect. Returns an empty frame with the
+    planning step, not a data collect. A file whose stats are NULL (the
+    column is all-NULL there) can never be ruled out, so it is KEPT —
+    pruning must be conservative. Rows carrying a ``file_path`` (from
+    :func:`file_stats` with ``by_path=True``) are addressed directly,
+    which also works for partitioned layouts where the basename alone
+    would not resolve; bare ``file_name`` rows join against
+    ``table_dir`` (flat layouts only). Returns an empty frame with the
     table's schema when every file is pruned.
     """
+
+    def prunable(r) -> bool:
+        mx, mn = r[f"max_{col}"], r[f"min_{col}"]
+        return mx is not None and mn is not None and (mx < lo or mn > hi)
+
     keep = [
-        r["file_name"]
+        r["file_path"] if "file_path" in r.__fields__ else os.path.join(
+            table_dir, r["file_name"]
+        )
         for r in stats_rows
-        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+        if not prunable(r)
     ]
     if not keep:
         schema = spark.read.parquet(table_dir).schema
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, name) for name in keep]
-    )
+    return spark.read.parquet(*keep)
 
 
 @register(
@@ -569,7 +587,9 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(out)
     )
-    stats = file_stats(spark.read.parquet(out), ["l_orderkey"]).collect()
+    stats = file_stats(
+        spark.read.parquet(out), ["l_orderkey"], by_path=True
+    ).collect()
     pruned = prune_files_by_stats(
         spark, out, stats, "l_orderkey", PRUNE_LO, PRUNE_HI
     )

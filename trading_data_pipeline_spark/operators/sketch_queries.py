@@ -67,7 +67,9 @@ def merge_user_sketches(sketches: DataFrame, group_col: str = "event_type") -> D
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    per_type = user_sketches(events)
+    # both union legs consume the per-type sketches — materialize the
+    # (tiny) sketch table once instead of scanning events twice
+    per_type = user_sketches(events).localCheckpoint(eager=True)
     rolled = per_type.unionByName(merge_user_sketches(per_type))
     return rolled.select(
         "event_type",

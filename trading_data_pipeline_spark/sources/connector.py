@@ -245,11 +245,12 @@ class FileSystemConnector:
         return True
 
     # -- maintenance ---------------------------------------------------------
-    ORPHAN_SUFFIXES = ("._staging", "._spark_tmp")
+    ORPHAN_SUFFIXES = ("._staging", "._spark_tmp", "._old")
     ORPHAN_NAMES = ("_temporary",)
+    VACUUM_DEFAULT_TTL = 24 * 3600.0  # a live job's staging dir is younger
 
     def vacuum_orphans(
-        self, prefix: str = "", ttl_seconds: float = 0.0
+        self, prefix: str = "", ttl_seconds: float = VACUUM_DEFAULT_TTL
     ) -> list[str]:
         """Delete leftover intermediate directories under ``root/prefix``:
         WAP/CDC ``._staging`` prefixes, single-object ``._spark_tmp``
@@ -260,7 +261,9 @@ class FileSystemConnector:
 
         ``ttl_seconds`` guards against racing a LIVE job: only
         directories whose modification time is older than the TTL are
-        removed (Delta VACUUM's retention-window rule). Returns the
+        removed (Delta VACUUM's retention-window rule). The default is a
+        conservative 24 h — a running write's staging dir is always
+        younger; pass 0 only when no writer can be active. Returns the
         deleted paths. Driver-side recursive listing — run it per table
         prefix, the way VACUUM takes a table, not over a whole lake.
         """

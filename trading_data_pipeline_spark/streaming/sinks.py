@@ -144,18 +144,51 @@ def _meta_dates(connector: FileSystemConnector, meta_key: str) -> set[str]:
 
 # --------------------------------------------------------- CDC upsert sink
 
-def _swap_dir(spark, staging: str, final: str) -> None:
-    """Replace ``final`` with ``staging`` (delete + rename) via the JVM
-    FileSystem — same publish step as lake_queries.write_audit_publish."""
+def _paths(spark, *path_strs):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    s_path = jvm.org.apache.hadoop.fs.Path(staging)
-    f_path = jvm.org.apache.hadoop.fs.Path(final)
-    fs = s_path.getFileSystem(hconf)
-    if fs.exists(f_path):
-        fs.delete(f_path, True)
+    paths = [jvm.org.apache.hadoop.fs.Path(p) for p in path_strs]
+    return (paths[0].getFileSystem(hconf), *paths)
+
+
+def _swap_dir(spark, staging: str, final: str) -> None:
+    """Publish ``staging`` as ``final`` without a data-loss window: the
+    old ``final`` is RENAMED ASIDE (to ``<final>._old``), never deleted
+    before the new data is in place. Crash anywhere leaves at least one
+    complete copy on disk for :func:`_recover_snapshot` (or, for WAP, a
+    re-run) to restore; the aside copy is removed only after the new
+    snapshot is live. Also used by lake_queries.write_audit_publish —
+    one publish implementation, not two."""
+    trash = final + "._old"
+    fs, s_path, f_path, t_path = _paths(spark, staging, final, trash)
+    if fs.exists(t_path):
+        fs.delete(t_path, True)  # debris from an earlier interrupted swap
+    if fs.exists(f_path) and not fs.rename(f_path, t_path):
+        raise IOError(f"publish: could not move {final} aside")
     if not fs.rename(s_path, f_path):
+        # restore the previous state before surfacing the error
+        if fs.exists(t_path):
+            fs.rename(t_path, f_path)
         raise IOError(f"publish rename {staging} -> {final} failed")
+    if fs.exists(t_path):
+        fs.delete(t_path, True)
+
+
+def _recover_snapshot(spark, final: str) -> None:
+    """Heal an interrupted :func:`_swap_dir`: if ``final`` is missing but
+    a complete ``._staging`` (the newer snapshot, fully written before
+    the swap began) or ``._old`` (the previous snapshot) copy exists,
+    rename it back. Replaying the interrupted batch on the recovered
+    state is a no-op either way (the sink is replay-idempotent)."""
+    fs, f_path, s_path, t_path = _paths(
+        spark, final, final + "._staging", final + "._old"
+    )
+    if fs.exists(f_path):
+        return
+    if fs.exists(s_path):
+        fs.rename(s_path, f_path)
+    elif fs.exists(t_path):
+        fs.rename(t_path, f_path)
 
 
 def make_cdc_sink(path: str, key: str, order_cols: list[str], op_col: str = "op"):
@@ -179,8 +212,10 @@ def make_cdc_sink(path: str, key: str, order_cols: list[str], op_col: str = "op"
       snapshot's (by ``order_cols``) changes nothing, because the
       snapshot row outranks it in the same window.
     - READ-THEN-REPLACE is staged: the new snapshot writes to a
-      ``._staging`` prefix while the old one is still readable, then one
-      directory rename publishes it.
+      ``._staging`` prefix while the old one is still readable; the swap
+      renames the old snapshot ASIDE rather than deleting it, so a crash
+      at any point leaves a complete copy that the next batch restores
+      (``_recover_snapshot``) before applying itself.
 
     Scale: state is the snapshot itself (one row per key), stored as a
     table — not executor memory; per batch the work is one
@@ -189,28 +224,21 @@ def make_cdc_sink(path: str, key: str, order_cols: list[str], op_col: str = "op"
     partitions via dynamic partition overwrite (the make_meta_sink
     pattern); the full-rewrite form here is the simplest correct core.
     """
-    from pyspark.sql import Window
+    from ..operators.lake_queries import apply_changelog
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(hconf)
+        _recover_snapshot(spark, path)  # heal any interrupted publish
+        fs, p = _paths(spark, path)
         if fs.exists(p):
             current = spark.read.parquet(path)
             combined = current.unionByName(batch_df.select(*current.columns))
         else:
             combined = batch_df
-        w = Window.partitionBy(key).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        snapshot = (
-            combined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        snapshot = apply_changelog(
+            combined, key, order_cols, op_col, keep_deletes=True
         )
         staging = path + "._staging"
         snapshot.write.mode("overwrite").parquet(staging)
