@@ -759,3 +759,58 @@ def test_streaming_drawdown_state_survives_restart(spark, sf_dir, tmp_path):
     }
     for uid, got in finals.items():
         assert got == batch[uid], (uid, got, batch[uid])
+
+
+def test_cdc_publish_crash_recovery_paths(spark, tmp_path):
+    """Every interruption point of the aside-rename swap must leave a
+    recoverable state: final missing + staging present (crash mid-swap)
+    and final missing + aside present (theoretical rename failure) both
+    heal to a complete snapshot before the next batch applies."""
+    import os
+    import shutil
+
+    from trading_data_pipeline_spark.streaming.sinks import (
+        make_cdc_sink,
+        read_cdc_table,
+    )
+
+    path = str(tmp_path / "snap")
+    sink = make_cdc_sink(path, "k", ["v"])
+    schema = "k long, op string, v long"
+    sink(spark.createDataFrame([(1, "U", 1), (2, "U", 1)], schema), 0)
+
+    # crash window A: old snapshot moved aside, new one still in staging
+    shutil.move(path, path + "._staging")
+    sink(spark.createDataFrame([(3, "U", 1)], schema), 1)
+    got = {(r.k, r.v) for r in read_cdc_table(spark, path).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}  # staging copy recovered, batch applied
+    assert not os.path.exists(path + "._staging")
+    assert not os.path.exists(path + "._old")
+
+    # crash window B: only the aside copy survives
+    shutil.move(path, path + "._old")
+    sink(spark.createDataFrame([(4, "U", 1)], schema), 2)
+    got = {r.k for r in read_cdc_table(spark, path).collect()}
+    assert got == {1, 2, 3, 4}
+    assert not os.path.exists(path + "._old")
+
+
+def test_wap_previous_version_survives_until_publish(spark, sf_dir, tmp_path):
+    """write_audit_publish must never delete the live table before the
+    new version is in place: after a successful publish the table holds
+    the new rows, and no aside/staging debris remains."""
+    import os
+
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        write_audit_publish,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    final = str(tmp_path / "pub")
+    nation = load(spark, sf_dir, "nation")
+    write_audit_publish(nation, final, lambda df: df.count() > 0)
+    v1 = spark.read.parquet(final).count()
+    write_audit_publish(nation.limit(5), final, lambda df: df.count() > 0)
+    assert spark.read.parquet(final).count() == 5 != v1
+    assert not os.path.exists(final + "._staging")
+    assert not os.path.exists(final + "._old")
