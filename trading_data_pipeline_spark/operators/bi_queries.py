@@ -394,3 +394,117 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_first_touch",
+    f"""
+    WITH w AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             first_value(CASE WHEN event_type <> '{CONVERSION_EVENT}'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch
+      FROM events
+    )
+    SELECT coalesce(first_touch, '{NO_TOUCH}') AS first_touch,
+           count(*) AS n_purchases,
+           floor(CAST(sum(v) AS DOUBLE) * 100 + 0.5) / 100 AS attributed_value
+    FROM w
+    WHERE event_type = '{CONVERSION_EVENT}'
+    GROUP BY 1
+    """,
+    doc="First-touch attribution — the acquisition-credit twin of "
+    "q_attribution: same single user_id window exchange, first() "
+    "instead of last() over the open preceding frame",
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != CONVERSION_EVENT, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select(
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+            touch.alias("_touch"),
+        )
+        .filter(F.col("event_type") == CONVERSION_EVENT)
+        .groupBy(F.coalesce("_touch", F.lit(NO_TOUCH)).alias("first_touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.floor(F.sum("_v").cast("double") * 100 + 0.5) / 100).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+def gini_concentration(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    one-number answer to "how top-heavy is our revenue?".
+
+    Formula (sorted form): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ the
+    per-customer spend ascending and i its 1-based rank. Spend sums and
+    the Σ(i·xᵢ) moment stay DECIMAL-exact; the rank comes from the
+    two-pass global row_number, so no SinglePartition stage at any
+    customer count. Ties rank deterministically by customer key — any
+    tie order yields the same G because tied x values are equal.
+    """
+    from ..plans.global_rank import global_row_number
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked, n = global_row_number(
+        spend.withColumn("_xd", F.col("x").cast("double")), ["_xd", "o_custkey"]
+    )
+    m = ranked.agg(
+        F.sum(F.col("x") * F.col("_grn")).cast("double").alias("six"),
+        F.sum("x").cast("double").alias("sx"),
+    )
+    n_d = float(n)
+    return m.select(
+        F.lit(n).alias("n_customers"),
+        _q(
+            2.0 * F.col("six") / (n_d * F.col("sx")) - (n_d + 1.0) / n_d,
+            1000000,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY CAST(x AS DOUBLE), o_custkey) AS i
+      FROM s
+    ), m AS (
+      SELECT CAST(sum(x * i) AS DOUBLE) AS six,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             count(*) AS n
+      FROM r
+    )
+    SELECT n AS n_customers,
+           floor((2.0 * six / (CAST(n AS DOUBLE) * sx)
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of customer spend: decimal-exact rank moment "
+    "over the two-pass global row_number — revenue-concentration "
+    "monitoring without a SinglePartition sort",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gini_concentration(load(spark, sf_dir, "orders"))

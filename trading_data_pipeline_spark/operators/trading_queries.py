@@ -347,3 +347,81 @@ def corr_matrix(events: DataFrame) -> DataFrame:
 )
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(load(spark, sf_dir, "events"))
+
+
+def market_beta(events: DataFrame) -> DataFrame:
+    """Per-type beta against the whole-market daily series (sum over all
+    types): slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) with x the market
+    daily total and y the type's daily total.
+
+    Same decimal-exact moment discipline as :func:`corr_matrix`; the
+    market series is a tiny per-day aggregate joined back by day. A type
+    absent on a day contributes y=0 (its flow that day WAS zero), so
+    every pair uses the full day spine.
+    """
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    market = daily.groupBy("day").agg(F.sum("y").alias("x"))
+    types = daily.select("event_type").distinct()
+    spine = market.crossJoin(types)  # (days × types) — both sides tiny
+    full = spine.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        "x",
+        F.coalesce(F.col("y"), F.lit(0).cast("decimal(18,2)")).alias("y"),
+    )
+    m = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return m.select(
+        "event_type", "n", F.when(den > 0, _q(beta, 1000000)).alias("beta")
+    )
+
+
+@register(
+    "q_market_beta",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             sum(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events GROUP BY 1, 2
+    ), mkt AS (
+      SELECT day, sum(y) AS x FROM d GROUP BY day
+    ), spine AS (
+      SELECT mkt.day, t.event_type, mkt.x
+      FROM mkt CROSS JOIN (SELECT DISTINCT event_type FROM d) t
+    ), f AS (
+      SELECT s.day, s.event_type, s.x,
+             coalesce(d.y, CAST(0 AS DECIMAL(18,2))) AS y
+      FROM spine s LEFT JOIN d ON s.day = d.day AND s.event_type = d.event_type
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS DOUBLE)     AS sx,
+             CAST(sum(y) AS DOUBLE)     AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM f GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+             floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * 1000000 + 0.5) / 1000000
+           END AS beta
+    FROM m
+    """,
+    doc="Per-type beta vs the whole-market daily flow: decimal-exact "
+    "regression moments over tiny day-level aggregates (absent days "
+    "count as zero flow); the portfolio-risk companion to "
+    "q_corr_matrix",
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_beta(load(spark, sf_dir, "events"))

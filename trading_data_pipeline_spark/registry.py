@@ -106,10 +106,11 @@ _PRIORITY: tuple[str, ...] = (
     # q_jaccard_prefix_join, q_fuzzy_join — follow in registration
     # order after the window and get pinned next round, same pattern
     # round 4 used for its batch-2)
-    # round-5 batch 3 also awaits next-round pinning: q_max_drawdown,
+    # round-5 batch 3/4 also await next-round pinning: q_max_drawdown,
     # q_vwap_bars, q_mad_outliers, q_rfm, q_ab_test, q_basket_pairs,
     # q_cooccurrence, q_triangle_count, q_file_stats, q_hll_rollup,
-    # q_theta_overlap, q_kll_quantiles
+    # q_theta_overlap, q_kll_quantiles, q_pruned_scan, q_attribution,
+    # q_first_touch, q_corr_matrix, q_market_beta, q_gini
     "q_skyline",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
     # q_dropna / q_rename / q_round / q_filter_date rotate out this
