@@ -515,3 +515,34 @@ def test_topic_clusters_deterministic_and_complete(spark, sf_dir):
     from trading_data_pipeline_spark.registry import load as _load
 
     assert total == _load(spark, sf_dir, "embeddings").count()
+
+
+def test_drift_tvd_hand_built(spark):
+    """Identical halves → TVD 0; disjoint buckets → TVD 1."""
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        drift_tvd,
+    )
+
+    rows = []
+    eid = 0
+    # type S: same distribution both halves (values 1.0) → tvd 0
+    # type D: first half all 1.0 (bucket 0), second half all 19.0
+    # (bucket 9) → tvd 1
+    for h, day in ((0, 1), (1, 20)):
+        for i in range(10):
+            rows.append((eid, dt.datetime(2024, 1, day, 12, i), 1, "S", 1.0, "{}"))
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12, i), 1, "D",
+                 1.0 if h == 0 else 19.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {r.event_type: r.tvd for r in drift_tvd(events).collect()}
+    assert out["S"] == 0.0
+    assert out["D"] == 1.0

@@ -801,3 +801,153 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     return skyline_2d(part, "price_c", "p_size")
+
+
+# --------------------------------------------------------- drift monitoring
+
+DRIFT_BUCKETS = 10
+DRIFT_VMAX = 20.0  # fixed bucket bounds: [0, 2, 4, ..., 18, inf)
+
+
+def drift_tvd(events: DataFrame) -> DataFrame:
+    """Distribution drift of ``value`` between the first and second half
+    of the stream (by event time), per event type, as the TOTAL
+    VARIATION DISTANCE ``0.5 · Σ|p_i − q_i|`` over fixed value buckets.
+
+    TVD instead of PSI/KL: pure rational arithmetic (counts and one
+    division per bucket), so the metric is bit-identical across engines
+    — no libm logs. Fixed bucket bounds (not quantiles) keep the two
+    windows comparable and the bucketing a zero-shuffle expression. The
+    whole op is two partial-aggregated exchanges: (type, half, bucket)
+    counts, then the per-type fold. The midpoint here is the exact
+    stream median (demo form, one extra pass); a production monitor
+    splits on a KNOWN boundary — yesterday vs today, train vs serve —
+    making the whole op two aggregates with no split pass.
+    """
+    half = events.agg(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)").alias("c")
+    ).first()["c"]
+    bucket = F.least(
+        F.floor(F.col("value") / (DRIFT_VMAX / DRIFT_BUCKETS)),
+        F.lit(DRIFT_BUCKETS - 1),
+    )
+    counts = (
+        events.select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) > half).cast("int").alias("h"),
+            bucket.alias("b"),
+        )
+        .groupBy("event_type", "h", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("event_type", "h").agg(F.sum("n").alias("t"))
+    shares = counts.join(totals, ["event_type", "h"]).select(
+        "event_type",
+        "b",
+        F.when(F.col("h") == 0, F.col("n") / F.col("t")).alias("p"),
+        F.when(F.col("h") == 1, F.col("n") / F.col("t")).alias("q"),
+    )
+    return (
+        shares.groupBy("event_type", "b")
+        .agg(
+            F.coalesce(F.sum("p"), F.lit(0.0)).alias("p"),
+            F.coalesce(F.sum("q"), F.lit(0.0)).alias("q"),
+        )
+        .groupBy("event_type")
+        .agg(
+            _q(F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0, 1000000).alias(
+                "tvd"
+            ),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+@register(
+    "q_drift_tvd",
+    f"""
+    WITH half AS (
+      SELECT quantile_cont(epoch_us(ts), 0.5) AS c FROM events
+    ), e AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) > (SELECT c FROM half) AS INT) AS h,
+             least(floor(value / {DRIFT_VMAX / DRIFT_BUCKETS}),
+                   {DRIFT_BUCKETS - 1}) AS b
+      FROM events
+    ), counts AS (
+      SELECT event_type, h, b, count(*) AS n FROM e GROUP BY 1, 2, 3
+    ), totals AS (
+      SELECT event_type, h, sum(n) AS t FROM counts GROUP BY 1, 2
+    ), shares AS (
+      SELECT c.event_type, c.b,
+             CASE WHEN c.h = 0 THEN c.n * 1.0 / t.t END AS p,
+             CASE WHEN c.h = 1 THEN c.n * 1.0 / t.t END AS q
+      FROM counts c JOIN totals t USING (event_type, h)
+    ), merged AS (
+      SELECT event_type, b,
+             coalesce(sum(p), 0.0) AS p, coalesce(sum(q), 0.0) AS q
+      FROM shares GROUP BY event_type, b
+    )
+    SELECT event_type,
+           floor(sum(abs(p - q)) / 2.0 * 1000000 + 0.5) / 1000000 AS tvd,
+           count(*) AS n_buckets
+    FROM merged GROUP BY event_type
+    """,
+    doc="Train/serve-style distribution drift per event type: total "
+    "variation distance of the value histogram between the first and "
+    "second half of the stream — fixed buckets, pure rational "
+    "arithmetic (no libm), two partial-aggregated exchanges",
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_tvd(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT (t_purchase - t_signup) // 1000000 AS secs
+      FROM f WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+    )
+    SELECT count(*)                    AS n_converted,
+           median(secs)                AS p50_secs,
+           quantile_cont(secs, 0.90)   AS p90_secs,
+           min(secs)                   AS min_secs,
+           max(secs)                   AS max_secs
+    FROM d
+    """,
+    doc="Time-to-convert funnel latency: per user the first signup -> "
+    "first later purchase gap, then exact integral-seconds percentiles "
+    "(interpolation on integers is exact on both engines, the q_median "
+    "trick). One user_id exchange + a tiny scalar aggregate",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("t_purchase"),
+    )
+    d = f.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        ((F.col("t_purchase") - F.col("t_signup")) / F.lit(1000000))
+        .cast("long")
+        .alias("secs")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("median(secs)").alias("p50_secs"),
+        F.expr("percentile(secs, 0.90)").alias("p90_secs"),
+        F.min("secs").alias("min_secs"),
+        F.max("secs").alias("max_secs"),
+    )
