@@ -75,6 +75,13 @@ EXTRAS = [
     "q_kll_quantiles",
     "q_attribution",
     "q_pruned_scan",
+    # round-5 batch 4/5
+    "q_first_touch",
+    "q_gini",
+    "q_market_beta",
+    "q_corr_matrix",
+    "q_drift_tvd",
+    "q_time_to_convert",
 ]
 
 RUNS = 3

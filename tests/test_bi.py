@@ -193,3 +193,17 @@ def test_gini_extremes(spark):
     # one customer owns everything → G = (n-1)/n
     r = gini_concentration(orders_of([0.0] * 7 + [100.0])).collect()[0]
     assert r.gini == round(7 / 8, 6)
+
+
+def test_gini_empty_input_matches_oracle_shape(spark):
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        gini_concentration,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = gini_concentration(empty).collect()
+    assert len(r) == 1 and r[0].n_customers == 0 and r[0].gini is None

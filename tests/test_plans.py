@@ -551,13 +551,12 @@ def test_basket_pairs_never_self_joins_the_fact(spark, sf_dir, queries):
     collect_set aggregate, not a lineitem self-join."""
     plan = plan_of(queries["q_basket_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    from trading_data_pipeline_spark.registry import load
-
-    build = plan_of(
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
+    # the REAL build path basket_pairs materializes (not a re-creation):
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        order_baskets,
     )
+
+    build = plan_of(order_baskets(load(spark, sf_dir, "lineitem")))
     assert "collect_set" in build, build
     assert "Join" not in build, build
 

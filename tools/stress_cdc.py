@@ -49,7 +49,7 @@ def main() -> None:
         batch = (
             spark.range(rows_per_batch)
             .select(
-                ((F.col("id") * 31 + b * 7919) % n_keys).alias("k"),
+                ((F.col("id") + b * 7919) % n_keys).alias("k"),  # stride 1: full coverage for ANY n_keys
                 F.when((F.col("id") + b) % 20 == 0, "D")
                 .otherwise("U")
                 .alias("op"),

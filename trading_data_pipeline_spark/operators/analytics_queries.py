@@ -827,9 +827,12 @@ def drift_tvd(events: DataFrame) -> DataFrame:
     half = events.agg(
         F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)").alias("c")
     ).first()["c"]
-    bucket = F.least(
-        F.floor(F.col("value") / (DRIFT_VMAX / DRIFT_BUCKETS)),
-        F.lit(DRIFT_BUCKETS - 1),
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col("value") / (DRIFT_VMAX / DRIFT_BUCKETS)),
+            F.lit(DRIFT_BUCKETS - 1),
+        ),
+        F.lit(0),
     )
     counts = (
         events.select(
@@ -871,8 +874,8 @@ def drift_tvd(events: DataFrame) -> DataFrame:
     ), e AS (
       SELECT event_type,
              CAST(epoch_us(ts) > (SELECT c FROM half) AS INT) AS h,
-             least(floor(value / {DRIFT_VMAX / DRIFT_BUCKETS}),
-                   {DRIFT_BUCKETS - 1}) AS b
+             greatest(least(floor(value / {DRIFT_VMAX / DRIFT_BUCKETS}),
+                            {DRIFT_BUCKETS - 1}), 0) AS b
       FROM events
     ), counts AS (
       SELECT event_type, h, b, count(*) AS n FROM e GROUP BY 1, 2, 3

@@ -219,6 +219,18 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_BASKET = 200  # drop degenerate wholesale baskets (pair-gen is O(|basket|²))
 
 
+def order_baskets(lineitem: DataFrame, max_basket: int = MAX_BASKET) -> DataFrame:
+    """The basket build: one groupBy(l_orderkey) collect_set — never a
+    lineitem self-join — with oversized (degenerate wholesale) baskets
+    dropped whole. Split out so the plan contract can pin the REAL build
+    (tests/test_plans.py) even though basket_pairs materializes it."""
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
+        .filter(F.size("pk") <= max_basket)
+    )
+
+
 def basket_pairs(
     lineitem: DataFrame,
     min_count: int = MIN_PAIR_COUNT,
@@ -241,15 +253,10 @@ def basket_pairs(
     every real basket in the synthetic data, so the uncapped oracle
     still matches; cap semantics are pinned in tests/test_bi.py.
     """
-    baskets = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
-        .filter(F.size("pk") <= max_basket)
-        # three consumers (order count, pair-gen, part frequencies):
-        # materialize the basket aggregate once instead of re-shuffling
-        # lineitem per consumer
-        .localCheckpoint(eager=True)
-    )
+    # three consumers (order count, pair-gen, part frequencies):
+    # materialize the basket aggregate once instead of re-shuffling
+    # lineitem per consumer
+    baskets = order_baskets(lineitem, max_basket).localCheckpoint(eager=True)
     n_orders = baskets.count()
     pairs = (
         baskets.select(
@@ -332,22 +339,19 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_TOUCH = "(none)"
 
 
-def last_touch_attribution(events: DataFrame) -> DataFrame:
-    """Last-touch attribution: credit each purchase to the nearest
-    PRECEDING non-purchase event of the same user, then roll purchases
-    and value up by touchpoint type.
-
-    One window exchange on ``user_id`` (``last(..., ignorenulls)`` over
-    the open preceding frame) feeding a tiny touchpoint aggregate —
-    first-touch is the same plan with ``first()``. Purchases with no
-    preceding touch credit ``(none)``.
-    """
+def _touch_attribution(events: DataFrame, pick, out_col: str) -> DataFrame:
+    """Shared attribution plan: credit each purchase to a preceding
+    non-purchase event of the same user — ``pick`` chooses which
+    (``F.last`` = last-touch, ``F.first`` = first-touch) — then roll
+    purchases and value up by touchpoint type. One window exchange on
+    ``user_id`` feeding a tiny touchpoint aggregate; purchases with no
+    preceding touch credit ``(none)``."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    touch = F.last(
+    touch = pick(
         F.when(F.col("event_type") != CONVERSION_EVENT, F.col("event_type")),
         ignorenulls=True,
     ).over(w)
@@ -358,7 +362,7 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
             touch.alias("_touch"),
         )
         .filter(F.col("event_type") == CONVERSION_EVENT)
-        .groupBy(F.coalesce("_touch", F.lit(NO_TOUCH)).alias("last_touch"))
+        .groupBy(F.coalesce("_touch", F.lit(NO_TOUCH)).alias(out_col))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             (
@@ -366,6 +370,11 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution (see :func:`_touch_attribution`)."""
+    return _touch_attribution(events, F.last, "last_touch")
 
 
 @register(
@@ -420,30 +429,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of last() over the open preceding frame",
 )
 def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.first(
-        F.when(F.col("event_type") != CONVERSION_EVENT, F.col("event_type")),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        events.select(
-            "event_type",
-            F.col("value").cast("decimal(18,2)").alias("_v"),
-            touch.alias("_touch"),
-        )
-        .filter(F.col("event_type") == CONVERSION_EVENT)
-        .groupBy(F.coalesce("_touch", F.lit(NO_TOUCH)).alias("first_touch"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            (F.floor(F.sum("_v").cast("double") * 100 + 0.5) / 100).alias(
-                "attributed_value"
-            ),
-        )
+    return _touch_attribution(
+        load(spark, sf_dir, "events"), F.first, "first_touch"
     )
 
 
@@ -466,6 +453,12 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
     ranked, n = global_row_number(
         spend.withColumn("_xd", F.col("x").cast("double")), ["_xd", "o_custkey"]
     )
+    if n == 0:
+        # oracle shape on empty input: one row, zero customers, NULL gini
+        spark = orders.sparkSession
+        return spark.createDataFrame(
+            [(0, None)], "n_customers long, gini double"
+        )
     m = ranked.agg(
         F.sum(F.col("x") * F.col("_grn")).cast("double").alias("six"),
         F.sum("x").cast("double").alias("sx"),
