@@ -144,3 +144,104 @@ def test_funnel_stage_counts_are_monotone(spark, rows):
     n_users = ev.select("user_id").distinct().count()
     assert out["n_signup"] >= out["n_click"] >= out["n_purchase"]
     assert out["n_signup"] <= n_users
+
+
+# ---------------------------------------------------- round-5 batch 3/4 ops
+
+from trading_data_pipeline_spark.operators.bi_queries import (  # noqa: E402
+    gini_concentration,
+)
+from trading_data_pipeline_spark.operators.trading_queries import (  # noqa: E402
+    corr_matrix,
+    max_drawdown,
+)
+
+cents_values = st.lists(
+    st.integers(min_value=-10000, max_value=10000).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(vals=cents_values)
+def test_max_drawdown_matches_sequential_reference(spark, vals):
+    """The distributed drawdown equals the obvious O(n) sequential fold
+    for ANY 2-decimal value sequence (decimal-exact, so no tolerance)."""
+    rows = _events([(1, "t", i, v) for i, v in enumerate(vals)])
+    got = max_drawdown(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()[0]
+    equity = peak = mdd = 0.0
+    cents = 0
+    peak_c = None
+    mdd_c = 0
+    for v in vals:
+        cents += round(v * 100)
+        peak_c = cents if peak_c is None else max(peak_c, cents)
+        mdd_c = max(mdd_c, peak_c - cents)
+    assert got.max_drawdown == mdd_c / 100.0
+    assert got.peak_equity == peak_c / 100.0
+    assert got.n_events == len(vals)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.integers(min_value=0, max_value=10000), min_size=1, max_size=25))
+def test_gini_matches_numpy_reference_and_bounds(spark, vals):
+    """Gini equals the sorted-rank formula computed directly, and always
+    lands in [0, (n-1)/n]."""
+    import math
+
+    rows = [
+        (i, i, "O", c / 100.0, dt.datetime(2024, 1, 1, 12), "1-URGENT")
+        for i, c in enumerate(vals)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = gini_concentration(orders).collect()[0]
+    n = len(vals)
+    sx = sum(vals)
+    if sx == 0:
+        assert r.gini is None or r.gini == 0.0 or math.isnan(r.gini)
+        return
+    # tie-break by customer key == by original index for equal values;
+    # G is invariant to tie order, so plain stable sort suffices
+    ordered = sorted(range(n), key=lambda i: (vals[i] / 100.0, i))
+    six = sum((rank + 1) * vals[i] / 100.0 for rank, i in enumerate(ordered))
+    want = 2.0 * six / (n * (sx / 100.0)) - (n + 1.0) / n
+    assert r.n_customers == n
+    assert abs(r.gini - want) <= 2e-6  # quantization step
+    assert -1e-9 <= r.gini <= (n - 1) / n + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    days=st.integers(min_value=3, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_corr_matrix_matches_numpy(spark, days, seed):
+    """Pairwise correlation equals numpy.corrcoef on the per-day series
+    (within the 1e-6 quantization step) for arbitrary 2-type data."""
+    import numpy as np
+
+    rng = [(seed * 9301 + i * 49297) % 233280 / 233280.0 for i in range(2 * days)]
+    a = [round(1 + 10 * x, 2) for x in rng[:days]]
+    b = [round(1 + 10 * x, 2) for x in rng[days:]]
+    rows = []
+    eid = 0
+    for d in range(days):
+        for typ, v in (("A", a[d]), ("B", b[d])):
+            rows.append((eid, dt.datetime(2024, 1, d + 1, 12), 1, typ, v, "{}"))
+            eid += 1
+    out = corr_matrix(
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+    ).collect()
+    got = {(r.ta, r.tb): r.corr for r in out}[("A", "B")]
+    want = float(np.corrcoef(a, b)[0, 1])
+    if np.isnan(want):  # constant series → NULL on the Spark side
+        assert got is None
+    else:
+        assert abs(got - want) <= 2e-6

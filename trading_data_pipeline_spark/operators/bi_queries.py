@@ -464,11 +464,16 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
         F.sum("x").cast("double").alias("sx"),
     )
     n_d = float(n)
+    # zero total spend → the share-based coefficient is undefined (NULL),
+    # not a division error (found by the hypothesis property test)
     return m.select(
         F.lit(n).alias("n_customers"),
-        _q(
-            2.0 * F.col("six") / (n_d * F.col("sx")) - (n_d + 1.0) / n_d,
-            1000000,
+        F.when(
+            F.col("sx") > 0,
+            _q(
+                2.0 * F.col("six") / (n_d * F.col("sx")) - (n_d + 1.0) / n_d,
+                1000000,
+            ),
         ).alias("gini"),
     )
 
@@ -490,9 +495,11 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
       FROM r
     )
     SELECT n AS n_customers,
-           floor((2.0 * six / (CAST(n AS DOUBLE) * sx)
-                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
-                 * 1000000 + 0.5) / 1000000 AS gini
+           CASE WHEN sx > 0 THEN
+             floor((2.0 * six / (CAST(n AS DOUBLE) * sx)
+                    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS gini
     FROM m
     """,
     doc="Gini coefficient of customer spend: decimal-exact rank moment "
