@@ -245,3 +245,62 @@ def test_corr_matrix_matches_numpy(spark, days, seed):
         assert got is None
     else:
         assert abs(got - want) <= 2e-6
+
+
+from trading_data_pipeline_spark.operators.trading_queries import (  # noqa: E402
+    mad_outliers,
+    vwap_bars,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    trades=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9999).map(lambda c: c / 100.0),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_vwap_lies_within_bar_range(spark, trades):
+    """A volume-weighted average of prices can never leave [low, high],
+    and volume/n_trades must total the inputs — for ANY trade tape."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 9, 0, i % 60), 1, "t", p, '{"k": %d}' % q)
+        for i, (p, q) in enumerate(trades)
+    ]
+    bars = vwap_bars(
+        spark.createDataFrame(rows, EVENT_SCHEMA), bar_seconds=86400
+    ).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert b.low - 1e-9 <= b.vwap <= b.high + 1e-9
+    assert b.volume == sum(q for _, q in trades)
+    assert b.n_trades == len(trades)
+    assert b.low == min(p for p, _ in trades)
+    assert b.high == max(p for p, _ in trades)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5000, max_value=5000).map(lambda c: c / 100.0),
+        min_size=3,
+        max_size=25,
+    ),
+    shift=st.sampled_from([-40.0, -7.25, 13.5, 100.0]),
+)
+def test_mad_outlier_count_is_shift_invariant(spark, vals, shift):
+    """Median and MAD are shift-equivariant/-invariant, so adding a
+    constant to every value must not change which rows are outliers."""
+    def run(vs):
+        rows = _events([(1, "t", i, v) for i, v in enumerate(vs)])
+        r = mad_outliers(spark.createDataFrame(rows, EVENT_SCHEMA)).collect()[0]
+        return r.n_outliers, r.mad_value
+
+    base_n, base_mad = run(vals)
+    shifted_n, shifted_mad = run([v + shift for v in vals])
+    assert shifted_n == base_n
+    assert shifted_mad == base_mad
