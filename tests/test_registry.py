@@ -32,3 +32,10 @@ def test_oracle_coverage_accounting():
         # answers is pinned in tests/test_sketches.py
         "q_hll_rollup", "q_theta_overlap", "q_kll_quantiles",
     }, sorted(rows_only)
+
+
+def test_every_query_has_a_doc():
+    """The operator index is generated from registry docs — an empty doc
+    produces a blank row, so every registration must describe itself."""
+    missing = [n for n, s in all_queries().items() if not (s.doc or "").strip()]
+    assert not missing, missing
