@@ -343,3 +343,36 @@ def test_prune_everything_returns_empty_with_schema(spark, sf_dir, tmp_path):
     pruned = prune_files_by_stats(spark, out, stats, "l_orderkey", -10, -5)
     assert pruned.count() == 0
     assert pruned.columns == ["l_orderkey"]
+
+
+def test_snapshot_diff_semantics(spark):
+    """added/removed/changed classification incl. the all-NULL-payload
+    edge (presence must come from join-side markers, not data columns)
+    and null-safe changed detection (NULL -> value is a change)."""
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        snapshot_diff,
+    )
+
+    schema = "k long, a string, b double"
+    old = spark.createDataFrame(
+        [
+            (1, "x", 1.0),     # unchanged
+            (2, "y", 2.0),     # changed (b)
+            (3, None, None),   # all-NULL payload, present in both, unchanged
+            (4, "z", 4.0),     # removed
+            (6, None, 6.0),    # NULL -> value = changed
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "x", 1.0),
+            (2, "y", 2.5),
+            (3, None, None),
+            (5, "w", 5.0),     # added
+            (6, "q", 6.0),
+        ],
+        schema,
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {2: "changed", 4: "removed", 5: "added", 6: "changed"}

@@ -31,6 +31,7 @@ def test_oracle_coverage_accounting():
         # DataSketches estimates are engine-specific; accuracy vs exact
         # answers is pinned in tests/test_sketches.py
         "q_hll_rollup", "q_theta_overlap", "q_kll_quantiles",
+        "q_semijoin_selectivity",
     }, sorted(rows_only)
 
 

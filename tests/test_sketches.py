@@ -122,3 +122,16 @@ def test_sketch_aggs_have_partial_aggregation(spark, sf_dir):
     plan = formatted_plan_of(user_sketches(load(spark, sf_dir, "events")))
     assert "ObjectHashAggregate" in plan, plan
     assert "partial_hll_sketch_agg" in plan, plan
+
+
+def test_semijoin_selectivity_matches_exact_overlap(spark, sf_dir, queries):
+    r = queries["q_semijoin_selectivity"].fn(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    fact_keys = {x.k for x in li.select(F.col("l_partkey").alias("k")).distinct().collect()}
+    dim_keys = {x.k for x in pt.select(F.col("p_partkey").alias("k")).distinct().collect()}
+    _close(r.est_fact_keys, len(fact_keys))
+    _close(r.est_dim_keys, len(dim_keys))
+    _close(r.est_matching, len(fact_keys & dim_keys))
+    want_sel = len(fact_keys & dim_keys) / len(dim_keys)
+    assert abs(r.dim_selectivity - want_sel) <= 0.05

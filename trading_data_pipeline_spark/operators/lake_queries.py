@@ -596,3 +596,96 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.filter(
         F.col("l_orderkey").between(PRUNE_LO, PRUNE_HI)
     ).select("l_orderkey", "l_extendedprice")
+
+
+# -------------------------------------------------------- snapshot diffing
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Reconciliation diff between two table versions: per key, is the
+    row ``added`` (new only), ``removed`` (old only), or ``changed``
+    (present in both with any non-key column differing, null-safely)?
+    Unchanged keys are dropped — at migration/backfill scale the diff
+    output is change-sized, not table-sized.
+
+    One full-outer hash join on the key; the column comparison is a
+    null-safe conjunction evaluated inside the join's projection (no
+    second pass, no row hashing — hashing would false-positive on hash
+    collisions and force a canonical serialization; a direct <=> per
+    column is exact and codegen'd).
+    """
+    cols = [c for c in old.columns if c != key]
+    assert old.columns == new.columns, "snapshot_diff requires equal schemas"
+    o = old.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_o_{c}") for c in cols]
+    )
+    n = new.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_n_{c}") for c in cols]
+    )
+    # presence flags come from join-side marker columns, not data columns
+    # (an all-NULL data row would otherwise read as absent)
+    o = o.withColumn("_in_o", F.lit(True))
+    n = n.withColumn("_in_n", F.lit(True))
+    joined = o.join(n, "_k", "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_o").isNull(), "added")
+        .when(F.col("_in_n").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        joined.select(F.col("_k").alias(key), change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 != 0
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(1.00 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN NOT (old.o_custkey IS NOT DISTINCT FROM new.o_custkey
+                          AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+                  THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE (CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN NOT (old.o_custkey IS NOT DISTINCT FROM new.o_custkey
+                          AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+                  THEN 'changed' END) IS NOT NULL
+    """,
+    doc="Version reconciliation: added/removed/changed keys between two "
+    "snapshot derivations of orders (simulated prior/current versions) "
+    "— one full-outer key join, null-safe per-column compare, "
+    "change-sized output; the migration-audit twin of q_cdc_apply",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    bump = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        + F.lit(1.00).cast("decimal(18,2)")
+    ).cast("double")
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, bump).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, "o_orderkey")

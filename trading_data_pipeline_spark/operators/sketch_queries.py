@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..registry import load, register
 
 HLL_LGK = 12  # 2^12 registers — ~0.8% relative standard error
@@ -135,4 +136,36 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for p in KLL_QUANTILES
         ],
+    )
+
+
+@register(
+    "q_semijoin_selectivity",
+    None,  # theta estimates are engine-specific → rows-only
+    doc="Join-planning statistics from sketches: estimate how many of "
+    "part's keys the lineitem fact actually references (theta-sketch "
+    "intersection of the two key sets) WITHOUT a distinct-join — the "
+    "selectivity number that justifies a Bloom/DPP runtime filter "
+    "(q_bloom_join) before paying for it. One partial-aggregated pass "
+    "per side, constant-size estimate state; accuracy vs the exact "
+    "overlap pinned in tests/test_sketches.py",
+)
+def q_semijoin_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").agg(
+        F.theta_sketch_agg("l_partkey").alias("s")
+    )
+    pt = load(spark, sf_dir, "part").agg(
+        F.theta_sketch_agg("p_partkey").alias("s")
+    )
+    both = li.select(F.col("s").alias("fact")).crossJoin(
+        pt.select(F.col("s").alias("dim"))
+    )  # two one-row frames
+    est_fact = F.theta_sketch_estimate("fact")
+    est_dim = F.theta_sketch_estimate("dim")
+    est_match = F.theta_sketch_estimate(F.theta_intersection("fact", "dim"))
+    return both.select(
+        est_fact.alias("est_fact_keys"),
+        est_dim.alias("est_dim_keys"),
+        est_match.alias("est_matching"),
+        _q(est_match.cast("double") / est_dim, 10000).alias("dim_selectivity"),
     )
