@@ -82,6 +82,8 @@ EXTRAS = [
     "q_corr_matrix",
     "q_drift_tvd",
     "q_time_to_convert",
+    "q_snapshot_diff",
+    "q_semijoin_selectivity",
 ]
 
 RUNS = 3

@@ -596,3 +596,17 @@ def test_corr_matrix_scans_raw_stream_once(spark, sf_dir, queries):
     plan = formatted_plan_of(queries["q_corr_matrix"].fn(spark, sf_dir))
     assert plan.count("events.parquet") <= 2, plan  # one per join leg at most
     assert "SinglePartition" not in plan_of(queries["q_corr_matrix"].fn(spark, sf_dir))
+
+
+def test_snapshot_diff_is_one_key_join(spark, sf_dir, queries):
+    plan = plan_of(queries["q_snapshot_diff"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_semijoin_selectivity_partial_aggregates(spark, sf_dir, queries):
+    """Sketch builds must partial-aggregate: the exchanges carry sketch
+    bytes, never raw keys (the one-row cross join at the top is two
+    scalar frames)."""
+    plan = formatted_plan_of(queries["q_semijoin_selectivity"].fn(spark, sf_dir))
+    assert "partial_theta_sketch_agg" in plan, plan
