@@ -546,3 +546,40 @@ def test_drift_tvd_hand_built(spark):
     out = {r.event_type: r.tvd for r in drift_tvd(events).collect()}
     assert out["S"] == 0.0
     assert out["D"] == 1.0
+
+
+def test_time_to_convert_hand_built(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.registry import all_queries
+
+    queries = all_queries()
+
+    rows = [
+        # user 1: signup at t0, purchase 90s later
+        (0, dt.datetime(2024, 1, 1, 9, 0, 0), 1, "signup", 0.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 9, 1, 30), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE signup → not converted
+        (2, dt.datetime(2024, 1, 1, 9, 0, 0), 2, "purchase", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9, 5, 0), 2, "signup", 0.0, "{}"),
+        # user 3: signup only → not converted
+        (4, dt.datetime(2024, 1, 1, 9, 0, 0), 3, "signup", 0.0, "{}"),
+        # user 4: signup, purchase 30s later
+        (5, dt.datetime(2024, 1, 2, 9, 0, 0), 4, "signup", 0.0, "{}"),
+        (6, dt.datetime(2024, 1, 2, 9, 0, 30), 4, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            pass  # only events is read by this query
+        r = queries["q_time_to_convert"].fn(spark, d).collect()[0]
+    assert r.n_converted == 2
+    assert r.min_secs == 30 and r.max_secs == 90
+    assert r.p50_secs == 60.0  # midpoint interpolation of {30, 90}

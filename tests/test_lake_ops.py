@@ -376,3 +376,39 @@ def test_snapshot_diff_semantics(spark):
     )
     out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
     assert out == {2: "changed", 4: "removed", 5: "added", 6: "changed"}
+
+
+def test_snapshot_diff_identity_and_symmetry(spark, sf_dir):
+    """diff(x, x) is empty, and swapping the sides swaps added<->removed
+    while 'changed' keys are identical — the algebra a reconciliation
+    report must satisfy."""
+    from collections import Counter
+
+    from trading_data_pipeline_spark.operators.lake_queries import (
+        snapshot_diff,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    assert snapshot_diff(orders, orders, "o_orderkey").count() == 0
+
+    from pyspark.sql import functions as F
+
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    fwd = Counter(
+        r.change_type for r in snapshot_diff(old, new, "o_orderkey").collect()
+    )
+    rev = Counter(
+        r.change_type for r in snapshot_diff(new, old, "o_orderkey").collect()
+    )
+    assert fwd["added"] == rev["removed"]
+    assert fwd["removed"] == rev["added"]
+    assert fwd["changed"] == rev["changed"] > 0
