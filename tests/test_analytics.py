@@ -575,10 +575,8 @@ def test_time_to_convert_hand_built(spark):
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
+        # only the events table is read by this query
         events.write.mode("overwrite").parquet(f"{d}/events.parquet")
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"):
-            pass  # only events is read by this query
         r = queries["q_time_to_convert"].fn(spark, d).collect()[0]
     assert r.n_converted == 2
     assert r.min_secs == 30 and r.max_secs == 90
