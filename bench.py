@@ -84,6 +84,7 @@ EXTRAS = [
     "q_time_to_convert",
     "q_snapshot_diff",
     "q_semijoin_selectivity",
+    "q_bfs_levels",
 ]
 
 RUNS = 3

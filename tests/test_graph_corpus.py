@@ -59,3 +59,33 @@ def test_cooccurrence_hand_built(spark):
     r = out[("alpha", "beta")]
     assert (r.c_ab, r.c_a, r.c_b) == (2, 3, 2)
     assert r.pmi_ratio == round(2 * 4 / (3 * 2), 4)  # 1.3333
+
+
+def test_bfs_levels_hand_built(spark):
+    """Path 1-2-3-4 with source {1}: levels 0,1,2,3; isolated source 9
+    stays at level 0; unreachable node never appears."""
+    from trading_data_pipeline_spark.operators.graph_queries import bfs_levels
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (7, 8)])
+    sources = spark.createDataFrame([(1,), (9,)], "node long")
+    out = {r.node: r.level for r in bfs_levels(edges, sources).collect()}
+    assert out == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_min_distance_over_multiple_paths(spark):
+    """A node reachable via a short and a long path gets the SHORT one
+    (BFS first-discovery), and the depth cap truncates the frontier."""
+    from trading_data_pipeline_spark.operators.graph_queries import bfs_levels
+
+    # 1-5 direct, and 1-2-3-4-5 long way; also a chain past the cap
+    edges = _edges(
+        spark,
+        [(1, 5), (1, 2), (2, 3), (3, 4), (4, 5),
+         (5, 6), (6, 7), (7, 8), (8, 9)],
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.level for r in bfs_levels(edges, sources, max_depth=3).collect()}
+    assert out[5] == 1  # short path wins
+    assert out[2] == 1 and out[3] == 2 and out[4] == 2  # 4 via 5 at level 2
+    assert out[6] == 2 and out[7] == 3
+    assert 8 not in out  # beyond the cap

@@ -214,3 +214,91 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), threshold=TRIANGLE_COS
     ).localCheckpoint(eager=True)
     return triangle_counts(edges)
+
+
+# ------------------------------------------------------------- BFS levels
+
+BFS_MAX_DEPTH = 6
+BFS_SOURCE_MOD = 100  # vec_id % 100 == 0 rows seed the traversal
+
+
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_depth: int = BFS_MAX_DEPTH
+) -> DataFrame:
+    """Shortest hop distance (BFS level) from a source set over an
+    undirected (id_a < id_b) edge list, capped at ``max_depth``.
+
+    Same iterative discipline as :func:`pagerank` / ``dup_clusters``:
+    per round ONE join of the frontier against the edge list plus an
+    anti-join against the visited set, lineage truncated with
+    ``localCheckpoint``, O(max_depth) rounds, and the only driver-side
+    value per round is the frontier's emptiness probe. BFS discovers
+    each node first at its minimum level, so the result is exactly
+    min-hop-distance — deterministic, which is what lets the oracle be
+    a recursive CTE. Output: (node, level) for every reachable node.
+    """
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    levels = sources.select(
+        F.col("node"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = levels
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("level"))
+            .join(levels.select("node"), "node", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return levels
+
+
+@register(
+    "q_bfs_levels",
+    f"""
+    WITH RECURSIVE ed AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {TRIANGLE_COS}
+    ), e AS (
+      SELECT src, dst FROM ed
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM ed
+    ), walk(node, level) AS (
+      SELECT vec_id, 0 FROM embeddings WHERE vec_id % {BFS_SOURCE_MOD} = 0
+      UNION
+      SELECT e.dst, w.level + 1
+      FROM walk w JOIN e ON w.node = e.src
+      WHERE w.level < {BFS_MAX_DEPTH}
+    )
+    SELECT node, min(level) AS level FROM walk GROUP BY node
+    """,
+    doc="BFS shortest-hop levels from seed vectors over the cosine>=0.2 "
+    "similarity graph (the q_triangle_count edge derivation): frontier "
+    "join + visited anti-join per round, O(max_depth) rounds, "
+    "localCheckpoint-truncated lineage. The oracle is a recursive CTE — "
+    "BFS first-discovery level equals min hop distance, so the "
+    "iterative plan is value-checkable, not just rows-only",
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = embedding_near_dup_pairs(
+        emb, threshold=TRIANGLE_COS
+    ).localCheckpoint(eager=True)
+    sources = emb.filter(F.col("vec_id") % BFS_SOURCE_MOD == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return bfs_levels(edges, sources)
