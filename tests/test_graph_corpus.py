@@ -89,3 +89,17 @@ def test_bfs_levels_min_distance_over_multiple_paths(spark):
     assert out[2] == 1 and out[3] == 2 and out[4] == 2  # 4 via 5 at level 2
     assert out[6] == 2 and out[7] == 3
     assert 8 not in out  # beyond the cap
+
+
+def test_similarity_edges_build_once_per_corpus(spark, sf_dir):
+    """The graph queries must reuse one cached edge list per
+    (session, corpus, threshold) — a rebuild per query is the IVF
+    anti-pattern applied to graphs."""
+    from trading_data_pipeline_spark.operators.graph_queries import (
+        similarity_edges_for,
+    )
+
+    e1 = similarity_edges_for(spark, sf_dir)
+    e2 = similarity_edges_for(spark, sf_dir)
+    assert e1 is e2
+    assert e1.count() == e2.count() > 0

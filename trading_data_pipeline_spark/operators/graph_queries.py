@@ -153,6 +153,29 @@ def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRIANGLE_COS = 0.2  # similarity-edge threshold for the triangle graph
 
+# Build-once / traverse-many: the cosine edge list for a given corpus and
+# threshold is derived once per process and reused by every graph query
+# (triangles, BFS) — the same rule the IVF index follows (an index rebuild
+# per query was the round-3 scale anti-pattern). Keyed by (application id,
+# sf_dir, threshold): a checkpointed DataFrame must not outlive its
+# SparkSession.
+_EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def similarity_edges_for(
+    spark: SparkSession, sf_dir: str, threshold: float = TRIANGLE_COS
+) -> DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    edges = _EDGE_CACHE.get(key)
+    if edges is None:
+        edges = embedding_near_dup_pairs(
+            load(spark, sf_dir, "embeddings"), threshold=threshold
+        ).localCheckpoint(eager=True)
+        _EDGE_CACHE[key] = edges
+    return edges
+
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation over an (id_a < id_b) edge list.
@@ -205,15 +228,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     "community detection over near-dup graphs",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import embedding_near_dup_pairs
-
-    # the edge list feeds three join legs — materialize the (small)
-    # cosine self-join result once instead of recomputing it per leg
-    # (same pattern as the PageRank edge list)
-    edges = embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=TRIANGLE_COS
-    ).localCheckpoint(eager=True)
-    return triangle_counts(edges)
+    # build-once edge list (shared with q_bfs_levels), three join legs
+    return triangle_counts(similarity_edges_for(spark, sf_dir))
 
 
 # ------------------------------------------------------------- BFS levels
@@ -292,13 +308,10 @@ def bfs_levels(
     "iterative plan is value-checkable, not just rows-only",
 )
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import embedding_near_dup_pairs
-
-    emb = load(spark, sf_dir, "embeddings")
-    edges = embedding_near_dup_pairs(
-        emb, threshold=TRIANGLE_COS
-    ).localCheckpoint(eager=True)
-    sources = emb.filter(F.col("vec_id") % BFS_SOURCE_MOD == 0).select(
-        F.col("vec_id").alias("node")
+    edges = similarity_edges_for(spark, sf_dir)
+    sources = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % BFS_SOURCE_MOD == 0)
+        .select(F.col("vec_id").alias("node"))
     )
     return bfs_levels(edges, sources)
