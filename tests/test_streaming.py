@@ -814,3 +814,65 @@ def test_wap_previous_version_survives_until_publish(spark, sf_dir, tmp_path):
     assert spark.read.parquet(final).count() == 5 != v1
     assert not os.path.exists(final + "._staging")
     assert not os.path.exists(final + "._old")
+
+
+def test_streaming_drift_monitor_matches_batch_tvd(spark, sf_dir, tmp_path):
+    """The foreachBatch drift monitor must land on exactly the TVD that
+    a batch computation of (reference vs staged-input) histograms gives,
+    and replaying a batch must not duplicate metric rows."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.streaming.jobs import stream_events
+    from trading_data_pipeline_spark.streaming.sinks import (
+        make_drift_monitor,
+        value_shares,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).collect()[0][0]
+    reference = ev.filter(ts_us <= cut)
+    serving = ev.filter(ts_us > cut)
+    src = str(tmp_path / "serve")
+    serving.coalesce(2).write.parquet(src)
+
+    metrics_path = str(tmp_path / "metrics")
+    monitor = make_drift_monitor(reference, metrics_path)
+    q = (
+        stream_events(spark, src)
+        .writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        r.event_type: (r.tvd, r.n_events)
+        for r in spark.read.parquet(metrics_path).collect()
+    }
+    # batch twin: same histograms, same fold
+    ref_h = value_shares(reference, 10, 20.0).withColumnRenamed("p", "q")
+    cur_h = value_shares(spark.read.parquet(src), 10, 20.0)
+    want_df = (
+        cur_h.join(ref_h, ["event_type", "b"], "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+        .groupBy("event_type")
+        .agg((F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0).alias("tvd"))
+    )
+    want = {r.event_type: r.tvd for r in want_df.collect()}
+    assert set(got) == set(want) and want
+    for t, w in want.items():
+        assert abs(got[t][0] - w) < 1e-12, (t, got[t][0], w)
+        assert 0.0 <= got[t][0] <= 1.0
+
+    # replaying the same batch overwrites its own partition — no dupes
+    n_before = spark.read.parquet(metrics_path).count()
+    monitor(spark.read.parquet(src), 0)
+    assert spark.read.parquet(metrics_path).count() == n_before

@@ -273,3 +273,80 @@ def write_stream_cdc(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------- drift monitor sink
+
+def value_shares(df: DataFrame, buckets: int, vmax: float) -> DataFrame:
+    """Per-(event_type, bucket) share of ``value`` under the fixed-bound
+    bucketing operators.analytics_queries.drift_tvd uses — the
+    histogram both the reference and each micro-batch are reduced to."""
+    width = vmax / buckets
+    b = F.greatest(
+        F.least(F.floor(F.col("value") / width), F.lit(buckets - 1)), F.lit(0)
+    )
+    counts = (
+        df.select("event_type", b.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return counts.join(totals, "event_type").select(
+        "event_type", "b", (F.col("n") / F.col("t")).alias("p")
+    )
+
+
+def make_drift_monitor(
+    reference: DataFrame,
+    metrics_path: str,
+    buckets: int = 10,
+    vmax: float = 20.0,
+):
+    """foreachBatch sink: score each micro-batch's value distribution
+    against a frozen REFERENCE histogram (training/launch window) and
+    append one (batch_id, event_type, n_events, tvd) row per type to a
+    metrics table — the train/serve drift monitor run inside the
+    ingest stream instead of as a nightly batch.
+
+    The reference is collected ONCE (bucket-count-sized — planning
+    metadata, not data) and folded into every batch's plan as a literal
+    frame. Replay-idempotent: metrics land under their ``_batch_id``
+    partition with dynamic overwrite, the make_meta_sink rule.
+    """
+    ref_rows = [
+        (r["event_type"], int(r["b"]), float(r["p"]))
+        for r in value_shares(reference, buckets, vmax).collect()
+    ]
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ref = spark.createDataFrame(
+            ref_rows, "event_type string, b int, q double"
+        )
+        cur = value_shares(batch_df, buckets, vmax)
+        merged = cur.join(ref, ["event_type", "b"], "full_outer").select(
+            "event_type",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+        n_by_type = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        metrics = (
+            merged.groupBy("event_type")
+            .agg((F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0).alias("tvd"))
+            .join(n_by_type, "event_type")
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            metrics.write.mode("overwrite").partitionBy("_batch_id").parquet(
+                metrics_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return monitor
