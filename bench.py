@@ -85,6 +85,8 @@ EXTRAS = [
     "q_snapshot_diff",
     "q_semijoin_selectivity",
     "q_bfs_levels",
+    "q_share_of_parent",
+    "q_pps_sample",
 ]
 
 RUNS = 3

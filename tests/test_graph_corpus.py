@@ -103,3 +103,37 @@ def test_similarity_edges_build_once_per_corpus(spark, sf_dir):
     e2 = similarity_edges_for(spark, sf_dir)
     assert e1 is e2
     assert e1.count() == e2.count() > 0
+
+
+def test_pps_sample_properties(spark, sf_dir):
+    """PPS systematic sampling: pick count ~= target, every
+    heavier-than-step document is certainly included, and the draw is
+    deterministic (same input → same picks)."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        PPS_TARGET,
+        pps_sample,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    picks1 = sorted(r.doc_id for r in pps_sample(docs).collect())
+    picks2 = sorted(r.doc_id for r in pps_sample(docs).collect())
+    assert picks1 == picks2 and picks1
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    step = max(1, total // PPS_TARGET)
+    # systematic PPS picks floor(total/step) +- (# items spanning >1 step)
+    assert abs(len(picks1) - PPS_TARGET) <= PPS_TARGET  # sane magnitude
+    heavy = {r.doc_id for r in docs.filter(F.col("n_chars") >= step).collect()}
+    assert heavy <= set(picks1)
+
+
+def test_pps_sample_certainty_inclusion_hand_built(spark):
+    from trading_data_pipeline_spark.operators.corpus_queries import pps_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 10) for i in range(20)]
+        + [(99, "t", "en", "s", 1000)],  # a whale: 1000 of 1200 total
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    picks = {r.doc_id for r in pps_sample(docs, target=4).collect()}
+    assert 99 in picks  # weight >= step → certain inclusion

@@ -508,3 +508,76 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
 )
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "q_share_of_parent",
+    """
+    WITH cn AS (
+      SELECT c.c_nationkey, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ), lvl AS (
+      SELECT r.r_name AS region, n.n_name AS nation, cn.rev
+      FROM cn
+      JOIN nation n ON cn.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), reg AS (
+      SELECT region, sum(rev) AS reg_rev FROM lvl GROUP BY region
+    ), tot AS (
+      SELECT sum(rev) AS total FROM lvl
+    )
+    SELECT lvl.region, lvl.nation,
+           CAST(lvl.rev AS DOUBLE) AS revenue,
+           floor(CAST(lvl.rev AS DOUBLE) / CAST(reg.reg_rev AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS share_of_region,
+           floor(CAST(reg.reg_rev AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS region_share_of_total
+    FROM lvl JOIN reg USING (region) CROSS JOIN tot
+    """,
+    doc="Percent-of-parent drilldown (nation within region within "
+    "total): three aggregate levels from ONE fact pass, shares as "
+    "single divisions of decimal-exact sums; the region and total "
+    "levels are group-cardinality-sized and fold back as broadcasts — "
+    "the classic BI drilldown without window re-scans of the fact",
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cn = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    lvl = (
+        cn.join(nation, cn["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "rev",
+        )
+    )
+    reg = lvl.groupBy("region").agg(F.sum("rev").alias("reg_rev"))
+    tot = lvl.agg(F.sum("rev").alias("total"))
+    return (
+        lvl.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            _q(
+                F.col("rev").cast("double") / F.col("reg_rev").cast("double"),
+                1000000,
+            ).alias("share_of_region"),
+            _q(
+                F.col("reg_rev").cast("double") / F.col("total").cast("double"),
+                1000000,
+            ).alias("region_share_of_total"),
+        )
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.global_rank import global_cumsum
 from ..plans.parallelism import ensure_parallelism
 from ..registry import load, register
 from .dedup import hashed_shingles
@@ -461,3 +462,61 @@ def cooccurrence_pairs(
 )
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------- PPS systematic sampling
+
+PPS_TARGET = 50  # aim for ~this many picks
+
+
+def pps_sample(
+    docs: DataFrame, weight_col: str = "n_chars", target: int = PPS_TARGET
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample: walk the
+    corpus in key order accumulating integral weights; a document is
+    picked whenever the running total crosses a step boundary
+    (step = total // target). Inclusion probability is ∝ weight, every
+    document with weight ≥ step is picked with certainty, and the whole
+    thing is deterministic integer arithmetic — no RNG, reproducible
+    across engines and runs (the corpus-curation sampler for "sample
+    tokens, not documents").
+
+    Scale design: the running total is the two-pass bucketed
+    ``plans.global_rank.global_cumsum`` — no SinglePartition window; the
+    selection predicate is a per-row integer comparison.
+    """
+    cum, total = global_cumsum(
+        docs.select("doc_id", weight_col), ["doc_id"], weight_col
+    )
+    step = max(1, total // target)
+    # integer DIV, not float division: exact at any cumulative magnitude
+    # (a double quotient goes lossy past 2^53 total weight)
+    take = F.expr(
+        f"_gcum DIV {step} > (_gcum - {weight_col}) DIV {step}"
+    )
+    return cum.filter(take).select("doc_id", weight_col)
+
+
+@register(
+    "q_pps_sample",
+    f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM documents
+    ), t AS (
+      SELECT greatest(1, sum(n_chars) // {PPS_TARGET}) AS step FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM c, t
+    WHERE cum // step > (cum - n_chars) // step
+    """,
+    doc="Deterministic PPS systematic sample (~50 docs drawn with "
+    "probability proportional to n_chars): exact integer running total "
+    "via the two-pass bucketed global cumsum (no SinglePartition "
+    "window), step-boundary selection — the token-weighted sampler a "
+    "curation pipeline uses instead of uniform doc sampling",
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pps_sample(load(spark, sf_dir, "documents"))

@@ -93,3 +93,53 @@ def global_ntile(
             F.lit(rem > 0) & (rank <= head), ((rank - 1) / (base + 1)).cast("long") + 1
         ).otherwise(F.lit(rem) + ((rank - F.lit(head) - 1) / base).cast("long") + 1)
     return ranked.withColumn(out_col, tile.cast("int")).drop("_grn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact running ``sum(value_col) OVER (ORDER BY order_cols)`` (long
+    arithmetic) without a SinglePartition window — the cumulative twin of
+    :func:`global_row_number`: quantile-bucket on ``order_cols[0]``,
+    per-bucket windowed cumsum, exact per-bucket totals folded back as
+    literal offsets. Returns (df + ``_gcum`` column, grand total).
+    ``value_col`` must be integral (exact sums; callers lift decimals to
+    cents the way the drawdown/MAD family does)."""
+    spark = df.sparkSession
+    key = order_cols[0]
+    nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    cuts = df.select(
+        F.expr(f"approx_percentile({key}, array({probs}), 10000)").alias("c")
+    ).first()["c"] or []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bucket)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("_lc", F.sum(value_col).over(w))
+
+    sums = {
+        r["_bkt"]: r["s"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    total = int(sum(sums.values())) if sums else 0
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += int(sums[b])
+    if not offsets:
+        return df.withColumn("_gcum", F.lit(0).cast("long")), 0
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    cum = F.element_at(off_map, F.col("_bkt")) + F.col("_lc")
+    return local.withColumn("_gcum", cum.cast("long")).drop("_bkt", "_lc"), total

@@ -111,7 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     # q_cooccurrence, q_triangle_count, q_file_stats, q_hll_rollup,
     # q_theta_overlap, q_kll_quantiles, q_pruned_scan, q_attribution,
     # q_first_touch, q_corr_matrix, q_market_beta, q_gini,
-    # q_drift_tvd, q_time_to_convert, q_snapshot_diff, q_semijoin_selectivity, q_bfs_levels
+    # q_drift_tvd, q_time_to_convert, q_snapshot_diff, q_semijoin_selectivity, q_bfs_levels,
+    # q_share_of_parent, q_pps_sample
     "q_skyline",
     # SURVEY §2 report1 micro-family + io/meta protocol (q_project /
     # q_dropna / q_rename / q_round / q_filter_date rotate out this
