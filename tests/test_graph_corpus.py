@@ -121,8 +121,18 @@ def test_pps_sample_properties(spark, sf_dir):
     assert picks1 == picks2 and picks1
     total = docs.agg(F.sum("n_chars")).collect()[0][0]
     step = max(1, total // PPS_TARGET)
-    # systematic PPS picks floor(total/step) +- (# items spanning >1 step)
-    assert abs(len(picks1) - PPS_TARGET) <= PPS_TARGET  # sane magnitude
+    # exact expected pick set: sequential simulation of the same walk
+    rows = sorted(
+        ((r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect())
+    )
+    cum = 0
+    want = []
+    for doc_id, w in rows:
+        prev = cum
+        cum += w
+        if cum // step > prev // step:
+            want.append(doc_id)
+    assert picks1 == want
     heavy = {r.doc_id for r in docs.filter(F.col("n_chars") >= step).collect()}
     assert heavy <= set(picks1)
 

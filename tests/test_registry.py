@@ -40,3 +40,22 @@ def test_every_query_has_a_doc():
     produces a blank row, so every registration must describe itself."""
     missing = [n for n, s in all_queries().items() if not (s.doc or "").strip()]
     assert not missing, missing
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md is generated from the registry; a stale committed
+    copy (someone registered a query without re-running
+    tools/gen_operator_index.py) must fail loudly here."""
+    import os
+
+    qs = all_queries()
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "OPERATORS.md",
+    )
+    with open(path) as f:
+        content = f.read()
+    for name in qs:
+        assert f"| `{name}` |" in content, f"{name} missing from docs/OPERATORS.md"
+    assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"

@@ -809,6 +809,21 @@ DRIFT_BUCKETS = 10
 DRIFT_VMAX = 20.0  # fixed bucket bounds: [0, 2, 4, ..., 18, inf)
 
 
+def drift_bucket(
+    col: str = "value", buckets: int = DRIFT_BUCKETS, vmax: float = DRIFT_VMAX
+):
+    """THE fixed-bound drift bucketing, shared by the batch q_drift_tvd
+    and the streaming drift monitor (streaming/sinks.make_drift_monitor)
+    so the two can never silently diverge: floor(value/width) clamped to
+    [0, buckets-1]."""
+    return F.greatest(
+        F.least(
+            F.floor(F.col(col) / (vmax / buckets)), F.lit(buckets - 1)
+        ),
+        F.lit(0),
+    )
+
+
 def drift_tvd(events: DataFrame) -> DataFrame:
     """Distribution drift of ``value`` between the first and second half
     of the stream (by event time), per event type, as the TOTAL
@@ -827,13 +842,7 @@ def drift_tvd(events: DataFrame) -> DataFrame:
     half = events.agg(
         F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)").alias("c")
     ).first()["c"]
-    bucket = F.greatest(
-        F.least(
-            F.floor(F.col("value") / (DRIFT_VMAX / DRIFT_BUCKETS)),
-            F.lit(DRIFT_BUCKETS - 1),
-        ),
-        F.lit(0),
-    )
+    bucket = drift_bucket("value")
     counts = (
         events.select(
             "event_type",

@@ -158,8 +158,18 @@ TRIANGLE_COS = 0.2  # similarity-edge threshold for the triangle graph
 # (triangles, BFS) — the same rule the IVF index follows (an index rebuild
 # per query was the round-3 scale anti-pattern). Keyed by (application id,
 # sf_dir, threshold): a checkpointed DataFrame must not outlive its
-# SparkSession.
+# SparkSession. CONTRACT (same as _IVF_CACHE): sf_dir identifies an
+# immutable corpus — rewriting data under a cached path mid-application
+# requires clear_edge_cache() first, exactly as a table format would
+# require a new snapshot id. Entries are few (one per corpus×threshold)
+# and die with the application.
 _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def clear_edge_cache() -> None:
+    """Invalidate cached edge lists (call after rewriting a corpus under
+    a previously-cached sf_dir within the same Spark application)."""
+    _EDGE_CACHE.clear()
 
 
 def similarity_edges_for(

@@ -24,6 +24,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucketize(df: DataFrame, key: str, n_buckets: int | None) -> DataFrame:
+    """Shared pass 1 of every two-pass global operator here: contiguous
+    monotone buckets from approx_percentile cut points on ``key``
+    (numeric), as a ``_bkt`` column."""
+    spark = df.sparkSession
+    nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
+    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
+    cuts = df.select(
+        F.expr(f"approx_percentile({key}, array({probs}), 10000)").alias("c")
+    ).first()["c"] or []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
+    return df.withColumn("_bkt", bucket)
+
+
+def _bucket_offsets(per_bucket: dict[int, int]):
+    """Exact running offsets from per-bucket totals (the tiny driver-side
+    fold both global_row_number and global_cumsum share). Returns
+    (offset_map_column, grand_total)."""
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += int(per_bucket[b])
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return off_map, acc
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -35,17 +64,7 @@ def global_row_number(
     folded in as literals. Returns (df + ``_grn`` column, total rows);
     callers drop or rename ``_grn``. The only driver-side data is the
     per-bucket count vector (<= n_buckets rows)."""
-    spark = df.sparkSession
-    key = order_cols[0]
-    nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
-    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    cuts = df.select(
-        F.expr(f"approx_percentile({key}, array({probs}), 10000)").alias("c")
-    ).first()["c"] or []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
-    bucketed = df.withColumn("_bkt", bucket)
+    bucketed = _bucketize(df, order_cols[0], n_buckets)
     w = Window.partitionBy("_bkt").orderBy(*order_cols)
     ranked = bucketed.withColumn("_lr", F.row_number().over(w))
 
@@ -53,15 +72,9 @@ def global_row_number(
         r["_bkt"]: r["n"]
         for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n = sum(sizes.values())
-    if n == 0:
+    if not sizes:
         return df.withColumn("_grn", F.lit(0).cast("long")), 0
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(sizes):
-        offsets[b] = acc
-        acc += sizes[b]
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    off_map, n = _bucket_offsets(sizes)
     rank = F.element_at(off_map, F.col("_bkt")) + F.col("_lr")
     return ranked.withColumn("_grn", rank.cast("long")).drop("_bkt", "_lr"), n
 
@@ -103,43 +116,33 @@ def global_cumsum(
 ) -> tuple[DataFrame, int]:
     """Exact running ``sum(value_col) OVER (ORDER BY order_cols)`` (long
     arithmetic) without a SinglePartition window — the cumulative twin of
-    :func:`global_row_number`: quantile-bucket on ``order_cols[0]``,
-    per-bucket windowed cumsum, exact per-bucket totals folded back as
-    literal offsets. Returns (df + ``_gcum`` column, grand total).
-    ``value_col`` must be integral (exact sums; callers lift decimals to
-    cents the way the drawdown/MAD family does)."""
-    spark = df.sparkSession
-    key = order_cols[0]
-    nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
-    probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
-    cuts = df.select(
-        F.expr(f"approx_percentile({key}, array({probs}), 10000)").alias("c")
-    ).first()["c"] or []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
-    bucketed = df.withColumn("_bkt", bucket)
+    :func:`global_row_number` (shared ``_bucketize``/``_bucket_offsets``
+    machinery): quantile-bucket on ``order_cols[0]``, per-bucket windowed
+    cumsum, exact per-bucket totals folded back as literal offsets.
+    Returns (df + ``_gcum`` column, grand total). ``value_col`` must be
+    integral (exact sums; callers lift decimals to cents the way the
+    drawdown/MAD family does); NULL values count as ZERO weight — they
+    advance nothing, deterministically, instead of crashing the
+    driver-side offset fold."""
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    df = df.withColumn("_v", val)
+    bucketed = _bucketize(df, order_cols[0], n_buckets)
     w = (
         Window.partitionBy("_bkt")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = bucketed.withColumn("_lc", F.sum(value_col).over(w))
+    local = bucketed.withColumn("_lc", F.sum("_v").over(w))
 
     sums = {
         r["_bkt"]: r["s"]
-        for r in bucketed.groupBy("_bkt")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
+        for r in bucketed.groupBy("_bkt").agg(F.sum("_v").alias("s")).collect()
     }
-    total = int(sum(sums.values())) if sums else 0
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(sums):
-        offsets[b] = acc
-        acc += int(sums[b])
-    if not offsets:
-        return df.withColumn("_gcum", F.lit(0).cast("long")), 0
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    if not sums:
+        return df.drop("_v").withColumn("_gcum", F.lit(0).cast("long")), 0
+    off_map, total = _bucket_offsets(sums)
     cum = F.element_at(off_map, F.col("_bkt")) + F.col("_lc")
-    return local.withColumn("_gcum", cum.cast("long")).drop("_bkt", "_lc"), total
+    return (
+        local.withColumn("_gcum", cum.cast("long")).drop("_bkt", "_lc", "_v"),
+        total,
+    )

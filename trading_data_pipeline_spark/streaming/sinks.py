@@ -278,15 +278,14 @@ def write_stream_cdc(
 # ------------------------------------------------------- drift monitor sink
 
 def value_shares(df: DataFrame, buckets: int, vmax: float) -> DataFrame:
-    """Per-(event_type, bucket) share of ``value`` under the fixed-bound
-    bucketing operators.analytics_queries.drift_tvd uses — the
-    histogram both the reference and each micro-batch are reduced to."""
-    width = vmax / buckets
-    b = F.greatest(
-        F.least(F.floor(F.col("value") / width), F.lit(buckets - 1)), F.lit(0)
-    )
+    """Per-(event_type, bucket) share of ``value`` — the histogram both
+    the reference and each micro-batch are reduced to. The bucketing IS
+    operators.analytics_queries.drift_bucket (imported, not copied), so
+    the streaming monitor and the batch q_drift_tvd cannot diverge."""
+    from ..operators.analytics_queries import drift_bucket
+
     counts = (
-        df.select("event_type", b.alias("b"))
+        df.select("event_type", drift_bucket("value", buckets, vmax).alias("b"))
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -299,8 +298,8 @@ def value_shares(df: DataFrame, buckets: int, vmax: float) -> DataFrame:
 def make_drift_monitor(
     reference: DataFrame,
     metrics_path: str,
-    buckets: int = 10,
-    vmax: float = 20.0,
+    buckets: int | None = None,
+    vmax: float | None = None,
 ):
     """foreachBatch sink: score each micro-batch's value distribution
     against a frozen REFERENCE histogram (training/launch window) and
@@ -311,8 +310,15 @@ def make_drift_monitor(
     The reference is collected ONCE (bucket-count-sized — planning
     metadata, not data) and folded into every batch's plan as a literal
     frame. Replay-idempotent: metrics land under their ``_batch_id``
-    partition with dynamic overwrite, the make_meta_sink rule.
+    partition with dynamic overwrite, the make_meta_sink rule. A type
+    present in the reference but ABSENT from a batch still gets its row
+    (tvd 1.0, n_events 0) — total traffic loss is the loudest drift, not
+    a reason to go silent.
     """
+    from ..operators.analytics_queries import DRIFT_BUCKETS, DRIFT_VMAX
+
+    buckets = buckets if buckets is not None else DRIFT_BUCKETS
+    vmax = vmax if vmax is not None else DRIFT_VMAX
     ref_rows = [
         (r["event_type"], int(r["b"]), float(r["p"]))
         for r in value_shares(reference, buckets, vmax).collect()
@@ -322,31 +328,42 @@ def make_drift_monitor(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        ref = spark.createDataFrame(
-            ref_rows, "event_type string, b int, q double"
-        )
-        cur = value_shares(batch_df, buckets, vmax)
-        merged = cur.join(ref, ["event_type", "b"], "full_outer").select(
-            "event_type",
-            F.coalesce("p", F.lit(0.0)).alias("p"),
-            F.coalesce("q", F.lit(0.0)).alias("q"),
-        )
-        n_by_type = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events")
-        )
-        metrics = (
-            merged.groupBy("event_type")
-            .agg((F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0).alias("tvd"))
-            .join(n_by_type, "event_type")
-            .withColumn("_batch_id", F.lit(batch_id))
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        batch_df = batch_df.persist()  # 3 consumers — scan the input once
         try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            metrics.write.mode("overwrite").partitionBy("_batch_id").parquet(
-                metrics_path
+            ref = spark.createDataFrame(
+                ref_rows, "event_type string, b int, q double"
             )
+            cur = value_shares(batch_df, buckets, vmax)
+            merged = cur.join(ref, ["event_type", "b"], "full_outer").select(
+                "event_type",
+                F.coalesce("p", F.lit(0.0)).alias("p"),
+                F.coalesce("q", F.lit(0.0)).alias("q"),
+            )
+            n_by_type = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events")
+            )
+            metrics = (
+                merged.groupBy("event_type")
+                .agg((F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0).alias("tvd"))
+                # LEFT join: a reference type with zero batch traffic must
+                # still report (its tvd is 1.0 by construction)
+                .join(n_by_type, "event_type", "left")
+                .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+                .withColumn("_batch_id", F.lit(batch_id))
+            )
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                metrics.write.mode("overwrite").partitionBy("_batch_id").parquet(
+                    metrics_path
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            batch_df.unpersist()
 
     return monitor
