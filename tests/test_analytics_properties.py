@@ -304,3 +304,72 @@ def test_mad_outlier_count_is_shift_invariant(spark, vals, shift):
     shifted_n, shifted_mad = run([v + shift for v in vals])
     assert shifted_n == base_n
     assert shifted_mad == base_mad
+
+
+from trading_data_pipeline_spark.operators.corpus_queries import (  # noqa: E402
+    pps_sample,
+)
+from trading_data_pipeline_spark.operators.lake_queries import (  # noqa: E402
+    snapshot_diff,
+)
+
+version_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),          # key
+        st.integers(min_value=0, max_value=3),           # payload a
+        st.sampled_from([None, 1.0, 2.5]),               # payload b (nullable)
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**SETTINGS)
+@given(old_rows=version_rows, new_rows=version_rows)
+def test_snapshot_diff_matches_dict_reference(spark, old_rows, new_rows):
+    """snapshot_diff agrees with the obvious dict-based diff for ANY pair
+    of keyed versions, including NULL payloads."""
+    schema = "k long, a long, b double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+
+    o = {r[0]: (r[1], r[2]) for r in old_rows}
+    n = {r[0]: (r[1], r[2]) for r in new_rows}
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=40
+    ),
+    target=st.sampled_from([1, 3, 7]),
+)
+def test_pps_sample_matches_sequential_walk(spark, weights, target):
+    """The distributed PPS sampler equals the O(n) sequential
+    step-boundary walk for ANY weight sequence and target."""
+    rows = [(i, "t", "en", "s", w) for i, w in enumerate(weights)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = sorted(r.doc_id for r in pps_sample(docs, target=target).collect())
+    total = sum(weights)
+    step = max(1, total // target)
+    cum = 0
+    want = []
+    for i, w in enumerate(weights):
+        prev = cum
+        cum += w
+        if cum // step > prev // step:
+            want.append(i)
+    assert got == want
