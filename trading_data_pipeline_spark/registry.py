@@ -130,6 +130,25 @@ _PRIORITY: tuple[str, ...] = (
     # q_sink_parquet rotate out — green rows in r1-r3)
 )
 
+# ROUND-6 WINDOW PROPOSAL (apply at the start of round 6 — do NOT apply
+# mid-round-5; the driver grades round 5 against the list above). After
+# round 5 lands, every query registered before round-5-batch-2 has a
+# driver row. The 32 never-driver-verified queries, in suggested order:
+#   canaries:  q_report1, q_dedup_near
+#   batch 2:   q_sequence_pattern, q_incremental_agg, q_schema_evolution,
+#              q_topic_clusters, q_data_quality, q_wap_publish, q_pit_join,
+#              q_feature_hash, q_jaccard_prefix_join, q_fuzzy_join
+#   batch 3:   q_max_drawdown, q_vwap_bars, q_mad_outliers, q_rfm,
+#              q_ab_test, q_basket_pairs, q_cooccurrence, q_triangle_count,
+#              q_file_stats, q_hll_rollup, q_theta_overlap, q_kll_quantiles
+#   batch 4/5: q_pruned_scan, q_attribution, q_first_touch, q_corr_matrix,
+#              q_market_beta, q_gini, q_drift_tvd, q_time_to_convert
+#   batch 6/7: q_snapshot_diff, q_semijoin_selectivity, q_bfs_levels,
+#              q_share_of_parent, q_pps_sample
+# = 2 + 37 pins; that exceeds 50 only if everything else stays, so drop
+# the round-5 re-verification slots (they will have fresh green rows) and
+# fill remaining slots with bench-headline continuity picks.
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
