@@ -876,3 +876,38 @@ def test_streaming_drift_monitor_matches_batch_tvd(spark, sf_dir, tmp_path):
     n_before = spark.read.parquet(metrics_path).count()
     monitor(spark.read.parquet(src), 0)
     assert spark.read.parquet(metrics_path).count() == n_before
+
+
+def test_drift_monitor_reports_vanished_types(spark, tmp_path):
+    """A reference type with ZERO batch traffic must still emit its
+    metrics row (n_events 0, tvd NULL — no serving distribution exists
+    to compare) — total traffic loss is the loudest drift, not a reason
+    to go silent."""
+    import datetime as dt
+
+    from trading_data_pipeline_spark.streaming.sinks import make_drift_monitor
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reference = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1), 1, "A", 1.0, "{}"),
+            (1, dt.datetime(2024, 1, 1), 1, "B", 1.0, "{}"),
+        ],
+        schema,
+    )
+    metrics_path = str(tmp_path / "metrics")
+    monitor = make_drift_monitor(reference, metrics_path)
+    # the serving batch has only A events — B vanished entirely
+    monitor(
+        spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 2), 1, "A", 1.0, "{}")], schema
+        ),
+        0,
+    )
+    got = {r.event_type: r for r in spark.read.parquet(metrics_path).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].tvd == 0.0 and got["A"].n_events == 1
+    assert got["B"].tvd is None and got["B"].n_events == 0

@@ -312,8 +312,9 @@ def make_drift_monitor(
     frame. Replay-idempotent: metrics land under their ``_batch_id``
     partition with dynamic overwrite, the make_meta_sink rule. A type
     present in the reference but ABSENT from a batch still gets its row
-    (tvd 1.0, n_events 0) — total traffic loss is the loudest drift, not
-    a reason to go silent.
+    with n_events 0 and tvd NULL (no traffic means no serving
+    distribution to compare — the zero itself is the alert condition);
+    total traffic loss is the loudest drift, not a reason to go silent.
     """
     from ..operators.analytics_queries import DRIFT_BUCKETS, DRIFT_VMAX
 
@@ -346,9 +347,14 @@ def make_drift_monitor(
                 merged.groupBy("event_type")
                 .agg((F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0).alias("tvd"))
                 # LEFT join: a reference type with zero batch traffic must
-                # still report (its tvd is 1.0 by construction)
+                # still report; with no serving distribution its tvd is
+                # undefined (the half-mass artifact of comparing against an
+                # all-zero histogram is NOT a real 1.0-drift reading)
                 .join(n_by_type, "event_type", "left")
                 .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+                .withColumn(
+                    "tvd", F.when(F.col("n_events") > 0, F.col("tvd"))
+                )
                 .withColumn("_batch_id", F.lit(batch_id))
             )
             prev = spark.conf.get(
