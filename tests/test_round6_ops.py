@@ -1,0 +1,207 @@
+"""Hand-built semantics for the round-6 batch: linear gap interpolation,
+salted two-phase aggregation, sign random projection, and k-core peeling."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.analytics_queries import (
+    interpolate_daily,
+)
+from trading_data_pipeline_spark.operators.graph_queries import kcore
+from trading_data_pipeline_spark.operators.scale_ops import salted_agg_stats
+from trading_data_pipeline_spark.operators.similarity_queries import (
+    RP_IN_DIM,
+    RP_OUT_DIM,
+    _rp_signs,
+    random_projection,
+)
+from trading_data_pipeline_spark.registry import load
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h), u, "click", v, "{}")
+            for i, (d, h, u, v) in enumerate(rows)
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+# ------------------------------------------------------------- interpolate
+
+
+def test_interpolate_fills_gap_linearly(spark):
+    # user 1: day 1 -> 10.0, day 4 -> 40.0; days 2/3 are silent
+    out = {
+        (r.user_id, r.day.day): (r.value_interp, r.observed)
+        for r in interpolate_daily(
+            _ev(spark, [(1, 9, 1, 10.0), (4, 9, 1, 40.0)])
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (10.0, True),
+        (1, 2): (20.0, False),
+        (1, 3): (30.0, False),
+        (1, 4): (40.0, True),
+    }
+
+
+def test_interpolate_takes_days_last_observation(spark):
+    # two observations on day 1 (hours 9 and 15): the later one anchors
+    out = {
+        r.day.day: r.value_interp
+        for r in interpolate_daily(
+            _ev(spark, [(1, 9, 1, 99.0), (1, 15, 1, 10.0), (3, 9, 1, 30.0)])
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_interpolate_single_observation_user(spark):
+    rows = interpolate_daily(_ev(spark, [(5, 9, 7, 3.5)])).collect()
+    assert len(rows) == 1 and rows[0].value_interp == 3.5 and rows[0].observed
+
+
+def test_interpolate_never_null_inside_spine(spark):
+    out = interpolate_daily(
+        _ev(spark, [(1, 9, 1, 1.0), (9, 9, 1, 5.0), (2, 9, 2, 7.0)])
+    )
+    assert out.filter(F.col("value_interp").isNull()).count() == 0
+
+
+# -------------------------------------------------------------- salted agg
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    got = {
+        r.event_type: r for r in salted_agg_stats(ev, salt=4).collect()
+    }
+    plain = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(F.col("value").cast("decimal(18,2)")).cast("double").alias("mn"),
+            F.max(F.col("value").cast("decimal(18,2)")).cast("double").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plain)
+    for t, p in plain.items():
+        g = got[t]
+        assert (g.n_events, g.n_users, g.min_val, g.max_val) == (
+            p.n_events,
+            p.n_users,
+            p.mn,
+            p.mx,
+        )
+
+
+# ------------------------------------------------------- random projection
+
+
+def test_rp_matrix_is_deterministic_and_balanced():
+    m = _rp_signs()
+    assert m == _rp_signs()
+    assert len(m) == RP_OUT_DIM and all(len(r) == RP_IN_DIM for r in m)
+    for row in m:
+        assert set(row) <= {-1, 1}
+        # md5-derived signs: balanced within a loose band
+        assert abs(sum(row)) <= RP_IN_DIM // 2
+
+
+def test_rp_matches_hand_dot_product(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(5)
+    rows = {r.vec_id: r for r in random_projection(emb).collect()}
+    src = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    m = _rp_signs()
+    for vid, vec in src.items():
+        for j in range(RP_OUT_DIM):
+            want = sum(s * float(x) for s, x in zip(m[j], vec)) / math.sqrt(
+                RP_IN_DIM
+            )
+            want = math.floor(want * 10000 + 0.5) / 10000
+            assert rows[vid][f"rp_{j}"] == want
+
+
+def test_rp_preserves_relative_distance_order(spark, sf_dir):
+    # J-L sanity: nearest-by-far pairs stay nearer than farthest-by-far
+    emb = load(spark, sf_dir, "embeddings").limit(40)
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    proj = {
+        r.vec_id: [r[f"rp_{j}"] for j in range(RP_OUT_DIM)]
+        for r in random_projection(emb).collect()
+    }
+    ids = sorted(orig)
+
+    def d(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    pairs = [(i, j) for i in ids for j in ids if i < j]
+    od = sorted(pairs, key=lambda p: d(orig[p[0]], orig[p[1]]))
+    near, far = od[: len(od) // 4], od[-len(od) // 4 :]
+    mean_near = sum(d(proj[a], proj[b]) for a, b in near) / len(near)
+    mean_far = sum(d(proj[a], proj[b]) for a, b in far) / len(far)
+    assert mean_near < mean_far
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _py_kcore(pairs, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} survives the 2-core; the 3-4 tail is peeled
+    out = {
+        r.node: r.core_degree
+        for r in kcore(_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)]), k=2).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    # path 1-2-3-4-5: every node peels (cascade needs multiple rounds)
+    assert (
+        kcore(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), k=2).count() == 0
+    )
+
+
+def test_kcore_matches_reference_peel(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.graph_queries import (
+        similarity_edges_for,
+    )
+
+    edges = similarity_edges_for(spark, sf_dir)
+    pairs = [(r.id_a, r.id_b) for r in edges.collect()]
+    want = _py_kcore(pairs, 2)
+    got = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    assert got == want

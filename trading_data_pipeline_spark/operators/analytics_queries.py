@@ -468,6 +468,117 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill_daily(load(spark, sf_dir, "events"))
 
 
+def interpolate_daily(events: DataFrame) -> DataFrame:
+    """Per-user daily resample with LINEAR interpolation across gaps: the
+    companion to :func:`forward_fill_daily` when the series is a level
+    (price, balance, temperature) rather than a state — silent days get
+    the time-weighted value between the surrounding observations instead
+    of a stale carry-over.
+
+    Same distributed shape as the forward fill (per-row ``sequence()``
+    spine, no calendar cross join) plus ONE more window pass in the other
+    direction: prev/next observed (day, value) come from
+    ``last(ignorenulls)`` over the preceding frame and
+    ``first(ignorenulls)`` over the following frame, both on the
+    ``user_id`` key the spine join already shuffled on — the whole op
+    stays two co-keyed exchanges. The spine spans each user's observed
+    [min_day, max_day], so every silent day has both neighbours and the
+    output carries no NULLs.
+    """
+    day = F.col("ts").cast("date")
+    daily = (
+        events.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))["value"]
+            .alias("day_value")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    pv = F.last("day_value", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wp)
+    nv = F.first("day_value", ignorenulls=True).over(wn)
+    nd = F.first(obs_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(nd, pd_).cast(
+        "double"
+    )
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        pv + (nv - pv) * frac
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        _q(interp, 10000).alias("value_interp"),
+        F.col("day_value").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "q_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id, day, day_value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS day_value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), spine AS (
+      SELECT user_id, CAST(u.d AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id) b,
+           unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(d)
+    ), f AS (
+      SELECT s.user_id, s.day, d.day_value,
+        last_value(d.day_value IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END
+                   IGNORE NULLS) OVER wp AS pd,
+        first_value(d.day_value IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END
+                    IGNORE NULLS) OVER wn AS nd
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+      WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           floor((CASE WHEN day_value IS NOT NULL THEN day_value
+                  ELSE pv + (nv - pv)
+                       * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                  END) * 10000 + 0.5) / 10000 AS value_interp,
+           day_value IS NOT NULL AS observed
+    FROM f
+    """,
+    doc="Per-user daily resample + LINEAR gap interpolation: sequence() "
+    "spine, prev/next observed (day, value) via last/first(ignorenulls) "
+    "windows in both directions over the SAME user_id key the spine join "
+    "shuffled on — two co-keyed exchanges total; time-weighted "
+    "prev+(next-prev)*frac written with identical association on both "
+    "engines, quantized 4dp",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interpolate_daily(load(spark, sf_dir, "events"))
+
+
 @register(
     "q_winsorize",
     """

@@ -325,3 +325,65 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("node"))
     )
     return bfs_levels(edges, sources)
+
+
+# --------------------------------------------------------------- k-core
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 200  # safety cap; peeling depth, not graph size
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """Maximal subgraph in which every node has degree >= k (the k-core),
+    by distributed peeling: drop all nodes below degree k, recompute
+    degrees, repeat to fixpoint. The result is order-independent (the
+    k-core is unique), so the peel schedule can be fully parallel.
+
+    Same iterative discipline as :func:`pagerank` / :func:`bfs_levels`:
+    per round one degree aggregate + two anti-joins against the (tiny)
+    below-threshold node set, lineage truncated with ``localCheckpoint``;
+    the driver sees only each round's emptiness probe. Rounds are
+    bounded by the peeling DEPTH (how many onion layers the graph has),
+    not its size — shallow for similarity graphs; the cap is a runaway
+    guard, and hitting it raises rather than returning a non-core.
+
+    Output: (node, core_degree) for members of the k-core, where
+    core_degree is the node's degree WITHIN the core.
+    """
+    e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.filter(F.col("deg") < k).select("src").localCheckpoint(eager=True)
+        if bad.isEmpty():
+            return (
+                deg.select(F.col("src").alias("node"), F.col("deg").alias("core_degree"))
+                .orderBy("node")
+            )
+        und = (
+            und.join(bad, "src", "left_anti")
+            .join(bad.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {KCORE_MAX_ROUNDS} rounds")
+
+
+@register(
+    "q_kcore",
+    None,  # iterative peel-to-fixpoint is not single-SQL-expressible ->
+    # rows-only; exactness vs a driver-side reference peel asserted in
+    # tests/test_graph_corpus.py
+    doc="2-core of the cosine>=0.2 similarity graph (the shared "
+    "q_triangle_count edge cache): distributed peeling — degree "
+    "aggregate + anti-join per round, localCheckpoint-truncated, rounds "
+    "bounded by peel depth. Separates clustered near-dup mass (core "
+    "members, dedup/downsample candidates) from tree-like periphery "
+    "that mere pair counts cannot distinguish",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore(similarity_edges_for(spark, sf_dir))

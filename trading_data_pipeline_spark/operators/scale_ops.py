@@ -422,3 +422,84 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts") < F.col("p.vt"), F.col("p.attr")), 2
         ).alias("profile_value"),
     )
+
+
+# ---------------------------------------------------------- salted aggregation
+
+SALT_AGG_BUCKETS = 16
+
+
+def salted_agg_stats(events: DataFrame, salt: int = SALT_AGG_BUCKETS) -> DataFrame:
+    """Two-phase skew-safe aggregation over a hot grouping key.
+
+    ``events.event_type`` has single-digit cardinality — at 100 TB a
+    one-phase ``groupBy(event_type)`` funnels each type's final merge
+    into one task, and any aggregate whose partial state is NOT tiny
+    (exact distinct, collect-style states) pins that task. The salted
+    shape runs phase 1 on ``(event_type, salt)`` — ``salt`` buckets per
+    type, deterministic ``xxhash64(event_id) % salt`` so reruns land
+    identically — and phase 2 merges the per-salt partials on the bare
+    key. Exact distinct users go through the same discipline: dedup on
+    ``(event_type, user_id)`` (a well-spread composite key) first, then
+    count — never a count(DISTINCT) holding a per-type hash set in one
+    task.
+
+    The oracle is the UNSALTED aggregate: salting must not change any
+    value, only the partition histogram. Sums accumulate in DECIMAL so
+    the two-phase merge order cannot perturb a double.
+    """
+    v = F.col("value").cast("decimal(18,2)")
+    partial = (
+        events.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(salt)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.min(v).alias("_mn"),
+            F.max(v).alias("_mx"),
+        )
+    )
+    users = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        (F.floor(F.sum("_s").cast("double") * 100 + 0.5) / 100).alias("total"),
+        (
+            F.floor(
+                F.sum("_s").cast("double") / F.sum("_n") * 10000 + 0.5
+            )
+            / 10000
+        ).alias("avg_val"),
+        F.min("_mn").cast("double").alias("min_val"),
+        F.max("_mx").cast("double").alias("max_val"),
+    )
+    return merged.join(users, "event_type")
+
+
+@register(
+    "q_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+             / 100 AS total,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_val,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_val,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation on a hot key: phase 1 on "
+    "(event_type, xxhash64-salt), phase 2 merges per-salt partials; "
+    "exact distinct users via dedup-on-composite-key-then-count instead "
+    "of a one-task count(DISTINCT). Oracle is the unsalted aggregate - "
+    "salting changes the partition histogram, never a value; DECIMAL "
+    "sums make the merge order-free",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_agg_stats(load(spark, sf_dir, "events"))

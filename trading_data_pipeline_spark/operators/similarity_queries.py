@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..registry import load, register
 from .similarity import IvfIndex, brute_force_topk, build_ivf_index, lsh_topk
 
@@ -193,3 +194,84 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return hard_negatives(emb, queries, k=HN_K, max_cos=HN_MAX_COS)
+
+
+# ------------------------------------------------------- random projection
+
+RP_IN_DIM = 64   # driver testdata embedding dimension
+RP_OUT_DIM = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (RP_OUT_DIM × RP_IN_DIM).
+
+    Achlioptas-style sign projection, with the "randomness" drawn from
+    md5 of the coordinate — no RNG, so Spark, the DuckDB oracle, and any
+    re-run of the job see the exact same matrix (a seeded RNG would tie
+    the result to one library's stream). Signs are balanced in
+    expectation; E[|x - x'|²] is preserved within (1±ε) at these dims,
+    which is all an ANN pre-filter needs.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_OUT_DIM)
+    ]
+
+
+def random_projection(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Project vectors to RP_OUT_DIM dims: out_j = <x, sign_j> / sqrt(d).
+
+    Zero-shuffle per-row JVM arithmetic (zip_with multiply + left-to-right
+    fold, the same fold the cosine kernel uses); the matrix rides along as
+    512 literals in the plan — nothing is broadcast, nothing touches
+    Python. This is the cheap 8x dimension cut applied BEFORE expensive
+    ANN indexing / pairwise work at 100 TB: distances survive within
+    (1±ε), candidate generation runs on 8 doubles instead of 64 floats.
+    """
+    import math
+
+    x = F.col(vec_col).cast("array<double>")
+    norm = math.sqrt(RP_IN_DIM)
+    outs = []
+    for j, signs in enumerate(_rp_signs()):
+        srow = F.array(*[F.lit(float(s)) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(x, srow, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        outs.append(_q(dot / F.lit(norm), 10000).alias(f"rp_{j}"))
+    return emb.select("vec_id", "label", *outs)
+
+
+def _rp_oracle() -> str:
+    import math
+
+    norm = math.sqrt(RP_IN_DIM)
+    cols = []
+    for j, signs in enumerate(_rp_signs()):
+        lit = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        cols.append(
+            "floor(list_dot_product(embedding::DOUBLE[], "
+            f"{lit}::DOUBLE[]) / {norm!r} * 10000 + 0.5) / 10000 AS rp_{j}"
+        )
+    return "SELECT vec_id, label,\n  " + ",\n  ".join(cols) + "\nFROM embeddings"
+
+
+@register(
+    "q_random_projection",
+    _rp_oracle(),
+    doc="Sign random projection 64→8 dims (Achlioptas ±1 matrix derived "
+    "from md5 of the coordinate — RNG-free, so both engines and every "
+    "re-run share one matrix): per-row zip_with·fold dot products "
+    "against 512 plan literals, zero shuffle, no Python. The dimension "
+    "cut that runs before ANN indexing at corpus scale",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection(load(spark, sf_dir, "embeddings"))
