@@ -610,3 +610,39 @@ def test_semijoin_selectivity_partial_aggregates(spark, sf_dir, queries):
     scalar frames)."""
     plan = formatted_plan_of(queries["q_semijoin_selectivity"].fn(spark, sf_dir))
     assert "partial_theta_sketch_agg" in plan, plan
+
+
+def test_round6_batch1_shuffle_budgets(spark, sf_dir, queries):
+    """Exchange budgets for the round-6 additions."""
+    budgets = {
+        # daily agg + spine/window co-keyed on user_id
+        "q_interpolate": 2,
+        # salted partial + final merge + distinct-users pair dedup/count
+        "q_salted_agg": 4,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= budget, (name, n, plan)
+
+
+def test_random_projection_is_scan_only(spark, sf_dir, queries):
+    """The 64->8 projection is pure per-row arithmetic: no exchange of
+    any kind may appear — at corpus scale this must stay map-side."""
+    plan = plan_of(queries["q_random_projection"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_agg_first_phase_groups_on_salt(spark, sf_dir, queries):
+    """The salt must reach the FIRST aggregate's grouping key (otherwise
+    the pattern silently degrades to the one-task hot-key merge)."""
+    plan = formatted_plan_of(queries["q_salted_agg"].fn(spark, sf_dir))
+    assert "_salt" in plan, plan
+    assert "distinct" not in plan.lower() or "count(distinct" not in plan.lower()
+
+
+def test_interpolate_windows_reuse_spine_partitioning(spark, sf_dir, queries):
+    """Both direction windows and the spine join share the user_id key;
+    no single-partition funnel anywhere."""
+    plan = plan_of(queries["q_interpolate"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
