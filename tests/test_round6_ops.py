@@ -9,7 +9,12 @@ import math
 from pyspark.sql import functions as F
 
 from trading_data_pipeline_spark.operators.analytics_queries import (
+    activity_streaks,
+    changepoint_daily,
     interpolate_daily,
+)
+from trading_data_pipeline_spark.operators.profiling_queries import (
+    benford_profile,
 )
 from trading_data_pipeline_spark.operators.graph_queries import kcore
 from trading_data_pipeline_spark.operators.scale_ops import salted_agg_stats
@@ -205,3 +210,75 @@ def test_kcore_matches_reference_peel(spark, sf_dir):
     want = _py_kcore(pairs, 2)
     got = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
     assert got == want
+
+
+# ----------------------------------------------------- streaks / changepoint
+
+
+def test_streaks_hand_built(spark):
+    # user 1 active days 1,2,3,5,6 -> streaks [1-3],[5-6]; user 2 one day
+    rows = activity_streaks(
+        _ev(
+            spark,
+            [(1, 9, 1, 0.0), (2, 9, 1, 0.0), (2, 15, 1, 1.0), (3, 9, 1, 0.0),
+             (5, 9, 1, 0.0), (6, 9, 1, 0.0), (4, 9, 2, 0.0)],
+        )
+    ).collect()
+    by_user = {r.user_id: r for r in rows}
+    r1 = by_user[1]
+    assert (r1.n_streaks, r1.n_active_days, r1.longest_len) == (2, 5, 3)
+    assert (r1.longest_start.day, r1.longest_end.day) == (1, 3)
+    r2 = by_user[2]
+    assert (r2.n_streaks, r2.n_active_days, r2.longest_len) == (1, 1, 1)
+
+
+def test_streaks_tie_prefers_earliest(spark):
+    # two streaks of equal length 2: [1-2] and [4-5] -> earliest wins
+    r = activity_streaks(
+        _ev(spark, [(1, 9, 1, 0.0), (2, 9, 1, 0.0), (4, 9, 1, 0.0), (5, 9, 1, 0.0)])
+    ).collect()[0]
+    assert (r.longest_len, r.longest_start.day, r.longest_end.day) == (2, 1, 2)
+
+
+def test_changepoint_finds_level_shift(spark):
+    # 1 event/day on days 1-5, then 5/day on days 6-10: the CUSUM bridge
+    # bottoms out exactly at day 5 (the last pre-shift day)
+    rows = []
+    i = 0
+    for d in range(1, 6):
+        rows.append((d, 9, 1, 1.0))
+    for d in range(6, 11):
+        for h in range(9, 14):
+            rows.append((d, h, 1, 1.0))
+    out = changepoint_daily(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.change_day.day == 5
+    assert r.cusum_dev == -10.0  # cum(5)=5, mean=3/day -> 5 - 15
+    assert r.daily_mean == 3.0
+
+
+# ------------------------------------------------------------------ Benford
+
+
+def test_benford_digit_extraction(spark):
+    # 1.23 -> 123 cents -> digit 1; 0.05 -> 5 -> digit 5; 987.0 -> digit 9
+    # non-positive and zero-cent values are excluded
+    out = {
+        r.digit: r.n
+        for r in benford_profile(
+            _ev(
+                spark,
+                [(1, 9, 1, 1.23), (1, 10, 1, 0.05), (1, 11, 1, 987.0),
+                 (1, 12, 1, 0.001), (1, 13, 1, -4.0)],
+            )
+        ).collect()
+    }
+    assert out == {1: 1, 5: 1, 9: 1}
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = benford_profile(load(spark, sf_dir, "events")).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.deviation - (r.share - r.expected_share)) < 1e-6

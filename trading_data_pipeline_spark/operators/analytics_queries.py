@@ -1074,3 +1074,173 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs").alias("min_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+# ------------------------------------------------------- gaps-and-islands
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Per-user activity streaks (the gaps-and-islands pattern): group
+    each user's distinct active days into maximal runs of consecutive
+    days, then report streak count, total active days, and the longest
+    streak (earliest wins ties).
+
+    Island id is ``day - row_number()`` — constant within a consecutive
+    run, distinct across runs — so the whole op is the distinct-days
+    dedup, one window, and two aggregates, ALL keyed on ``user_id``:
+    every exchange is the same key and AQE coalesces them. No self-join,
+    no spine; cost is |active days|, not |date range|.
+    """
+    day = F.col("ts").cast("date")
+    active = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        active.withColumn("island", F.date_sub(F.col("day"), F.row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("day").alias("s"),
+            F.max("day").alias("e"),
+        )
+    )
+    best = streaks.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("len"), F.asc("s"))
+        ),
+    ).filter(F.col("rk") == 1)
+    agg = streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+    return agg.join(best, "user_id").select(
+        "user_id",
+        "n_streaks",
+        "n_active_days",
+        F.col("len").alias("longest_len"),
+        F.col("s").alias("longest_start"),
+        F.col("e").alias("longest_end"),
+    )
+
+
+@register(
+    "q_streaks",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS island
+      FROM active
+    ), st AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS s, max(day) AS e
+      FROM isl GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, len, s, e,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, s) AS rk
+      FROM st
+    ), agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM st GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_streaks, a.n_active_days,
+           b.len AS longest_len, b.s AS longest_start, b.e AS longest_end
+    FROM agg a JOIN best b ON a.user_id = b.user_id AND b.rk = 1
+    """,
+    doc="Gaps-and-islands activity streaks: day - row_number() island "
+    "ids over distinct active days, per-user streak stats + longest run "
+    "(earliest tie-break). Dedup, window, and both aggregates all keyed "
+    "on user_id — co-keyed exchanges, cost |active days| not |calendar|",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_streaks(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------ change point
+
+
+def changepoint_daily(events: DataFrame) -> DataFrame:
+    """CUSUM-style change-point estimate per event type: the day t that
+    maximizes |S_t| where S_t = Σ_{i<=t}(x_i − mean) is the classic
+    argmax-of-the-CUSUM-bridge estimator for a single mean shift in the
+    daily volume series.
+
+    Everything stays integer until the final report: with T days and
+    total N events, days·S_t = T·cumsum_t − t·N — exact on any engine,
+    so the argmax (and therefore the reported day) can never flip on a
+    floating-point ulp. One aggregate + one window, both keyed on
+    ``event_type``; the per-type (total, days) frame is broadcast-sized.
+    """
+    day = F.col("ts").cast("date")
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    st = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t", F.row_number().over(w))
+        .withColumn(
+            "s_scaled", F.col("days") * F.col("cum") - F.col("t") * F.col("total")
+        )
+    )
+    pick = st.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("s_scaled")).desc(), F.col("day").asc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return pick.select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        _q(F.col("s_scaled").cast("double") / F.col("days"), 10000).alias("cusum_dev"),
+        _q(F.col("total").cast("double") / F.col("days"), 10000).alias("daily_mean"),
+    )
+
+
+@register(
+    "q_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type, sum(n) AS total, count(*) AS days
+      FROM daily GROUP BY event_type
+    ), st AS (
+      SELECT d.event_type, d.day,
+             t.days * sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+             - row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+               * t.total AS s_scaled,
+             t.total, t.days
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(s_scaled) DESC, day) AS rk
+      FROM st
+    )
+    SELECT event_type, day AS change_day,
+           floor(CAST(s_scaled AS DOUBLE) / days * 10000 + 0.5) / 10000
+             AS cusum_dev,
+           floor(CAST(total AS DOUBLE) / days * 10000 + 0.5) / 10000
+             AS daily_mean
+    FROM pick WHERE rk = 1
+    """,
+    doc="Per-type change-point estimate: argmax |CUSUM bridge| over the "
+    "daily volume series, kept INTEGER (T*cumsum - t*N) until the final "
+    "report so the argmax can never flip on an ulp. One aggregate + one "
+    "window co-keyed on event_type; broadcast per-type totals",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changepoint_daily(load(spark, sf_dir, "events"))

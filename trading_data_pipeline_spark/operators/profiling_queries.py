@@ -237,3 +237,88 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ----------------------------------------------------------- Benford digits
+
+# log10(1 + 1/d), pre-quantized 6dp in Python so BOTH engines compare
+# against the same constants (never each engine's own log)
+BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """First-significant-digit distribution of a positive metric vs the
+    Benford expectation — the forensic data-quality screen for fabricated
+    or unit-mangled numeric feeds (real multiplicative data tracks
+    Benford; a capped or synthetic feed deviates sharply).
+
+    Digit extraction avoids BOTH float formatting and log10: the value is
+    quantized to integer cents (the repo's floor(x*100+0.5), exact on
+    every engine) and the leading digit read off the integer's decimal
+    string — integer-to-string is deterministic everywhere, float
+    log10(1000) = 2.9999... on neither. One partial-aggregated groupBy
+    into a 9-row frame; the total joins back as a broadcast scalar.
+    """
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    counts = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_EXPECTED.items() for x in kv]
+    )
+    share = F.col("n").cast("double") / F.col("_tot")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            _q(share, 1_000_000).alias("share"),
+            expected[F.col("digit")].alias("expected_share"),
+            _q(share - expected[F.col("digit")], 1_000_000).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in BENFORD_EXPECTED.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0
+    ), g AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit
+    ), t AS (SELECT sum(n) AS tot FROM g)
+    SELECT g.digit, g.n,
+           floor(CAST(g.n AS DOUBLE) / t.tot * 1000000 + 0.5) / 1000000
+             AS share,
+           CASE g.digit {case} END AS expected_share,
+           floor((CAST(g.n AS DOUBLE) / t.tot
+                  - CASE g.digit {case} END) * 1000000 + 0.5) / 1000000
+             AS deviation
+    FROM g, t
+    """
+
+
+@register(
+    "q_benford",
+    _benford_oracle(),
+    doc="Benford first-digit screen over event values: leading digit via "
+    "integer-cents string (no float formatting, no log10 boundary "
+    "noise), 9-row aggregate + broadcast total, expectations shared as "
+    "pre-quantized literals on both engines. Flags fabricated or "
+    "unit-mangled numeric feeds before they enter training",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_profile(load(spark, sf_dir, "events"))
