@@ -87,6 +87,16 @@ EXTRAS = [
     "q_bfs_levels",
     "q_share_of_parent",
     "q_pps_sample",
+    # round-6 batch 1/2
+    "q_interpolate",
+    "q_salted_agg",
+    "q_random_projection",
+    "q_kcore",
+    "q_streaks",
+    "q_changepoint",
+    "q_benford",
+    "q_auc",
+    "q_decile_lift",
 ]
 
 RUNS = 3

@@ -646,3 +646,24 @@ def test_interpolate_windows_reuse_spine_partitioning(spark, sf_dir, queries):
     no single-partition funnel anywhere."""
     plan = plan_of(queries["q_interpolate"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
+
+
+def test_auc_window_is_bucket_partitioned(spark, sf_dir, queries):
+    """AUC's cumulative-count window must run per quantile bucket (the
+    two-pass global cumsum), never as a global SinglePartition window
+    over the value rows; the only SinglePartition exchange allowed is
+    the one-row final scalar aggregate, which must be partial-aggregated
+    below the exchange."""
+    df = queries["q_auc"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "_bkt" in plan, plan
+    fplan = formatted_plan_of(df)
+    assert "partial" in fplan.lower(), fplan
+
+
+def test_decile_lift_uses_two_pass_ntile(spark, sf_dir, queries):
+    """The decile assignment must come from the bucketized two-pass rank
+    (the raw event rows never meet an unpartitioned window; the only
+    unpartitioned window runs over the 10-row decile aggregate)."""
+    plan = plan_of(queries["q_decile_lift"].fn(spark, sf_dir))
+    assert "_bkt" in plan, plan

@@ -16,6 +16,10 @@ from trading_data_pipeline_spark.operators.analytics_queries import (
 from trading_data_pipeline_spark.operators.profiling_queries import (
     benford_profile,
 )
+from trading_data_pipeline_spark.operators.bi_queries import (
+    auc_exact,
+    decile_lift,
+)
 from trading_data_pipeline_spark.operators.graph_queries import kcore
 from trading_data_pipeline_spark.operators.scale_ops import salted_agg_stats
 from trading_data_pipeline_spark.operators.similarity_queries import (
@@ -282,3 +286,56 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.deviation - (r.share - r.expected_share)) < 1e-6
+
+
+# -------------------------------------------------------------- model eval
+
+
+def _scored(spark, rows):
+    """rows: (event_id, score, is_pos)"""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 9), 1, "purchase" if pos else "click", s, "{}")
+            for i, s, pos in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(i, float(i), i >= 5) for i in range(10)]  # pos always scores higher
+    r = auc_exact(_scored(spark, rows)).collect()[0]
+    assert (r.auc, r.n_pos, r.n_neg) == (1.0, 5, 5)
+
+
+def test_auc_inverted_scores(spark):
+    rows = [(i, float(-i), i >= 5) for i in range(10)]
+    assert auc_exact(_scored(spark, rows)).collect()[0].auc == 0.0
+
+
+def test_auc_all_tied_is_half(spark):
+    rows = [(i, 1.0, i % 2 == 0) for i in range(10)]
+    assert auc_exact(_scored(spark, rows)).collect()[0].auc == 0.5
+
+
+def test_auc_matches_hand_rank_sum(spark):
+    # scores: pos {3.0, 2.0}, neg {2.0, 1.0} -> pairs: (3>2)=1, (3>1)=1,
+    # (2=2)=0.5, (2>1)=1 -> AUC = 3.5/4
+    rows = [(0, 3.0, True), (1, 2.0, True), (2, 2.0, False), (3, 1.0, False)]
+    assert auc_exact(_scored(spark, rows)).collect()[0].auc == 0.875
+
+
+def test_decile_lift_structure(spark, sf_dir):
+    out = decile_lift(load(spark, sf_dir, "events")).collect()
+    assert [r.decile for r in out] == list(range(1, 11))
+    n_total = sum(r.n for r in out)
+    # exact ntile: bucket sizes differ by at most 1
+    sizes = {r.n for r in out}
+    assert max(sizes) - min(sizes) <= 1
+    # cumulative capture is monotone and ends at 1
+    caps = [r.cum_capture for r in out]
+    assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
+    # lift identity: response_rate / base_rate
+    base = sum(r.n_pos for r in out) / n_total
+    for r in out:
+        assert abs(r.lift - (r.n_pos / r.n) / base) < 1e-4

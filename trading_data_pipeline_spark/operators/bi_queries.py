@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.quantize import q as _q
-from ..plans.global_rank import global_row_number
+from ..plans.global_rank import global_cumsum, global_row_number
 from ..registry import load, register
 
 N_SCORE_BUCKETS = 5
@@ -445,7 +445,7 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
     customer count. Ties rank deterministically by customer key — any
     tie order yields the same G because tied x values are equal.
     """
-    from ..plans.global_rank import global_row_number
+    from ..plans.global_rank import global_cumsum, global_row_number
 
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
@@ -581,3 +581,183 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------- model evaluation
+
+POS_TYPE = "purchase"  # the "label" event for offline score evaluation
+
+
+def auc_exact(events: DataFrame) -> DataFrame:
+    """Exact ROC AUC of ``value`` as a score for predicting the purchase
+    label, via the Mann-Whitney rank-sum identity — the offline model
+    evaluation that at 100 TB cannot run through sklearn on a driver.
+
+    Shape: group scores by exact value (ties collapse to one row with
+    pos/total counts), a two-pass :func:`plans.global_rank.global_cumsum`
+    for each value's preceding-count (no SinglePartition window), then
+    ONE scalar aggregate of the tie-corrected rank sum. Everything stays
+    integral until the final division: 2·ranksum = Σ p·(2·cum_before +
+    g + 1) accumulates in DECIMAL(38,0), so the result is exact at any
+    row count and bit-identical across engines.
+    """
+    s = events.select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == POS_TYPE).cast("long").alias("pos"),
+    )
+    g = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("g"), F.sum("pos").alias("p")
+    )
+    cum, _total = global_cumsum(g, ["v"], "g")
+    term = (
+        F.col("p")
+        * (F.lit(2) * (F.col("_gcum") - F.col("g")) + F.col("g") + F.lit(1))
+    ).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum(term).alias("rs2"),
+        F.sum("p").alias("np"),
+        (F.sum("g") - F.sum("p")).alias("nn"),
+    )
+    auc = (
+        F.col("rs2").cast("double") / 2.0
+        - F.col("np").cast("double") * (F.col("np") + 1).cast("double") / 2.0
+    ) / (F.col("np").cast("double") * F.col("nn").cast("double"))
+    return agg.select(
+        _q(auc, 1_000_000).alias("auc"),
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+    )
+
+
+@register(
+    "q_auc",
+    f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = '{POS_TYPE}' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ), g AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS g, CAST(sum(pos) AS BIGINT) AS p
+      FROM s GROUP BY v
+    ), c AS (
+      SELECT g.*, CAST(coalesce(sum(g) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(CAST(p AS HUGEINT) * (2 * cb + g + 1)) AS DOUBLE) AS rs2,
+             CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(g) - sum(p) AS BIGINT) AS nn
+      FROM c
+    )
+    SELECT floor((rs2 / 2.0 - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                 / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS auc,
+           np AS n_pos, nn AS n_neg
+    FROM t
+    """,
+    doc="Exact ROC AUC via the Mann-Whitney rank-sum identity with "
+    "average-rank tie correction: per-value tie groups, two-pass global "
+    "cumulative counts (no SinglePartition window), DECIMAL(38) rank "
+    "sum — integral until the single final division. The distributed "
+    "offline-eval primitive sklearn can't provide at lake scale",
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return auc_exact(load(spark, sf_dir, "events"))
+
+
+N_DECILES = 10
+
+
+def decile_lift(events: DataFrame) -> DataFrame:
+    """Decile lift/gains table for ``value`` scoring the purchase label:
+    rows bucketed into exact score deciles (decile 1 = highest scores),
+    per-decile response rate, lift vs the base rate, and cumulative
+    capture of all positives — the standard campaign-targeting /
+    model-monitoring report.
+
+    Deciles come from the two-pass ``global_ntile`` on the ASCENDING
+    (value, event_id) order — a unique composite, so tie placement is
+    deterministic on every engine — then flipped (11 − tile) so decile 1
+    is the top. Rates and lift are exact-integer ratios evaluated in one
+    double division; the cumulative pass runs over the 10-row aggregate.
+    """
+    from ..plans.global_rank import global_ntile
+
+    s = events.select(
+        "event_id",
+        F.col("value"),
+        (F.col("event_type") == POS_TYPE).cast("long").alias("pos"),
+    )
+    tiled = global_ntile(s, N_DECILES, ["value", "event_id"], out_col="_tile")
+    per = (
+        tiled.withColumn("decile", F.lit(N_DECILES + 1) - F.col("_tile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            _q(F.col("n_pos").cast("double") / F.col("n"), 1_000_000).alias(
+                "response_rate"
+            ),
+            _q(
+                (F.col("n_pos") * F.col("_tn")).cast("double")
+                / (F.col("n") * F.col("_tp")).cast("double"),
+                1_000_000,
+            ).alias("lift"),
+            _q(
+                F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+                1_000_000,
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_decile_lift",
+    f"""
+    WITH s AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = '{POS_TYPE}' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ), tiled AS (
+      SELECT pos, {N_DECILES + 1} - ntile({N_DECILES})
+               OVER (ORDER BY value, event_id) AS decile
+      FROM s
+    ), per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM tiled GROUP BY decile
+    ), tot AS (
+      SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per
+    )
+    SELECT p.decile, p.n, p.n_pos,
+           floor(CAST(p.n_pos AS DOUBLE) / p.n * 1000000 + 0.5) / 1000000
+             AS response_rate,
+           floor(CAST(p.n_pos * t.tn AS DOUBLE)
+                 / CAST(p.n * t.tp AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS lift,
+           floor(CAST(sum(p.n_pos) OVER (ORDER BY p.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / t.tp * 1000000 + 0.5) / 1000000
+             AS cum_capture
+    FROM per p, tot t
+    """,
+    doc="Decile lift/gains: two-pass exact ntile on the unique "
+    "(value, event_id) order (tie placement deterministic on both "
+    "engines; decile 1 = top scores), per-decile response rate, lift as "
+    "one exact-integer ratio, cumulative capture over the 10-row "
+    "aggregate. Campaign-targeting eval at any scale",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decile_lift(load(spark, sf_dir, "events"))
