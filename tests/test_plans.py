@@ -638,7 +638,9 @@ def test_salted_agg_first_phase_groups_on_salt(spark, sf_dir, queries):
     the pattern silently degrades to the one-task hot-key merge)."""
     plan = formatted_plan_of(queries["q_salted_agg"].fn(spark, sf_dir))
     assert "_salt" in plan, plan
-    assert "distinct" not in plan.lower() or "count(distinct" not in plan.lower()
+    # distinct users must be the dedup-then-count two-phase, never a
+    # count(DISTINCT ...) aggregate holding a per-key hash set
+    assert "count(distinct" not in plan.lower(), plan
 
 
 def test_interpolate_windows_reuse_spine_partitioning(spark, sf_dir, queries):

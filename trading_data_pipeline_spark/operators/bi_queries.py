@@ -609,10 +609,9 @@ def auc_exact(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("g"), F.sum("pos").alias("p")
     )
     cum, _total = global_cumsum(g, ["v"], "g")
-    term = (
-        F.col("p")
-        * (F.lit(2) * (F.col("_gcum") - F.col("g")) + F.col("g") + F.lit(1))
-    ).cast("decimal(38,0)")
+    term = F.col("p").cast("decimal(19,0)") * (
+        F.lit(2) * (F.col("_gcum") - F.col("g")) + F.col("g") + F.lit(1)
+    ).cast("decimal(19,0)")
     agg = cum.agg(
         F.sum(term).alias("rs2"),
         F.sum("p").alias("np"),
@@ -710,8 +709,8 @@ def decile_lift(events: DataFrame) -> DataFrame:
                 "response_rate"
             ),
             _q(
-                (F.col("n_pos") * F.col("_tn")).cast("double")
-                / (F.col("n") * F.col("_tp")).cast("double"),
+                (F.col("n_pos").cast("double") * F.col("_tn").cast("double"))
+                / (F.col("n").cast("double") * F.col("_tp").cast("double")),
                 1_000_000,
             ).alias("lift"),
             _q(
@@ -744,8 +743,9 @@ def decile_lift(events: DataFrame) -> DataFrame:
     SELECT p.decile, p.n, p.n_pos,
            floor(CAST(p.n_pos AS DOUBLE) / p.n * 1000000 + 0.5) / 1000000
              AS response_rate,
-           floor(CAST(p.n_pos * t.tn AS DOUBLE)
-                 / CAST(p.n * t.tp AS DOUBLE) * 1000000 + 0.5) / 1000000
+           floor((CAST(p.n_pos AS DOUBLE) * CAST(t.tn AS DOUBLE))
+                 / (CAST(p.n AS DOUBLE) * CAST(t.tp AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000
              AS lift,
            floor(CAST(sum(p.n_pos) OVER (ORDER BY p.decile
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
