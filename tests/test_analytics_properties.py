@@ -373,3 +373,131 @@ def test_pps_sample_matches_sequential_walk(spark, weights, target):
         if cum // step > prev // step:
             want.append(i)
     assert got == want
+
+
+# ------------------------------------------------- round-6 op invariants
+
+
+@settings(**SETTINGS)
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False).map(
+                lambda x: round(x, 2)
+            ),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=40,
+    ).filter(
+        lambda rs: any(p for _, p in rs) and any(not p for _, p in rs)
+    )
+)
+def test_auc_complement_and_reference(spark, scores):
+    """AUC(scores) + AUC(-scores) == 1 (tie terms contribute ½ to each),
+    and both match the O(n²) pairwise reference."""
+    from trading_data_pipeline_spark.operators.bi_queries import auc_exact
+
+    def frame(sgn):
+        rows = [
+            (i, dt.datetime(2024, 1, 1), 1,
+             "purchase" if p else "click", sgn * s, "{}")
+            for i, (s, p) in enumerate(scores)
+        ]
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def ref(sgn):
+        pos = [sgn * s for s, p in scores if p]
+        neg = [sgn * s for s, p in scores if not p]
+        wins = sum(
+            1.0 if a > b else (0.5 if a == b else 0.0)
+            for a in pos for b in neg
+        )
+        v = wins / (len(pos) * len(neg))
+        import math
+
+        return math.floor(v * 1_000_000 + 0.5) / 1_000_000
+
+    up = auc_exact(frame(1.0)).collect()[0].auc
+    down = auc_exact(frame(-1.0)).collect()[0].auc
+    assert up == ref(1.0)
+    assert down == ref(-1.0)
+    assert abs((up + down) - 1.0) < 2e-6  # quantization of each side
+
+
+@settings(**SETTINGS)
+@given(
+    days=st.lists(st.integers(min_value=1, max_value=28), min_size=1,
+                  max_size=15, unique=True)
+)
+def test_streaks_partition_the_active_days(spark, days):
+    """Streak lengths sum to the active-day count, streak count equals
+    gap count + 1, and the longest streak matches a sequential scan."""
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        activity_streaks,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 9), 7, "click", 1.0, "{}")
+        for i, d in enumerate(days)
+    ]
+    r = activity_streaks(spark.createDataFrame(rows, EVENT_SCHEMA)).collect()[0]
+    ds = sorted(days)
+    gaps = sum(1 for a, b in zip(ds, ds[1:]) if b - a > 1)
+    runs, cur = [], 1
+    for a, b in zip(ds, ds[1:]):
+        if b - a == 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    assert r.n_active_days == len(ds)
+    assert r.n_streaks == gaps + 1 == len(runs)
+    assert r.longest_len == max(runs)
+
+
+@settings(**SETTINGS)
+@given(
+    anchors=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=25),
+            st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+                lambda x: round(x, 2)
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolate_matches_sequential_reference(spark, anchors):
+    """Interpolated series equals the O(n) sequential reference on every
+    spine day (observed days exact, gaps time-weighted)."""
+    import math
+
+    from trading_data_pipeline_spark.operators.analytics_queries import (
+        interpolate_daily,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, d, 9), 3, "click", v, "{}")
+        for i, (d, v) in enumerate(anchors)
+    ]
+    got = {
+        r.day.day: r.value_interp
+        for r in interpolate_daily(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    pts = sorted(anchors)
+    want = {}
+    for (d0, v0), (d1, v1) in zip(pts, pts[1:]):
+        want[d0] = v0
+        for d in range(d0 + 1, d1):
+            frac = (d - d0) / (d1 - d0)
+            want[d] = math.floor((v0 + (v1 - v0) * frac) * 10000 + 0.5) / 10000
+    want[pts[-1][0]] = pts[-1][1]
+    assert got == {
+        d: math.floor(v * 10000 + 0.5) / 10000 for d, v in want.items()
+    }
