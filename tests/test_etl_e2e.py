@@ -139,3 +139,37 @@ target:
 
     assert run_job(str(cfg), spark=spark) is True
     assert glob.glob(f"{trg_root}/report1/*.parquet")
+
+
+# ------------------------------------------------------------ query CLI
+
+
+def test_cli_query_list(capsys):
+    from trading_data_pipeline_spark.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q_report1" in out and "q_auc" in out
+
+
+def test_cli_query_unknown_name(capsys):
+    from trading_data_pipeline_spark.__main__ import main
+
+    assert main(["query", "q_nope"]) == 2
+
+
+def test_cli_query_show_and_write(tmp_path, capsys, sf_dir):
+    from trading_data_pipeline_spark.__main__ import main
+
+    assert main(["query", "q_groupby_agg", "--sf-dir", sf_dir, "--show", "3"]) == 0
+    out_dir = tmp_path / "cli_out"
+    assert (
+        main(
+            ["query", "q_groupby_agg", "--sf-dir", sf_dir,
+             "--out", str(out_dir), "--format", "parquet"]
+        )
+        == 0
+    )
+    import glob
+
+    assert glob.glob(str(out_dir) + "/*.parquet")
