@@ -97,6 +97,7 @@ EXTRAS = [
     "q_benford",
     "q_auc",
     "q_decile_lift",
+    "q_containment",
 ]
 
 RUNS = 3

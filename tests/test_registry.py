@@ -35,6 +35,9 @@ def test_oracle_coverage_accounting():
         # iterative peel-to-fixpoint is not single-SQL-expressible;
         # exactness vs a driver-side reference peel in test_round6_ops.py
         "q_kcore",
+        # rare-shingle blocking is engine-specific; superset semantics
+        # golden-tested in test_round6_ops.py
+        "q_containment",
     }, sorted(rows_only)
 
 

@@ -339,3 +339,51 @@ def test_decile_lift_structure(spark, sf_dir):
     base = sum(r.n_pos for r in out) / n_total
     for r in out:
         assert abs(r.lift - (r.n_pos / r.n) / base) < 1e-4
+
+
+# -------------------------------------------------------------- containment
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    from trading_data_pipeline_spark.operators.dedup import (
+        banded_minhash_pairs,
+        containment_pairs,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, core, "en", "s", len(core)),
+            (2, f"{wrapper} {core}", "en", "s", 0),  # superset copy
+            (3, "totally unrelated words here now", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r for r in containment_pairs(docs).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment == 1.0  # every core shingle appears in the wrapper doc
+    assert r.jaccard < 0.5  # symmetric score would have rejected the pair
+    assert (1, 3) not in got and (2, 3) not in got
+    # the symmetric banded-MinHash path indeed misses the superset pair
+    sym = {
+        (r.doc_a, r.doc_b)
+        for r in banded_minhash_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert (1, 2) not in sym
+
+
+def test_containment_skips_boilerplate_shingles(spark):
+    from trading_data_pipeline_spark.operators.dedup import containment_pairs
+
+    # one shingle shared by MANY docs (df > max_df): its postings must be
+    # dropped, so no candidate pairs arise from boilerplate alone
+    boiler = "subscribe to our newsletter today friends"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} token{i} word{i}", "en", "s", 0) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert containment_pairs(docs, max_df=20).count() == 0

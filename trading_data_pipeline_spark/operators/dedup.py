@@ -482,3 +482,70 @@ def jaccard_prefix_join(
         .filter(jac >= t)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 20,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Near-SUPERSET pairs: containment |A∩B| / min(|A|,|B|) over hashed
+    word-n-gram shingle sets. A short document quoted inside a longer one
+    has containment ≈ 1 but LOW Jaccard — symmetric near-dup (MinHash /
+    :func:`banded_minhash_pairs`) structurally misses exactly these, so
+    boilerplate-wrapped copies and quote-expansions survive a
+    Jaccard-only dedup pass.
+
+    Candidate generation blocks on RARE shingles (an inverted index over
+    :func:`hashed_shingles`, keeping postings of 2..``max_df`` docs):
+    any contained copy shares ALL of the core's shingles, so sharing one
+    rare shingle is a complete candidate signal for contained text that
+    is itself non-boilerplate, and candidate cost is bounded by
+    Σ df² over kept shingles ≤ max_df · |postings| — never |corpus|².
+    High-df shingles are exactly the boilerplate the containment verify
+    would reject anyway. Verify is one exact set intersection per
+    candidate pair; both joins key on 8-byte ids.
+    """
+    sh = ensure_parallelism(
+        df.filter(F.size(F.split(text_col, " ")) >= n)
+    ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
+    inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
+    posting = (
+        inv.groupBy("g")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    cand = (
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> filter(transform(ids, "
+                    "b -> if(a < b, struct(a as doc_a, b as doc_b), null)), "
+                    "p -> p is not null)))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / F.least(F.size("sh_a"), F.size("sh_b")), 4
+            ).alias("containment"),
+            F.round(
+                inter / F.size(F.array_union("sh_a", "sh_b")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -223,3 +223,22 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edits") <= FUZZY_MAX_EDITS)
         .select("key_a", "key_b", "name_a", "name_b", "edits")
     )
+
+
+@register(
+    "q_containment",
+    None,  # rare-shingle blocking is engine-specific -> rows-only;
+    # superset-detection semantics pinned in tests/test_round6_ops.py
+    doc="Near-superset detection via containment |A∩B|/min(|A|,|B|) over "
+    "hashed 3-gram shingles: rare-shingle inverted-index blocking "
+    "(postings capped at df<=20, cost Σdf² never |corpus|²) + exact "
+    "set-intersection verify. Catches quote-expansions and "
+    "boilerplate-wrapped copies that symmetric Jaccard near-dup "
+    "structurally misses",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
