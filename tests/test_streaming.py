@@ -911,3 +911,79 @@ def test_drift_monitor_reports_vanished_types(spark, tmp_path):
     assert set(got) == {"A", "B"}
     assert got["A"].tvd == 0.0 and got["A"].n_events == 1
     assert got["B"].tvd is None and got["B"].n_events == 0
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_suffices(
+    spark, staged_events
+):
+    """With capacity >= distinct users per type, SpaceSaving degenerates
+    to exact counting: final summaries equal the batch groupBy."""
+    from trading_data_pipeline_spark.streaming.stateful import heavy_hitters_stream
+
+    events = stream_events(spark, staged_events)
+    got_df = run_to_completion(
+        heavy_hitters_stream(events, capacity=10_000), "t_hh_exact", "update", spark
+    )
+    latest_v = {
+        r.event_type: r.mv
+        for r in got_df.groupBy("event_type").agg(F.max("version").alias("mv")).collect()
+    }
+    got = {
+        (r.event_type, r.user_id): (r.est_count, r.max_err)
+        for r in got_df.collect()
+        if r.version == latest_v[r.event_type]
+    }
+    batch = {
+        (r.event_type, r.user_id): r.n
+        for r in spark.read.parquet(staged_events)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    assert all(got[k] == (batch[k], 0) for k in batch)
+
+
+def test_streaming_heavy_hitters_bounds_hold_under_eviction(
+    spark, staged_events
+):
+    """With a small capacity the summary must still contain every true
+    heavy hitter and bracket its true count: est - err <= true <= est."""
+    from trading_data_pipeline_spark.streaming.stateful import heavy_hitters_stream
+
+    cap = 20
+    events = stream_events(spark, staged_events)
+    got_df = run_to_completion(
+        heavy_hitters_stream(events, capacity=cap), "t_hh_small", "update", spark
+    )
+    latest_v = {
+        r.event_type: r.mv
+        for r in got_df.groupBy("event_type").agg(F.max("version").alias("mv")).collect()
+    }
+    got = {
+        (r.event_type, r.user_id): (r.est_count, r.max_err)
+        for r in got_df.collect()
+        if r.version == latest_v[r.event_type]
+    }
+    batch = spark.read.parquet(staged_events)
+    truth = {
+        (r.event_type, r.user_id): r.n
+        for r in batch.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (t, _), n in truth.items():
+        totals[t] = totals.get(t, 0) + n
+    for t, total in totals.items():
+        assert sum(1 for (tt, _) in got if tt == t) <= cap
+        for (tt, u), n in truth.items():
+            if tt != t:
+                continue
+            if n > total / cap:  # guaranteed present
+                assert (t, u) in got, (t, u, n, total)
+        for (tt, u), (est, err) in got.items():
+            if tt != t:
+                continue
+            true_n = truth.get((t, u), 0)
+            assert est - err <= true_n <= est, (t, u, est, err, true_n)

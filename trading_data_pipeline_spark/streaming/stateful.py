@@ -308,3 +308,78 @@ def drawdown_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_SCHEMA = (
+    "event_type string, user_id long, est_count long, max_err long, "
+    "version long"
+)
+HH_STATE = "ids array<long>, cnts array<long>, errs array<long>, version long"
+
+
+def heavy_hitters_stream(events: DataFrame, capacity: int = 50) -> DataFrame:
+    """Streaming top users per event type via the SpaceSaving summary —
+    bounded O(capacity) state per key no matter how many distinct users
+    flow past, the canonical answer to "top-k over an unbounded stream"
+    (batch counterpart: operators/quality_queries heavy hitters).
+
+    Per micro-batch each type's user counts fold into its summary:
+    known user → count += c; free slot → insert with error 0; full →
+    evict the minimum-count entry and the newcomer inherits its count
+    (that minimum becomes the newcomer's error bound). Guarantees, both
+    asserted in tests: any user with true count > N/capacity is present,
+    and true_count ∈ [est − err, est]. Emits each type's full summary
+    per batch with a monotone ``version`` so consumers (and the
+    update-mode memory sink) can select the latest.
+    """
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, cnts, errs, version = state.get
+            summary = {
+                i: [c, e] for i, c, e in zip(ids, cnts, errs)
+            }
+        else:
+            summary, version = {}, 0
+        for pdf in pdfs:
+            for uid, c in pdf["user_id"].value_counts().items():
+                uid, c = int(uid), int(c)
+                if uid in summary:
+                    summary[uid][0] += c
+                elif len(summary) < capacity:
+                    summary[uid] = [c, 0]
+                else:
+                    evict = min(summary, key=lambda k: summary[k][0])
+                    floor_c = summary.pop(evict)[0]
+                    summary[uid] = [floor_c + c, floor_c]
+        version += 1
+        ids = sorted(summary)
+        state.update(
+            (
+                ids,
+                [summary[i][0] for i in ids],
+                [summary[i][1] for i in ids],
+                version,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "user_id": ids,
+                "est_count": [summary[i][0] for i in ids],
+                "max_err": [summary[i][1] for i in ids],
+                "version": version,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=HH_SCHEMA,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
