@@ -98,6 +98,7 @@ EXTRAS = [
     "q_auc",
     "q_decile_lift",
     "q_containment",
+    "q_table_checksum",
 ]
 
 RUNS = 3

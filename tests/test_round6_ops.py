@@ -387,3 +387,48 @@ def test_containment_skips_boilerplate_shingles(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert containment_pairs(docs, max_df=20).count() == 0
+
+
+# ----------------------------------------------------------- table checksum
+
+
+def test_table_checksum_flips_on_any_single_row_change(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.lake_queries import table_checksum
+
+    orders = load(spark, sf_dir, "orders")
+    base = {r.o_orderpriority: (r.n_rows, r.checksum) for r in table_checksum(orders).collect()}
+
+    victim = orders.orderBy("o_orderkey").first()
+    # value mutation: same rows, one price changed by a cent
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == victim.o_orderkey,
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    got = {r.o_orderpriority: (r.n_rows, r.checksum) for r in table_checksum(mutated).collect()}
+    assert got[victim.o_orderpriority] != base[victim.o_orderpriority]
+    for k in base:
+        if k != victim.o_orderpriority:
+            assert got[k] == base[k]  # unaffected groups identical
+
+    # row loss: count AND checksum change for that group only
+    dropped = orders.filter(F.col("o_orderkey") != victim.o_orderkey)
+    got2 = {r.o_orderpriority: (r.n_rows, r.checksum) for r in table_checksum(dropped).collect()}
+    assert got2[victim.o_orderpriority][0] == base[victim.o_orderpriority][0] - 1
+    assert got2[victim.o_orderpriority][1] != base[victim.o_orderpriority][1]
+
+
+def test_table_checksum_is_order_and_partitioning_independent(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.lake_queries import table_checksum
+
+    orders = load(spark, sf_dir, "orders")
+    a = {tuple(r) for r in table_checksum(orders).collect()}
+    b = {
+        tuple(r)
+        for r in table_checksum(
+            orders.repartition(17).sortWithinPartitions(F.desc("o_totalprice"))
+        ).collect()
+    }
+    assert a == b

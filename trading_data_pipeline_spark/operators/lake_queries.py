@@ -689,3 +689,81 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+# --------------------------------------------------------- table checksum
+
+CK_HEX_DIGITS = 12  # 48-bit per-row hash: exact in double on any engine
+
+
+def table_checksum(orders: DataFrame) -> DataFrame:
+    """Order-independent per-group content checksum of the orders table —
+    the cross-system reconciliation primitive: two replicas (or a table
+    before/after a migration) compare one row per group instead of
+    shipping data, and a single changed/missing/duplicated row flips the
+    sum. This is how you verify a 100 TB copy without a 100 TB shuffle;
+    group keys localize which slice diverged (here o_orderpriority —
+    partition keys in production).
+
+    Determinism across engines: the row is serialized from exactly-
+    stringable fields (integers, quantized cents, ISO date, the key
+    itself), hashed with md5, and the FIRST 12 hex digits are parsed as
+    an integer — 48 bits keeps every per-row value and the fold exact in
+    any arithmetic; the group sum accumulates in DECIMAL(38,0) and ships
+    as a digit string. Addition is commutative, so the checksum is
+    independent of row order AND partitioning — unlike any hash-of-
+    concatenation scheme.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        cents,
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    v = F.conv(F.substring(F.md5(row), 1, CK_HEX_DIGITS), 16, 10).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(v).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_table_checksum",
+    f"""
+    WITH r AS (
+      SELECT o_orderpriority,
+             md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                 o_orderpriority)) AS h
+      FROM orders
+    ), v AS (
+      SELECT o_orderpriority,
+             CAST(list_sum(list_transform(generate_series(1, {CK_HEX_DIGITS}),
+               i -> (strpos('0123456789abcdef', substr(h, CAST(i AS INTEGER), 1)) - 1)
+                    * power(16, {CK_HEX_DIGITS} - i))) AS BIGINT) AS hv
+      FROM r
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(hv) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM v GROUP BY o_orderpriority
+    """,
+    doc="Order-independent content checksum per group: md5 of a "
+    "deterministically-serialized row, first 48 bits summed in "
+    "DECIMAL(38) — replica/migration reconciliation that compares one "
+    "row per group instead of re-shipping the table; commutative sum "
+    "makes it partitioning- and order-proof. Oracle parses the same hex "
+    "via arithmetic (every step exact in double at 48 bits)",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_checksum(load(spark, sf_dir, "orders"))

@@ -147,7 +147,7 @@ _PRIORITY: tuple[str, ...] = (
 #              q_share_of_parent, q_pps_sample
 #   round-6:   q_interpolate, q_salted_agg, q_random_projection, q_kcore,
 #              q_streaks, q_changepoint, q_benford, q_auc, q_decile_lift,
-#              q_containment
+#              q_containment, q_table_checksum
 #              (+ any later round-6 additions)
 # = 2 + 46 pins; that exceeds 50 only if everything else stays, so drop
 # the round-5 re-verification slots (they will have fresh green rows) and
