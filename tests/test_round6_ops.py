@@ -432,3 +432,21 @@ def test_table_checksum_is_order_and_partitioning_independent(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------- degenerate inputs
+
+
+def test_round6_ops_survive_empty_and_one_class_input(spark):
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    assert interpolate_daily(empty).count() == 0
+    assert activity_streaks(empty).count() == 0
+    assert changepoint_daily(empty).count() == 0
+    assert salted_agg_stats(empty).count() == 0
+    assert benford_profile(empty).count() == 0
+    assert decile_lift(empty).count() == 0
+
+    # AUC of a one-class stream is undefined -> NULL, never a crash
+    one_class = _ev(spark, [(1, 9, 1, 5.0), (2, 9, 1, 7.0)])
+    r = auc_exact(one_class).collect()[0]
+    assert r.auc is None and (r.n_pos, r.n_neg) == (0, 2)

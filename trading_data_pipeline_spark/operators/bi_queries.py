@@ -621,6 +621,8 @@ def auc_exact(events: DataFrame) -> DataFrame:
         F.col("rs2").cast("double") / 2.0
         - F.col("np").cast("double") * (F.col("np") + 1).cast("double") / 2.0
     ) / (F.col("np").cast("double") * F.col("nn").cast("double"))
+    # one-class input has no rankable pairs: report NULL, not a 0/0
+    auc = F.when((F.col("np") > 0) & (F.col("nn") > 0), auc)
     return agg.select(
         _q(auc, 1_000_000).alias("auc"),
         F.col("np").alias("n_pos"),
