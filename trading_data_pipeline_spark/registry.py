@@ -149,9 +149,10 @@ _PRIORITY: tuple[str, ...] = (
 #              q_streaks, q_changepoint, q_benford, q_auc, q_decile_lift,
 #              q_containment, q_table_checksum
 #              (+ any later round-6 additions)
-# = 2 + 46 pins; that exceeds 50 only if everything else stays, so drop
-# the round-5 re-verification slots (they will have fresh green rows) and
-# fill remaining slots with bench-headline continuity picks.
+# = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50:
+# replace the entire _PRIORITY list with the names above in that order
+# (drop every round-5 re-verification slot — each will have a fresh
+# green row from this round's window).
 
 
 def all_queries() -> dict[str, QuerySpec]:
