@@ -99,6 +99,7 @@ EXTRAS = [
     "q_decile_lift",
     "q_containment",
     "q_table_checksum",
+    "q_knn_eval",
 ]
 
 RUNS = 3

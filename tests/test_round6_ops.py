@@ -450,3 +450,35 @@ def test_round6_ops_survive_empty_and_one_class_input(spark):
     one_class = _ev(spark, [(1, 9, 1, 5.0), (2, 9, 1, 7.0)])
     r = auc_exact(one_class).collect()[0]
     assert r.auc is None and (r.n_pos, r.n_neg) == (0, 2)
+
+
+# ------------------------------------------------------------------ knn eval
+
+
+def test_knn_eval_separable_clusters_score_perfectly(spark):
+    from trading_data_pipeline_spark.operators.similarity import knn_label_eval
+
+    rows = []
+    for i in range(40):
+        label = i % 2
+        base = [1.0, 0.0] if label == 0 else [0.0, 1.0]
+        vec = [base[0] + 0.01 * (i % 7), base[1] + 0.01 * ((i * 3) % 5)]
+        rows.append((i, vec, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.true_label: r for r in knn_label_eval(emb, holdout_mod=5, k=3).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.accuracy == 1.0 and r.n_correct == r.n_eval > 0
+
+
+def test_knn_eval_counts_every_holdout_vector(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.similarity import knn_label_eval
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_holdout = emb.filter(F.col("vec_id") % 10 == 0).count()
+    out = knn_label_eval(emb).collect()
+    assert sum(r.n_eval for r in out) == n_holdout
+    for r in out:
+        assert 0.0 <= r.accuracy <= 1.0

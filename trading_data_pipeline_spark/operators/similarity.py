@@ -397,3 +397,79 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, F.round("_sim", 4).alias("cosine"))
     )
+
+
+def knn_label_eval(
+    emb: DataFrame,
+    holdout_mod: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality evaluation via k-NN label prediction: hold out
+    every ``holdout_mod``-th vector, predict its label by majority vote
+    of its k nearest (cosine) neighbours in the rest of the corpus, and
+    report per-label accuracy — the standard probe for "do these
+    embeddings actually encode the thing we care about" run before a
+    corpus-wide similarity pass is trusted.
+
+    Plan: broadcast the holdout set (1/holdout_mod of the corpus) into a
+    local scoring pass — the corpus never shuffles; per-query top-k gets
+    rank-limit pushdown on the single qid exchange; votes and accuracy
+    are tiny aggregates. Ties are deterministic on every engine:
+    neighbour rank breaks on (cosine DESC, id ASC) — cosine is the
+    bit-identical JVM fold — and the vote breaks on (count DESC, label
+    ASC).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    holdout = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("true_label"),
+    )
+    corpus = emb.filter(F.col(id_col) % holdout_mod != 0)
+    scored = corpus.join(F.broadcast(holdout), F.lit(True)).select(
+        "qid",
+        "true_label",
+        F.col(label_col),
+        cosine_similarity(
+            F.col(vec_col).cast("array<double>"),
+            F.col("qvec").cast("array<double>"),
+        ).alias("_sim"),
+        F.col(id_col),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
+    votes = (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .groupBy("qid", "true_label", label_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("_cnt"), F.asc(label_col)
+    )
+    picked = votes.withColumn("_rv", F.row_number().over(wv)).filter(
+        F.col("_rv") == 1
+    )
+    return (
+        picked.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col(label_col) == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_eval",
+            "n_correct",
+            (F.floor(F.col("n_correct") / F.col("n_eval") * 10000 + 0.5) / 10000).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

@@ -275,3 +275,54 @@ def _rp_oracle() -> str:
 )
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(load(spark, sf_dir, "embeddings"))
+
+
+KNN_HOLDOUT_MOD = 10
+KNN_K = 5
+
+
+@register(
+    "q_knn_eval",
+    f"""
+    WITH h AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS tl
+      FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, label
+      FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} != 0
+    ), s AS (
+      SELECT h.qid, h.tl, c.label, c.vec_id,
+             list_cosine_similarity(c.e, h.qe) AS sim
+      FROM c, h
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    ), v AS (
+      SELECT qid, tl, label, count(*) AS cnt
+      FROM r WHERE rn <= {KNN_K} GROUP BY qid, tl, label
+    ), m AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cnt DESC, label) AS rv
+      FROM v
+    )
+    SELECT tl AS true_label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN label = tl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           floor(sum(CASE WHEN label = tl THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS accuracy
+    FROM m WHERE rv = 1 GROUP BY tl
+    """,
+    doc="Embedding-quality probe: hold out every 10th vector, predict "
+    "its label by majority vote of its 5 cosine-nearest neighbours, "
+    "report per-label accuracy. Broadcast holdout (corpus never "
+    "shuffles for scoring), rank-limit-pushdown top-k, deterministic "
+    "ties (cosine DESC, id; then count DESC, label) on both engines",
+)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import knn_label_eval
+
+    return knn_label_eval(
+        load(spark, sf_dir, "embeddings"), holdout_mod=KNN_HOLDOUT_MOD, k=KNN_K
+    )

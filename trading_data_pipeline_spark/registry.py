@@ -148,8 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 #   round-6:   q_interpolate, q_salted_agg, q_random_projection, q_kcore,
 #              q_streaks, q_changepoint, q_benford, q_auc, q_decile_lift,
 #              q_containment, q_table_checksum
+#   round-7 (window overflow; pin in round 7): q_knn_eval
 #              (+ any later round-6 additions)
-# = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50:
+# = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50
+# (q_knn_eval and later additions overflow; they take round-7 slots):
 # replace the entire _PRIORITY list with the names above in that order
 # (drop every round-5 re-verification slot — each will have a fresh
 # green row from this round's window).
