@@ -482,3 +482,32 @@ def test_knn_eval_counts_every_holdout_vector(spark, sf_dir):
     assert sum(r.n_eval for r in out) == n_holdout
     for r in out:
         assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_decile_lift_zero_positive_stream_yields_null_lift(spark):
+    # 12 rows, no purchases: deciles exist, lift/capture are NULL (never
+    # an ANSI divide-by-zero)
+    rows = [(i, 9, 1, float(i)) for i in range(1, 13)]
+    out = decile_lift(_ev(spark, rows)).collect()
+    assert len(out) == 10
+    assert all(r.n_pos == 0 and r.lift is None and r.cum_capture is None
+               for r in out)
+
+
+def test_table_checksum_survives_long_overflow_volume(spark):
+    # ~70k rows in ONE group: the 48-bit row hashes sum past 2^63, which
+    # a long accumulator would reject under ANSI — the DECIMAL
+    # accumulator must return the exact digit string instead
+    from trading_data_pipeline_spark.operators.lake_queries import table_checksum
+
+    n = 70_000
+    orders = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        F.col("id").alias("o_custkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("2024-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    rows = table_checksum(orders).collect()
+    assert len(rows) == 1 and rows[0].n_rows == n
+    assert int(rows[0].checksum) > 0  # parses as an exact integer

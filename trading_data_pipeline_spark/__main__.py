@@ -62,6 +62,9 @@ def _query_cmd(argv: list[str]) -> int:
 
         root, _, key = args.out.rstrip("/").rpartition("/")
         ok = FileSystemConnector(spark, root or ".").write(df, key, args.format)
+        if ok is None:  # connector's empty-write skip — a valid empty result
+            print(f"empty result; nothing written to {args.out}")
+            return 0
         print(f"wrote={bool(ok)} path={args.out} format={args.format}")
         return 0 if ok else 1
     df.show(args.show, truncate=False)

@@ -445,7 +445,7 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
     customer count. Ties rank deterministically by customer key — any
     tie order yields the same G because tied x values are equal.
     """
-    from ..plans.global_rank import global_cumsum, global_row_number
+    from ..plans.global_rank import global_row_number
 
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
@@ -601,7 +601,7 @@ def auc_exact(events: DataFrame) -> DataFrame:
     g + 1) accumulates in DECIMAL(38,0), so the result is exact at any
     row count and bit-identical across engines.
     """
-    s = events.select(
+    s = events.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),
         (F.col("event_type") == POS_TYPE).cast("long").alias("pos"),
     )
@@ -685,7 +685,7 @@ def decile_lift(events: DataFrame) -> DataFrame:
     """
     from ..plans.global_rank import global_ntile
 
-    s = events.select(
+    s = events.filter(F.col("value").isNotNull()).select(
         "event_id",
         F.col("value"),
         (F.col("event_type") == POS_TYPE).cast("long").alias("pos"),
@@ -711,12 +711,18 @@ def decile_lift(events: DataFrame) -> DataFrame:
                 "response_rate"
             ),
             _q(
-                (F.col("n_pos").cast("double") * F.col("_tn").cast("double"))
-                / (F.col("n").cast("double") * F.col("_tp").cast("double")),
+                F.when(
+                    F.col("_tp") > 0,
+                    (F.col("n_pos").cast("double") * F.col("_tn").cast("double"))
+                    / (F.col("n").cast("double") * F.col("_tp").cast("double")),
+                ),
                 1_000_000,
             ).alias("lift"),
             _q(
-                F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+                F.when(
+                    F.col("_tp") > 0,
+                    F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+                ),
                 1_000_000,
             ).alias("cum_capture"),
         )

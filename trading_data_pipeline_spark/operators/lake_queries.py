@@ -728,7 +728,7 @@ def table_checksum(orders: DataFrame) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(v).cast("decimal(38,0)").cast("string").alias("checksum"),
+            F.sum(v.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").alias("checksum"),
         )
         .orderBy("o_orderpriority")
     )
