@@ -100,6 +100,8 @@ EXTRAS = [
     "q_containment",
     "q_table_checksum",
     "q_knn_eval",
+    "q_stratified_exact",
+    "q_skew_audit",
 ]
 
 RUNS = 3

@@ -511,3 +511,39 @@ def test_table_checksum_survives_long_overflow_volume(spark):
     rows = table_checksum(orders).collect()
     assert len(rows) == 1 and rows[0].n_rows == n
     assert int(rows[0].checksum) > 0  # parses as an exact integer
+
+
+# ------------------------------------------- stratified take / skew audit
+
+
+def test_stratified_exact_counts_and_determinism(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.profiling_queries import (
+        stratified_exact_take,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per = {"k": 7}
+    out = stratified_exact_take(docs, k=per["k"])
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(per["k"], avail[lang])
+    # reproducible: same draw on re-execution and under repartitioning
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in stratified_exact_take(docs.repartition(13), k=per["k"]).collect()}
+    assert a == b
+
+
+def test_skew_audit_hand_built(spark):
+    from trading_data_pipeline_spark.operators.profiling_queries import skew_audit
+
+    # key 1 -> 8 rows, keys 2..5 -> 1 row each: mean=2.4, skew=8/2.4
+    rows = [(i, 1) for i in range(8)] + [(10 + k, k) for k in range(2, 6)]
+    df = spark.createDataFrame(rows, "row_id long, k long")
+    out = skew_audit(df, "k").collect()
+    assert out[0].heavy_key == 1 and out[0].key_rows == 8
+    r = out[0]
+    assert (r.n_keys, r.n_rows, r.max_n) == (5, 12, 8)
+    import math
+
+    assert r.skew_factor == math.floor(8 / 2.4 * 10000 + 0.5) / 10000

@@ -322,3 +322,127 @@ def _benford_oracle() -> str:
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(load(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------------- exact stratified take
+
+STRAT_TAKE = 20  # rows kept per stratum
+
+
+def stratified_exact_take(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = STRAT_TAKE,
+) -> DataFrame:
+    """EXACTLY k rows per stratum (not the binomial approximation of
+    ``sampleBy``), chosen by rank over a deterministic pseudo-random
+    order — ``md5(id)`` — so the draw is uniform-ish, reproducible
+    across retries/engines, and needs no RNG state.
+
+    One window exchange on the stratum key with rank-limit pushdown
+    (each task keeps its local top-k before the exchange, so the
+    shuffle carries at most k·partitions rows per stratum, never the
+    stratum). The eval-set construction shape: "give me exactly 500
+    docs per language, same 500 every run".
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(stratum_col, id_col, F.col("_rk").alias("draw_rank"))
+    )
+
+
+@register(
+    "q_stratified_exact",
+    f"""
+    SELECT lang, doc_id, draw_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS draw_rank
+      FROM documents
+    ) WHERE draw_rank <= {STRAT_TAKE}
+    """,
+    doc="Exact-count stratified sample: EXACTLY k docs per language via "
+    "rank over the deterministic md5(id) order (reproducible across "
+    "engines and retries, no RNG state) with rank-limit pushdown — the "
+    "shuffle never carries a whole stratum. sampleBy's binomial draw "
+    "can't promise exact counts; this does",
+)
+def q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_exact_take(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- skew audit
+
+SKEW_TOP = 5
+
+
+def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-join skew report for a candidate shuffle key: per-key count
+    distribution (p50/p90/max), the skew factor max/mean, and the top
+    heavy keys — the numbers that decide between a plain hash join,
+    AQE skew splitting, and an explicit salt BEFORE burning cluster
+    hours. One partial-aggregated groupBy to key counts (|keys| rows),
+    then tiny aggregates; exact integer percentiles on counts.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc(key_col)).limit(SKEW_TOP)
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("p50"),
+        F.expr("CAST(percentile(n, 0.9) AS DOUBLE)").alias("p90"),
+        F.max("n").alias("max_n"),
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col(key_col).alias("heavy_key"),
+        F.col("n").alias("key_rows"),
+        "n_keys",
+        "n_rows",
+        "p50",
+        "p90",
+        "max_n",
+        _q(
+            F.col("max_n").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+            10000,
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "q_skew_audit",
+    f"""
+    WITH c AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50,
+             CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90,
+             max(n) AS max_n
+      FROM c
+    ), t AS (
+      SELECT k, n FROM c ORDER BY n DESC, k LIMIT {SKEW_TOP}
+    )
+    SELECT t.k AS heavy_key, t.n AS key_rows,
+           s.n_keys, s.n_rows, s.p50, s.p90, s.max_n,
+           floor(CAST(s.max_n AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS skew_factor
+    FROM t, s
+    """,
+    doc="Join-key skew audit on lineitem.l_orderkey: per-key count "
+    "percentiles (exact interpolation on integral counts), max/mean "
+    "skew factor, top heavy keys — the pre-join report that decides "
+    "hash join vs AQE skew split vs explicit salt. Partial-aggregated "
+    "key counts; everything after is |keys|-sized",
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_audit(load(spark, sf_dir, "lineitem"), "l_orderkey")
