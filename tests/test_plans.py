@@ -669,3 +669,19 @@ def test_decile_lift_uses_two_pass_ntile(spark, sf_dir, queries):
     unpartitioned window runs over the 10-row decile aggregate)."""
     plan = plan_of(queries["q_decile_lift"].fn(spark, sf_dir))
     assert "_bkt" in plan, plan
+
+
+def test_round6_batch2_plan_contracts(spark, sf_dir, queries):
+    """knn eval broadcasts the holdout (corpus never shuffles for
+    scoring); stratified take gets rank-limit pushdown; skew audit
+    partial-aggregates the key counts and broadcasts the stats row."""
+    knn = plan_of(queries["q_knn_eval"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in knn or "BroadcastExchange" in knn, knn
+
+    strat = plan_of(queries["q_stratified_exact"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in strat, strat
+    assert "SinglePartition" not in strat, strat
+
+    skew = formatted_plan_of(queries["q_skew_audit"].fn(spark, sf_dir))
+    assert "partial_count" in skew or "partial" in skew.lower(), skew
+    assert "BroadcastExchange" in plan_of(queries["q_skew_audit"].fn(spark, sf_dir))
