@@ -102,6 +102,7 @@ EXTRAS = [
     "q_knn_eval",
     "q_stratified_exact",
     "q_skew_audit",
+    "q_phash_dedup",
 ]
 
 RUNS = 3

@@ -148,3 +148,68 @@ def test_feature_stage_is_narrow(mm):
     the media bytes)."""
     plan = image_features(mm)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- perceptual hash
+
+
+def test_phash_identical_payloads_collide_at_hamming_zero(spark):
+    from trading_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same text", "en", "s", 9), (2, "same text", "en", "s", 9),
+         (3, "different words entirely", "en", "s", 24)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(attach_payload(docs)).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_phash_banding_recall_is_exact(spark):
+    """Every pair within the hamming radius must be found (pigeonhole),
+    compared against brute-force popcount over all hashes."""
+    from trading_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, chr(65 + i) * (i + 1), "en", "s", i + 1) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    def pattern_decode(payload, width, height):
+        # controlled pixels: vertical split bitmap from the first payload
+        # byte — nearby split points give nearby aHashes. Defined INSIDE
+        # the test so cloudpickle ships it by value to executors.
+        import numpy as np
+
+        split = (payload[0] if payload else 0) % 9
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, : split * 2, :] = 255
+        return img
+
+    mm = attach_payload(docs)
+    hashes = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(mm, decode=pattern_decode).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1")
+                if h <= 6:
+                    want[(i, j)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(mm, max_hamming=6, decode=pattern_decode).collect()
+    }
+    assert got == want and len(want) > 0

@@ -38,6 +38,9 @@ def test_oracle_coverage_accounting():
         # rare-shingle blocking is engine-specific; superset semantics
         # golden-tested in test_round6_ops.py
         "q_containment",
+        # fake-codec pixels are engine-specific; hamming semantics +
+        # pigeonhole recall pinned in test_multimodal.py
+        "q_phash_dedup",
     }, sorted(rows_only)
 
 

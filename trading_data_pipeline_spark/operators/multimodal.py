@@ -210,3 +210,88 @@ def audio_features(mm: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return mm.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 8  # 8 bands x 8 bits: any pair with hamming <= 7 shares a band
+
+
+def perceptual_hash(mm: DataFrame, decode=fake_decode) -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode → 8×8 nearest resize
+    → grayscale → mean-threshold bitmap packed into a long. Robust to
+    re-encoding/resize (which change bytes but not content), which is
+    exactly what the sha256 exact-dup key cannot see. Same Arrow
+    ``mapInPandas`` discipline as :func:`image_features`: payloads never
+    shuffle, the output is 8 bytes per image.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "phash": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode(bytes(payload), meta["width"], meta["height"])
+                small = resize_nearest(img, 8, 8)
+                gray = small.astype(np.float64).mean(axis=2)
+                bits = (gray > gray.mean()).flatten()
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                if v >= 2**63:  # pack as signed long for the Spark column
+                    v -= 2**64
+                out["doc_id"].append(doc_id)
+                out["phash"].append(v)
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(extract, schema="doc_id long, phash long")
+
+
+def phash_near_dup_pairs(
+    mm: DataFrame, max_hamming: int = 6, decode=fake_decode
+) -> DataFrame:
+    """Near-duplicate images by Hamming ball over the perceptual hash,
+    with banded candidate generation: the 64-bit hash splits into
+    PHASH_BANDS byte-keys, candidates share at least one exact band, and
+    the verify is one ``bit_count(a XOR b)``. Pigeonhole guarantee: any
+    pair within hamming ≤ PHASH_BANDS−1 differs in at most that many
+    bytes, so at least one band matches — recall is EXACT (1.0) for
+    ``max_hamming`` ≤ 7, not probabilistic like MinHash banding.
+    Candidate cost is Σ|bucket|² per band over 8-byte keys — the same
+    bounded-bucket discipline as the text near-dup path.
+    """
+    ph = perceptual_hash(mm, decode=decode)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")
+    )
+    b = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -104,3 +104,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(load(spark, sf_dir, "documents"))
     )
     return audio_features(mm)
+
+
+@register(
+    "q_phash_dedup",
+    None,  # the fake codec's pixels are engine-specific -> rows-only;
+    # hamming semantics + pigeonhole recall pinned in tests/test_multimodal.py
+    doc="Perceptual-hash image near-dup: 64-bit aHash per payload (Arrow "
+    "mapInPandas, payloads never shuffle) -> 8x8-bit banded candidates "
+    "(pigeonhole: recall is EXACT for hamming<=7, unlike probabilistic "
+    "MinHash bands) -> bit_count XOR verify. Catches re-encoded/resized "
+    "copies the sha256 exact key cannot see",
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import attach_payload, phash_near_dup_pairs
+
+    mm = attach_payload(load(spark, sf_dir, "documents"))
+    return phash_near_dup_pairs(mm).orderBy("doc_a", "doc_b")
