@@ -103,6 +103,8 @@ EXTRAS = [
     "q_stratified_exact",
     "q_skew_audit",
     "q_phash_dedup",
+    "q_sql_interface",
+    "q_python_source",
 ]
 
 RUNS = 3

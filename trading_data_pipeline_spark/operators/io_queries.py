@@ -185,3 +185,90 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+# ----------------------------------------------------------- SQL interface
+
+# One dialect-shared ANSI string: the SAME text runs through spark.sql()
+# AND the DuckDB oracle. Keeping it shared is the point of the query —
+# it proves the engine exposes a plain SQL surface (views + spark.sql),
+# not only the DataFrame builder, and that ANSI-conservative SQL is
+# portable across both engines verbatim.
+SHARED_SQL = """
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           floor(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every driver table as a temp view so plain ``spark.sql``
+    works against the lake — the engine's SQL front door."""
+    from ..registry import TABLES
+
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "q_sql_interface",
+    SHARED_SQL,
+    doc="The SQL front door: driver tables registered as temp views and "
+    "the query text passed VERBATIM to spark.sql() — the oracle runs the "
+    "byte-identical string, so this row also certifies dialect-portable "
+    "ANSI output. Catalyst plans it like any DataFrame query (broadcast "
+    "nation, partial agg)",
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SHARED_SQL)
+
+
+PYSRC_ROWS = 20_000
+
+
+@register(
+    "q_python_source",
+    f"""
+    WITH g AS (
+      SELECT i AS event_id,
+             (i * {2654435761}) % 1000 AS user_id,
+             ['click', 'purchase', 'signup', 'view'][CAST(i % 4 AS INTEGER) + 1]
+               AS event_type,
+             CAST((i * {48271}) % 100000 AS DOUBLE) / 100.0 AS value
+      FROM (SELECT unnest(generate_series(0, {PYSRC_ROWS - 1})) AS i)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5)
+             / 100 AS total
+    FROM g GROUP BY event_type
+    """,
+    doc="Custom Python DataSource (PySpark 4 pyspark.sql.datasource API): "
+    "a partition-parallel deterministic generator read through "
+    "spark.read.format('synthetic_events') — schema declaration, option "
+    "handling, partition planning, per-partition iteration. Row i is a "
+    "pure int64 function of i, so the DuckDB oracle reproduces the "
+    "whole table from generate_series: the scan itself is value-checked",
+)
+def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.python_source import register_python_source
+
+    register_python_source(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", PYSRC_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    return src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.floor(F.sum(v).cast("double") * 100 + 0.5) / 100).alias("total"),
+    )

@@ -149,7 +149,8 @@ _PRIORITY: tuple[str, ...] = (
 #              q_streaks, q_changepoint, q_benford, q_auc, q_decile_lift,
 #              q_containment, q_table_checksum
 #   round-7 (window overflow; pin in round 7): q_knn_eval,
-#              q_stratified_exact, q_skew_audit, q_phash_dedup
+#              q_stratified_exact, q_skew_audit, q_phash_dedup,
+#              q_sql_interface, q_python_source
 #              (+ any later round-6 additions)
 # = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50
 # (q_knn_eval and later additions overflow; they take round-7 slots):

@@ -1,0 +1,79 @@
+"""Custom Python data source (the PySpark 4 ``pyspark.sql.datasource``
+API): a deterministic synthetic-events generator exposed as a real
+``spark.read.format(...)`` source.
+
+Why it exists here: the engine's scan surface shouldn't end at files —
+production lakes also read from services, queues, and generators, and
+Spark 4's Python DataSource API is the sanctioned way to bring those in
+WITHOUT a JVM connector. This source demonstrates the full contract:
+schema declaration, option handling, partition planning (each partition
+generates its slice independently — embarrassingly parallel, no driver
+materialization), and per-partition iteration.
+
+Determinism contract: row ``i`` is a pure function of ``i`` (Knuth
+multiplicative hashing — exact in int64, and reproducible in plain SQL,
+which is what lets the registered query be ORACLE-CHECKED against DuckDB
+``generate_series`` rather than rows-only). Re-reads, retried tasks, and
+different partition counts all yield the same table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Knuth multiplicative constants — small enough that i * A stays in int64
+# for any row count this source will see (A * 2^40 < 2^63).
+USER_MULT = 2654435761
+VALUE_MULT = 48271
+N_USERS = 1000
+VALUE_MOD = 100_000
+EVENT_TYPES = ("click", "purchase", "signup", "view")
+
+
+def row_at(i: int) -> tuple[int, int, str, float]:
+    """The shared row formula (used by the reader AND tests)."""
+    user = (i * USER_MULT) % N_USERS
+    val = ((i * VALUE_MULT) % VALUE_MOD) / 100.0
+    etype = EVENT_TYPES[i % len(EVENT_TYPES)]
+    return i, user, etype, val
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        per = -(-self.rows // self.parts)  # ceil
+        return [
+            _Slice(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield row_at(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", n).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, value double"
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_python_source(spark) -> None:
+    """Idempotent format registration for the current session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
