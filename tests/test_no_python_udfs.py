@@ -19,6 +19,7 @@ ARROW_ALLOWED = {
     "q_audio_features",
     "q_frame_sample",
     "q_multimodal_meta",
+    "q_phash_dedup",  # perceptual hash over decoded pixels (mapInPandas)
 }
 
 
