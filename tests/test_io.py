@@ -224,3 +224,15 @@ def test_python_source_partition_parallelism(spark):
         .load()
     )
     assert df2.count() == 1003
+
+
+def test_python_source_zero_rows_is_empty_not_an_error(spark):
+    from trading_data_pipeline_spark.sources.python_source import (
+        register_python_source,
+    )
+
+    register_python_source(spark)
+    df = (
+        spark.read.format("synthetic_events").option("rows", 0).load()
+    )
+    assert df.count() == 0

@@ -213,3 +213,19 @@ def test_phash_banding_recall_is_exact(spark):
         for r in phash_near_dup_pairs(mm, max_hamming=6, decode=pattern_decode).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_phash_rejects_hamming_beyond_pigeonhole_guarantee(spark):
+    import pytest
+
+    from trading_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(attach_payload(docs), max_hamming=8)

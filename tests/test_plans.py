@@ -683,5 +683,5 @@ def test_round6_batch2_plan_contracts(spark, sf_dir, queries):
     assert "SinglePartition" not in strat, strat
 
     skew = formatted_plan_of(queries["q_skew_audit"].fn(spark, sf_dir))
-    assert "partial_count" in skew or "partial" in skew.lower(), skew
+    assert "partial_count" in skew, skew
     assert "BroadcastExchange" in plan_of(queries["q_skew_audit"].fn(spark, sf_dir))

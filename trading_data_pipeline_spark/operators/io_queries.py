@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..registry import load, register
 from ..sources.connector import FileSystemConnector
 
@@ -270,5 +271,5 @@ def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        (F.floor(F.sum(v).cast("double") * 100 + 0.5) / 100).alias("total"),
+        _q(F.sum(v).cast("double"), 100).alias("total"),
     )

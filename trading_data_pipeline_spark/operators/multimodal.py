@@ -248,7 +248,10 @@ def perceptual_hash(mm: DataFrame, decode=fake_decode) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    mm: DataFrame, max_hamming: int = 6, decode=fake_decode
+    mm: DataFrame,
+    max_hamming: int = 6,
+    decode=fake_decode,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate images by Hamming ball over the perceptual hash,
     with banded candidate generation: the 64-bit hash splits into
@@ -256,10 +259,22 @@ def phash_near_dup_pairs(
     the verify is one ``bit_count(a XOR b)``. Pigeonhole guarantee: any
     pair within hamming ≤ PHASH_BANDS−1 differs in at most that many
     bytes, so at least one band matches — recall is EXACT (1.0) for
-    ``max_hamming`` ≤ 7, not probabilistic like MinHash banding.
-    Candidate cost is Σ|bucket|² per band over 8-byte keys — the same
-    bounded-bucket discipline as the text near-dup path.
+    ``max_hamming`` ≤ PHASH_BANDS−1 (enforced), not probabilistic like
+    MinHash banding.
+
+    Candidate cost is Σ|bucket|² per band, and with only 256 keys per
+    band hot buckets are REAL (every uniform near-black/near-white image
+    hashes to the same value), so pair generation reuses the text
+    near-dup path's discipline: ONE groupBy per (band, key) bucket,
+    pairs from the bucket's collected array, and ``max_bucket`` dropping
+    degenerate buckets (uniform-image clusters belong to exact dedup
+    upstream, not an m² pair blow-up here).
     """
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} voids the pigeonhole guarantee: "
+            f"{PHASH_BANDS} bands only cover hamming <= {PHASH_BANDS - 1}"
+        )
     ph = perceptual_hash(mm, decode=decode)
     bands = ph.select(
         "doc_id",
@@ -278,16 +293,26 @@ def phash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "phash", "bk.band", "bk.key")
-    a = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")
+    grp = bands.groupBy("band", "key").agg(
+        F.collect_list(F.struct("doc_id", "phash")).alias("ids")
     )
-    b = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")
-    )
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        grp.filter(size_ok)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> filter(transform(ids, "
+                    "b -> if(a.doc_id < b.doc_id, struct("
+                    "a.doc_id as doc_a, b.doc_id as doc_b, "
+                    "a.phash as ph_a, b.phash as ph_b), null)), "
+                    "p -> p is not null)))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.ph_a", "p.ph_b")
         .distinct()
     )
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))

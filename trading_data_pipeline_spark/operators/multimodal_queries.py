@@ -119,5 +119,5 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import attach_payload, phash_near_dup_pairs
 
-    mm = attach_payload(load(spark, sf_dir, "documents"))
+    mm = attach_payload(ensure_parallelism(load(spark, sf_dir, "documents")))
     return phash_near_dup_pairs(mm).orderBy("doc_a", "doc_b")

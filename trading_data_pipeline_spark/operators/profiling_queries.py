@@ -395,8 +395,8 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
-        F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("p50"),
-        F.expr("CAST(percentile(n, 0.9) AS DOUBLE)").alias("p90"),
+        _q(F.expr("CAST(percentile(n, 0.5) AS DOUBLE)"), 100).alias("p50"),
+        _q(F.expr("CAST(percentile(n, 0.9) AS DOUBLE)"), 100).alias("p90"),
         F.max("n").alias("max_n"),
     )
     return top.crossJoin(F.broadcast(stats)).select(
@@ -424,8 +424,10 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
     ), s AS (
       SELECT CAST(count(*) AS BIGINT) AS n_keys,
              CAST(sum(n) AS BIGINT) AS n_rows,
-             CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50,
-             CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90,
+             floor(CAST(quantile_cont(n, 0.5) AS DOUBLE) * 100 + 0.5) / 100
+               AS p50,
+             floor(CAST(quantile_cont(n, 0.9) AS DOUBLE) * 100 + 0.5) / 100
+               AS p90,
              max(n) AS max_n
       FROM c
     ), t AS (

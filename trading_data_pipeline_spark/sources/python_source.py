@@ -49,13 +49,19 @@ class SyntheticEventsReader(DataSourceReader):
         self.parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.rows <= 0:  # empty source: zero partitions, not range(0,0,0)
+            return []
         per = -(-self.rows // self.parts)  # ceil
         return [
             _Slice(lo, min(lo + per, self.rows))
             for lo in range(0, self.rows, per)
         ]
 
-    def read(self, partition: _Slice):
+    def read(self, partition: _Slice | None):
+        # Spark still schedules one task with partition=None when
+        # partitions() returns [] — that task must yield nothing
+        if partition is None:
+            return
         for i in range(partition.start, partition.end):
             yield row_at(i)
 
