@@ -105,6 +105,11 @@ EXTRAS = [
     "q_phash_dedup",
     "q_sql_interface",
     "q_python_source",
+    # this-session additions (driver round 5)
+    "q_variant_json",
+    "q_udtf_runs",
+    "q_dpp_join",
+    "q_seasonal_profile",
 ]
 
 RUNS = 3

@@ -20,6 +20,7 @@ ARROW_ALLOWED = {
     "q_frame_sample",
     "q_multimodal_meta",
     "q_phash_dedup",  # perceptual hash over decoded pixels (mapInPandas)
+    "q_udtf_runs",  # Python UDTF demo, Arrow-batched (ArrowEvalPythonUDTF)
 }
 
 

@@ -685,3 +685,36 @@ def test_round6_batch2_plan_contracts(spark, sf_dir, queries):
     skew = formatted_plan_of(queries["q_skew_audit"].fn(spark, sf_dir))
     assert "partial_count" in skew, skew
     assert "BroadcastExchange" in plan_of(queries["q_skew_audit"].fn(spark, sf_dir))
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir, queries):
+    """The date-partitioned fact scan must carry a runtime dynamicpruning
+    PartitionFilter fed by the broadcast dim — without it the query reads
+    every partition of a 100 TB lake to join 4 days."""
+    plan = plan_of(queries["q_dpp_join"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan, plan
+
+
+def test_udtf_runs_is_arrow_batched(spark, sf_dir, queries):
+    """The Python UDTF must evaluate through the Arrow batch path, not the
+    pickled row path."""
+    plan = plan_of(queries["q_udtf_runs"].fn(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPythonUDTF" not in plan, plan
+
+
+def test_variant_json_single_shuffle_with_partial_agg(spark, sf_dir, queries):
+    """VARIANT parse + typed access stays one partial-agged exchange —
+    parse_json/variant_get are JVM expressions, not a Python boundary."""
+    df = queries["q_variant_json"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in formatted_plan_of(df)
+    assert "Python" not in plan, plan
+
+
+def test_seasonal_profile_has_no_global_window(spark, sf_dir, queries):
+    """The global mean must arrive as a 1-row broadcast join, never an
+    empty-partition window (single-task funnel at scale)."""
+    plan = plan_of(queries["q_seasonal_profile"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan

@@ -1,0 +1,204 @@
+"""Registry-wide physical-plan audit: the scale evidence for EVERY query.
+
+For each registered operator this builds the DataFrame at the given sf_dir
+and inspects the physical plan (pre-execution where the query is lazy),
+counting the structures that decide whether the plan survives a 100 TB /
+1000-executor scale-up:
+
+- shuffle exchanges (hash / range / single-partition) and reused exchanges
+- broadcast exchanges and join strategies (BHJ / SMJ / SHJ / BNLJ /
+  CartesianProduct)
+- Python boundaries: row-at-a-time ``BatchEvalPython`` (forbidden —
+  the engine-wide contract is zero) vs Arrow-batched
+  ``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``
+- parquet scans, and how many of them carry pushed filters
+- WholeStageCodegen spans (wider = more of the query stays JVM-compiled)
+
+Output: ``PLANAUDIT.json`` (per-query metrics, machine-checkable) and a
+``PLANAUDIT.md`` summary. ``tests/test_plan_audit.py`` asserts the global
+invariants over the checked-in artifact and fails when the registry and the
+artifact drift apart, so "someone added a row-UDF query" or "a rewrite
+doubled q_report1's shuffles" is caught in CI, not on the cluster.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries allowed to contain an intentionally unbounded-side join
+# (each is either THE cartesian/product demo or joins a provably tiny
+# broadcast side under a non-equi condition).
+PRODUCT_JOIN_ALLOWLIST = {
+    "q_cross_join",       # the cartesian demo itself (two tiny dims)
+    "q_hard_negatives",   # bounded query set, doc'd broadcast NLJ
+    "q_knn_eval",         # holdout slice broadcast into local scoring
+    "q_market_beta",      # 1-row market aggregate joined back
+    "q_theta_overlap",    # 1-row sketch vs 1-row sketch
+    "q_semijoin_selectivity",  # 1-row denominators joined back
+    # Scalar-subquery pattern: a 1-row (or per-group, group-count-bounded)
+    # aggregate broadcast back onto the scan. The BNLJ's build side is the
+    # aggregate, never a fact table — constant memory at any scale.
+    "q_benford",          # 1-row total for digit-share denominators
+    "q_bloom_join",       # 1-row bloom-filter aggregate broadcast to the probe
+    "q_decile_lift",      # 1-row positives/total base rates
+    "q_domain_mix",       # 1-row corpus totals for share-of-mix
+    "q_funnel",           # 1-row per-stage counts combined into rates
+    "q_rebalance_sample", # 1-row min-source count → per-source thresholds
+    "q_share_of_parent",  # parent-level totals joined to the child grid
+    "q_skew_audit",       # 1-row overall distribution stats
+    "q_tfidf_exact",      # 1-row corpus doc-count for the IDF term
+    "q_tpch_q11",         # scalar subquery: sum(value) * fraction threshold
+    "q_tpch_q20",         # scalar subquery: 0.5 * sum(l_quantity) per part
+    "q_tpch_q22",         # scalar subquery: avg(c_acctbal) filter
+    "q_seasonal_profile", # 1-row global mean broadcast onto the 7x24 grid
+}
+
+
+def audit_plan(plan: str, formatted: str) -> dict:
+    """Extract scale-relevant counters from a physical plan string."""
+    def count(pat: str, s: str) -> int:
+        return len(re.findall(pat, s))
+
+    n_exchange = count(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan)
+    n_reused = count(r"ReusedExchange", plan)
+    n_broadcast = count(r"BroadcastExchange", plan)
+    scans = count(r"Scan parquet", plan)
+    pushed = count(r"PushedFilters: \[(?!\])", plan)
+    return {
+        "shuffles": n_exchange,
+        "reused_exchanges": n_reused,
+        "broadcasts": n_broadcast,
+        "bhj": count(r"BroadcastHashJoin", plan),
+        "smj": count(r"SortMergeJoin", plan),
+        "shj": count(r"ShuffledHashJoin", plan),
+        "bnlj": count(r"BroadcastNestedLoopJoin", plan),
+        "cartesian": count(r"CartesianProduct", plan),
+        "row_python_udf": count(r"BatchEvalPython", plan),
+        "arrow_python": (
+            count(r"ArrowEvalPython", plan)
+            + count(r"MapInPandas", plan)
+            + count(r"FlatMapGroupsInPandas", plan)
+            + count(r"MapInArrow", plan)
+        ),
+        "parquet_scans": scans,
+        "scans_with_pushdown": pushed,
+        "codegen_spans": count(r"WholeStageCodegen \(\d+\)", formatted),
+        "global_sort": count(r"Sort \[[^\]]*\], true", plan) - count(r"TakeOrderedAndProject", plan),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from trading_data_pipeline_spark.registry import all_queries
+    from trading_data_pipeline_spark.session import build_session
+
+    spark = build_session("plan-audit")
+    specs = all_queries()
+    results: dict[str, dict] = {}
+    t_all = time.time()
+    for name, spec in specs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            m = audit_plan(plan, buf.getvalue())
+            m["build_s"] = round(time.time() - t0, 2)
+            m["err"] = None
+        except Exception as exc:  # noqa: BLE001 — audit must not die mid-sweep
+            m = {"err": f"{type(exc).__name__}: {exc}"[:300], "build_s": round(time.time() - t0, 2)}
+        results[name] = m
+        flag = "" if m.get("err") is None else "  !! " + m["err"]
+        print(f"{name:28s} shuffles={m.get('shuffles','-')} bcast={m.get('broadcasts','-')} "
+              f"rowUDF={m.get('row_python_udf','-')} {flag}", flush=True)
+
+    ok = {k: v for k, v in results.items() if v.get("err") is None}
+    summary = {
+        "sf_dir": sf_dir,
+        "queries": len(results),
+        "errors": sorted(k for k, v in results.items() if v.get("err")),
+        "total_shuffles": sum(v["shuffles"] for v in ok.values()),
+        "row_python_udf_total": sum(v["row_python_udf"] for v in ok.values()),
+        "cartesian_offenders": sorted(
+            k for k, v in ok.items()
+            if (v["cartesian"] or v["bnlj"]) and k not in PRODUCT_JOIN_ALLOWLIST
+        ),
+        "max_shuffles": max(((v["shuffles"], k) for k, v in ok.items()), default=(0, ""))[::-1],
+        "wall_s": round(time.time() - t_all, 1),
+    }
+    out = {"summary": summary, "queries": results}
+    if not only:  # full sweep → refresh the committed artifact
+        with open(os.path.join(REPO, "PLANAUDIT.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        write_markdown(out)
+    print(json.dumps(summary))
+    return 0 if not summary["errors"] and summary["row_python_udf_total"] == 0 else 1
+
+
+def write_markdown(out: dict) -> None:
+    s = out["summary"]
+    qs = {k: v for k, v in out["queries"].items() if v.get("err") is None}
+    by_shuffles = sorted(qs.items(), key=lambda kv: -kv[1]["shuffles"])[:15]
+    lines = [
+        "# PLANAUDIT — registry-wide physical-plan audit",
+        "",
+        f"Generated by `tools/plan_audit.py` at `{s['sf_dir']}`; "
+        f"{s['queries']} queries audited in {s['wall_s']}s.",
+        "",
+        "Global invariants (asserted in `tests/test_plan_audit.py`):",
+        "",
+        f"- **Row-at-a-time Python UDFs (`BatchEvalPython`): {s['row_python_udf_total']}** "
+        "across the entire registry — every Python boundary is Arrow-batched.",
+        f"- **Unapproved cartesian/nested-loop joins: {len(s['cartesian_offenders'])}** "
+        "(every BNLJ/CartesianProduct appears in the per-query allowlist with a "
+        "bounded-side justification — see `PRODUCT_JOIN_ALLOWLIST`).",
+        f"- Total shuffle exchanges across all {s['queries']} plans: "
+        f"**{s['total_shuffles']}** (mean "
+        f"{s['total_shuffles'] / max(len(qs), 1):.1f}/query).",
+        "",
+        "## Highest shuffle budgets",
+        "",
+        "| query | shuffles | broadcasts | SMJ | BHJ | arrow-python | parquet scans (pushdown) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for k, v in by_shuffles:
+        lines.append(
+            f"| {k} | {v['shuffles']} | {v['broadcasts']} | {v['smj']} | {v['bhj']} "
+            f"| {v['arrow_python']} | {v['parquet_scans']} ({v['scans_with_pushdown']}) |"
+        )
+    lines += [
+        "",
+        "Shuffle counts are static-plan upper bounds: AQE coalesces partitions "
+        "and converts SMJ→BHJ at runtime where the built side measures small, "
+        "so the executed exchange count at scale is ≤ the audited one.",
+        "",
+        "The per-query records live in `PLANAUDIT.json`; "
+        "`tests/test_plan_audit.py` re-derives a sample live and fails when "
+        "the registry and this artifact drift (new query without re-audit, "
+        "or a rewrite that changes a recorded shuffle budget).",
+    ]
+    with open(os.path.join(REPO, "PLANAUDIT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1244,3 +1244,58 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
 )
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_daily(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ intraday seasonality
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """(weekday, hour) seasonal baseline over the event stream: per-cell
+    volume and mean value plus a seasonality index (cell mean / global
+    mean) — the intraday/weekly profile a trading or traffic pipeline
+    fits before it can call anything an anomaly.
+
+    Plan: one partial-agg shuffle to the 7x24 grid plus a 1-row global
+    aggregate broadcast back (scalar-subquery pattern, allowlisted in
+    tools/plan_audit.py) — the fact table is scanned twice but never
+    wide-shuffled, and the second scan shares the parquet cache.
+    """
+    cells = events.groupBy(
+        F.weekday("ts").alias("wd"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    totals = events.agg(
+        F.sum("value").alias("st"), F.count(F.lit(1)).alias("ct")
+    )
+    return cells.crossJoin(totals).select(
+        "wd",
+        "hr",
+        "n",
+        _q(F.col("sv") / F.col("n"), 10000).alias("avg_value"),
+        _q((F.col("sv") / F.col("n")) / (F.col("st") / F.col("ct")), 10000).alias(
+            "seasonal_idx"
+        ),
+    )
+
+
+@register(
+    "q_seasonal_profile",
+    """
+    WITH c AS (
+      SELECT CAST(isodow(ts) - 1 AS INT) AS wd,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT sum(value) AS st, count(*) AS ct FROM events
+    )
+    SELECT wd, hr, n,
+           floor(sv / n * 10000 + 0.5) / 10000 AS avg_value,
+           floor((sv / n) / (st / ct) * 10000 + 0.5) / 10000 AS seasonal_idx
+    FROM c, t
+    """,
+    doc="Weekday x hour seasonal profile with a seasonality index "
+    "(cell mean over global mean; weekday() == isodow-1 on both "
+    "engines, Monday=0). 7x24-bounded output; the global mean arrives "
+    "as a 1-row broadcast, never a single-partition window funnel",
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_profile(load(spark, sf_dir, "events"))

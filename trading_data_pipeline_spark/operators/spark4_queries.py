@@ -1,0 +1,222 @@
+"""Spark-4-native runtime surfaces, exercised as registered operators:
+
+- ``q_variant_json``  — the VARIANT type (``parse_json`` →
+  ``variant_get``): semi-structured JSON parsed ONCE into Spark's binary
+  shredded encoding, then typed field access. At 100 TB this replaces
+  per-path string re-parsing (``get_json_object``, see q_json_extract —
+  kept as the single-path contrast) with a parse-once/access-many layout.
+- ``q_udtf_runs``     — a Python UDTF (Spark 4 user-defined TABLE
+  function) computing word run-length encoding per document under a
+  SQL ``LATERAL`` join, with Arrow batching enabled. The UDTF surface is
+  for one-row→many-rows generators whose per-row state doesn't fit an
+  expression tree; anything expressible with ``explode``/``sequence``
+  should stay JVM-side (q_chunk_documents is the built-in contrast).
+- ``q_dpp_join``      — dynamic partition pruning over a date-partitioned
+  fact: the dim side is a data-dependent top-k (busiest days), so no
+  static predicate can prune the fact; Spark's DPP turns the broadcast
+  dim into a runtime partition filter on the fact scan. THE mechanism
+  that makes fact⋈dim cheap on a 100 TB date-partitioned lake
+  (tests/test_plans.py asserts the ``dynamicpruning`` filter).
+
+The reference engine has none of these (its runtime is eager pandas,
+xetra/common/s3.py + transformers); they are engine-capability parity for
+a Spark-4 deployment, registered with exact DuckDB oracles like every
+other operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp", "spark4",
+)
+
+
+# ------------------------------------------------------------------ VARIANT
+
+@register(
+    "q_variant_json",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           floor(avg(json_extract(props, '$.k')::INT) * 10000 + 0.5) / 10000
+             AS avg_k,
+           max(json_extract(props, '$.k')::INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark-4 VARIANT: parse_json once into the binary shredded "
+    "encoding, then typed variant_get access + aggregate. The "
+    "parse-once/access-many path for semi-structured columns at scale "
+    "(vs get_json_object string re-parse per path — q_json_extract)",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _q(F.avg("k"), 10000).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ------------------------------------------------------------- Python UDTF
+
+UDTF_DOC_MOD = 10  # bound the lateral expansion to every 10th document
+
+
+def _register_word_runs(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, run_start int, word string, run_len int")
+    class WordRuns:
+        """Run-length encode the word stream of one document: emit
+        (run_start, word, run_len) for every maximal run of consecutive
+        equal words. One row in → O(words) rows out with per-row
+        generator state — the UDTF shape (a pure expression tree would
+        need the window gaps-and-islands form the oracle uses)."""
+
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            if text is None:
+                return
+            words = text.split(" ")
+            start = 0
+            for i in range(1, len(words) + 1):
+                if i == len(words) or words[i] != words[start]:
+                    yield (doc_id, start + 1, words[start], i - start)
+                    start = i
+
+    spark.udtf.register("word_runs", WordRuns)
+
+
+@register(
+    "q_udtf_runs",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS i,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id % {UDTF_DOC_MOD} = 0
+    ), g AS (
+      SELECT doc_id, i, word,
+             CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS DISTINCT FROM word THEN 1 ELSE 0 END AS brk
+      FROM w
+    ), r AS (
+      SELECT doc_id, i, word,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+      FROM g
+    )
+    SELECT doc_id, CAST(min(i) AS INT) AS run_start, word,
+           CAST(count(*) AS INT) AS run_len
+    FROM r GROUP BY doc_id, rid, word
+    """,
+    doc="Python UDTF (Spark 4) under LATERAL: per-document word "
+    "run-length encoding with generator state, Arrow-batched "
+    "(spark.sql.execution.pythonUDTF.arrow.enabled). Oracle is the "
+    "equivalent gaps-and-islands window SQL — exact parity between the "
+    "imperative generator and the relational form",
+)
+def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    _register_word_runs(spark)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % UDTF_DOC_MOD == 0
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT r.doc_id, r.run_start, r.word, r.run_len "
+        "FROM __udtf_docs d, LATERAL word_runs(d.doc_id, d.text) r"
+    )
+
+
+# ------------------------------------------- dynamic partition pruning
+
+DPP_TOP_DAYS = 4
+DPP_VALUE_MIN = 15.0  # "high-value" cutoff for the busiest-days ranking
+
+# One date-partitioned materialization of events per (application, sf_dir);
+# keyed by applicationId so an entry never outlives its SparkSession.
+_DPP_LAKE: dict[tuple[str, str], str] = {}
+
+
+def dpp_lake_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session) events as a date-partitioned lake table —
+    the 100 TB layout whose scan DPP prunes at runtime."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DPP_LAKE.get(key)
+    if path is None:
+        path = os.path.join(
+            TMP_ROOT, "events_by_date", os.path.basename(sf_dir.rstrip("/"))
+        )
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(path)
+        )
+        _DPP_LAKE[key] = path
+    return path
+
+
+@register(
+    "q_dpp_join",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_day
+      FROM events WHERE value > {DPP_VALUE_MIN} GROUP BY 1
+    ), top_days AS (
+      SELECT d FROM daily ORDER BY n_day DESC, d LIMIT {DPP_TOP_DAYS}
+    )
+    SELECT CAST(ts AS DATE) AS date, event_type,
+           count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) IN (SELECT d FROM top_days)
+    GROUP BY 1, 2
+    """,
+    doc="Dynamic partition pruning: fact is a date-partitioned lake "
+    "table, dim is the data-dependent busiest-"
+    f"{DPP_TOP_DAYS}-days-by-high-value-activity set (exact integer "
+    "counts, date tie-break — no static predicate on the fact can "
+    "express it), so the only way the fact scan avoids reading every "
+    "partition is Spark's runtime DPP filter from the broadcast dim. "
+    "DPP's heuristic needs BOTH a selective predicate on the dim side "
+    f"(value > {DPP_VALUE_MIN}, pre-aggregation) and a broadcastable "
+    "dim (the LIMIT gives the planner an exact row bound) — an "
+    "unfiltered top-k alone is NOT pruned. Plan contract: "
+    "PartitionFilters carries a dynamicpruning expression "
+    "(tests/test_plans.py)",
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(dpp_lake_path(spark, sf_dir))
+    top_days = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > DPP_VALUE_MIN)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .orderBy(F.desc("n_day"), F.asc("d"))
+        .limit(DPP_TOP_DAYS)
+        .select("d")
+    )
+    return (
+        fact.join(top_days, fact.date == top_days.d)
+        .groupBy("date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _q(F.sum("value"), 100).alias("sum_value"),
+        )
+    )

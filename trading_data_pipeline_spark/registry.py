@@ -150,7 +150,9 @@ _PRIORITY: tuple[str, ...] = (
 #              q_containment, q_table_checksum
 #   round-7 (window overflow; pin in round 7): q_knn_eval,
 #              q_stratified_exact, q_skew_audit, q_phash_dedup,
-#              q_sql_interface, q_python_source
+#              q_sql_interface, q_python_source, and the round-5
+#              session additions q_variant_json, q_udtf_runs,
+#              q_dpp_join, q_seasonal_profile
 #              (+ any later round-6 additions)
 # = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50
 # (q_knn_eval and later additions overflow; they take round-7 slots):
@@ -185,6 +187,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_ops,
         similarity_queries,
         sketch_queries,
+        spark4_queries,
         text_queries,
         trading_queries,
         window_queries,
