@@ -110,6 +110,9 @@ EXTRAS = [
     "q_udtf_runs",
     "q_dpp_join",
     "q_seasonal_profile",
+    "q_target_encode",
+    "q_kanonymity",
+    "q_walk_forward",
 ]
 
 RUNS = 3

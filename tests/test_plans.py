@@ -718,3 +718,20 @@ def test_seasonal_profile_has_no_global_window(spark, sf_dir, queries):
     empty-partition window (single-task funnel at scale)."""
     plan = plan_of(queries["q_seasonal_profile"].fn(spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_target_encode_fact_never_wide_shuffles(spark, sf_dir, queries):
+    """The per-category stats and the 1-row global mean broadcast back onto
+    the scan; the only hash exchanges are the two tiny aggregations — the
+    fact rows themselves must not shuffle."""
+    plan = plan_of(queries["q_target_encode"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_walk_forward_fold_join_is_broadcast(spark, sf_dir, queries):
+    """The <=N_FOLDS fold rows must broadcast into the range join — a
+    shuffle of the fact against 5 rows would be absurd at scale."""
+    plan = plan_of(queries["q_walk_forward"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1,0 +1,94 @@
+"""Functional tests for the training-preparation operators
+(operators/trainprep_queries.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.trainprep_queries import (
+    K_ANON,
+    N_FOLDS,
+    TE_SMOOTHING,
+    target_encode_loo,
+    walk_forward_folds,
+)
+from trading_data_pipeline_spark.registry import all_queries, load
+
+
+def test_target_encode_hand_case(spark):
+    # category a: values 10, 20 ; category b: single row 99
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 99.0)],
+        "event_id long, event_type string, value double",
+    )
+    g = (10.0 + 20.0 + 99.0) / 3
+    m = TE_SMOOTHING
+    rows = {r.event_id: r.loo_enc for r in target_encode_loo(df, "event_type", "value").collect()}
+    # row 1: other-row sum = 20, n-1 = 1
+    exp1 = (20.0 + m * g) / (1 + m)
+    # row 3 is alone in its category → pure prior
+    exp3 = (0.0 + m * g) / (0 + m)
+    assert abs(rows[1] - exp1) < 1e-3
+    assert abs(rows[3] - exp3) < 1e-3
+
+
+def test_target_encode_excludes_own_label(spark, sf_dir):
+    """LOO property: perturbing one row's target must not move that row's
+    own encoding by the full weight — compare against the naive (leaky)
+    per-category mean, which WOULD include it."""
+    q = all_queries()["q_target_encode"].fn(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    naive = ev.groupBy("event_type").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("naive")
+    )
+    # encodings within a category must differ row-to-row (they exclude
+    # different own-labels), unlike the constant naive mean
+    per_cat_distinct = (
+        q.groupBy("event_type").agg(F.countDistinct("loo_enc").alias("k")).collect()
+    )
+    assert all(r.k > 1 for r in per_cat_distinct)
+    assert naive.count() == len(per_cat_distinct)
+
+
+def test_kanonymity_flags_and_mass(spark, sf_dir):
+    q = all_queries()["q_kanonymity"].fn(spark, sf_dir)
+    rows = q.collect()
+    assert all((r.n < K_ANON) == r.at_risk for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == load(spark, sf_dir, "events").count()
+
+
+def test_walk_forward_fold_structure(spark, sf_dir):
+    rows = sorted(
+        all_queries()["q_walk_forward"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == list(range(1, N_FOLDS + 1))
+    ev_dates = load(spark, sf_dir, "events").select(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).collect()[0]
+    for r in rows:
+        assert r.train_start == ev_dates.d0
+        assert r.train_end < r.test_start  # no leakage overlap
+        assert r.test_start <= r.test_end
+    # expanding window: train set grows strictly with the fold index
+    n_trains = [r.n_train for r in rows]
+    assert n_trains == sorted(n_trains) and n_trains[0] < n_trains[-1]
+    # the last fold's test window absorbs the remainder up to the span end
+    assert rows[-1].test_end == ev_dates.d1
+
+
+def test_walk_forward_hand_case(spark):
+    # 12 consecutive days, one event per day → base = 12 // 6 = 2
+    base_day = datetime.datetime(2024, 3, 1)
+    data = [
+        (i, base_day + datetime.timedelta(days=i)) for i in range(12)
+    ]
+    df = spark.createDataFrame(data, "event_id long, ts timestamp")
+    rows = {r.fold: r for r in walk_forward_folds(df).collect()}
+    assert rows[1].n_train == 2 and rows[1].n_test == 2
+    assert rows[4].n_train == 8 and rows[4].n_test == 2
+    assert rows[5].n_train == 10 and rows[5].n_test == 2
+    assert rows[5].test_end == datetime.date(2024, 3, 12)

@@ -61,6 +61,8 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_tpch_q20",         # scalar subquery: 0.5 * sum(l_quantity) per part
     "q_tpch_q22",         # scalar subquery: avg(c_acctbal) filter
     "q_seasonal_profile", # 1-row global mean broadcast onto the 7x24 grid
+    "q_target_encode",    # 1-row global mean broadcast (LOO smoothing prior)
+    "q_walk_forward",     # ≤N_FOLDS fold rows broadcast into the range join
 }
 
 

@@ -1,0 +1,203 @@
+"""Training-preparation operators: the feature/governance steps between a
+curated corpus and a training run.
+
+- ``q_target_encode``  — leakage-safe (leave-one-out, smoothed) target
+  encoding of a categorical column: each row's category is encoded by the
+  mean target of the OTHER rows in its category, shrunk toward the global
+  mean. The standard high-cardinality categorical feature at scale; the
+  LOO form is what keeps the feature from memorizing its own label.
+- ``q_kanonymity``     — k-anonymity audit over a quasi-identifier tuple:
+  which (event_type, weekday, hour) cells have fewer than K rows — the
+  re-identification risk screen run before a dataset leaves the curation
+  pipeline.
+- ``q_walk_forward``   — expanding-window walk-forward cross-validation
+  folds over event time: the date span is cut into N+1 equal chunks; fold
+  i trains on chunks 1..i and tests on chunk i+1 (the last fold absorbs
+  the remainder days). THE split discipline for time-series models —
+  a random split (q_dataset_split) leaks the future into training.
+
+All three are exact integer/date arithmetic plus one small broadcast —
+no RNG, no collect; oracles mirror the formulas in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+TE_SMOOTHING = 10  # pseudo-count mass of the global mean
+K_ANON = 20        # minimum cell size before a tuple is "at risk"
+N_FOLDS = 5        # walk-forward folds (span cut into N_FOLDS+1 chunks)
+
+
+# ---------------------------------------------------------- target encoding
+
+def target_encode_loo(
+    df: DataFrame, cat_col: str, target_col: str, m: int = TE_SMOOTHING
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding:
+    ``(sum_cat - y_i + m * global_mean) / (n_cat - 1 + m)``.
+
+    Plan: one partial-agged shuffle to per-category (n, sum), a 1-row
+    global mean, both broadcast back onto the scan — the fact rows never
+    shuffle. n_cat = 1 degrades to the prior (denominator = m).
+    """
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum(target_col).alias("s_cat")
+    )
+    global_mean = df.agg(
+        (F.sum(target_col) / F.count(F.lit(1))).alias("g")
+    )
+    return (
+        df.join(per_cat, cat_col)
+        .crossJoin(global_mean)
+        .select(
+            "event_id",
+            cat_col,
+            _q(
+                (F.col("s_cat") - F.col(target_col) + m * F.col("g"))
+                / (F.col("n_cat") - 1 + m),
+                10000,
+            ).alias("loo_enc"),
+        )
+    )
+
+
+@register(
+    "q_target_encode",
+    f"""
+    WITH g AS (SELECT sum(value) / count(*) AS g FROM events),
+         t AS (SELECT event_type, count(*) AS n_cat, sum(value) AS s_cat
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           floor((t.s_cat - e.value + {TE_SMOOTHING} * g.g)
+                 / (t.n_cat - 1 + {TE_SMOOTHING}) * 10000 + 0.5) / 10000
+             AS loo_enc
+    FROM events e JOIN t ON e.event_type = t.event_type, g
+    """,
+    doc="Leave-one-out smoothed target encoding of event_type against "
+    "value (leakage-safe categorical feature): per-category sums + a "
+    "1-row global mean broadcast back onto the scan; the fact side "
+    "never wide-shuffles",
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return target_encode_loo(load(spark, sf_dir, "events"), "event_type", "value")
+
+
+# ------------------------------------------------------------- k-anonymity
+
+@register(
+    "q_kanonymity",
+    f"""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INT) AS wd,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           count(*) AS n,
+           count(*) < {K_ANON} AS at_risk
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc=f"k-anonymity audit (K={K_ANON}) over the quasi-identifier tuple "
+    "(event_type, weekday, hour): cell sizes + at-risk flag, the "
+    "re-identification screen before a dataset ships. Bounded output "
+    "(|types|x7x24 cells), one partial-agged shuffle",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.weekday("ts").alias("wd"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", "wd", "hr", "n", (F.col("n") < K_ANON).alias("at_risk")
+        )
+    )
+
+
+# ----------------------------------------------------- walk-forward folds
+
+def walk_forward_folds(events: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
+    """Expanding-window fold boundaries + per-fold train/test row counts.
+
+    All boundaries are integer date arithmetic from the 1-row (min, max)
+    date span — identical on any engine; counts come from one broadcast
+    range join of the fact against the ≤n_folds fold rows (each event
+    matches at most n_folds folds, so the join output is bounded by
+    n_folds x |events| and immediately partial-aggregates).
+    """
+    dated = events.select(F.to_date("ts").alias("d"))
+    bounds = dated.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+    ).withColumn(
+        "base", F.expr(f"div(datediff(d1, d0) + 1, {n_folds + 1})")
+    )
+    folds = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_folds))).alias("fold"),
+        "d0", "d1", "base",
+    ).select(
+        "fold",
+        F.col("d0").alias("train_start"),
+        F.date_add(
+            "d0", (F.col("fold") * F.col("base") - 1).cast("int")
+        ).alias("train_end"),
+        F.date_add("d0", (F.col("fold") * F.col("base")).cast("int")).alias(
+            "test_start"
+        ),
+        F.when(
+            F.col("fold") == n_folds, F.col("d1")
+        ).otherwise(
+            F.date_add("d0", ((F.col("fold") + 1) * F.col("base") - 1).cast("int"))
+        ).alias("test_end"),
+    )
+    joined = dated.join(
+        F.broadcast(folds),
+        (F.col("d") >= F.col("train_start")) & (F.col("d") <= F.col("test_end")),
+    )
+    return (
+        joined.groupBy("fold", "train_start", "train_end", "test_start", "test_end")
+        .agg(
+            F.sum((F.col("d") <= F.col("train_end")).cast("long")).alias("n_train"),
+            F.sum((F.col("d") >= F.col("test_start")).cast("long")).alias("n_test"),
+        )
+    )
+
+
+@register(
+    "q_walk_forward",
+    f"""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+             (datediff('day', min(CAST(ts AS DATE)),
+                       max(CAST(ts AS DATE))) + 1) // {N_FOLDS + 1} AS base
+      FROM events
+    ), f AS (
+      SELECT i AS fold, d0,
+             d0 + CAST(i * base - 1 AS INT) AS train_end,
+             d0 + CAST(i * base AS INT) AS test_start,
+             CASE WHEN i = {N_FOLDS} THEN d1
+                  ELSE d0 + CAST((i + 1) * base - 1 AS INT) END AS test_end
+      FROM b, generate_series(1, {N_FOLDS}) AS t(i)
+    )
+    SELECT f.fold, f.d0 AS train_start, f.train_end, f.test_start, f.test_end,
+           sum(CASE WHEN CAST(e.ts AS DATE) <= f.train_end
+                    THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN CAST(e.ts AS DATE) >= f.test_start
+                    THEN 1 ELSE 0 END) AS n_test
+    FROM f JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN f.d0 AND f.test_end
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc=f"Walk-forward CV folds ({N_FOLDS} expanding windows over the "
+    "event-date span, last fold absorbs remainder days): boundaries by "
+    "exact integer date arithmetic, per-fold train/test row counts via "
+    "one broadcast range join — the temporal split a time-series model "
+    "needs where a random split would leak the future",
+)
+def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return walk_forward_folds(load(spark, sf_dir, "events"))
