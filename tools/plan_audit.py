@@ -95,7 +95,10 @@ def audit_plan(plan: str, formatted: str) -> dict:
         "parquet_scans": scans,
         "scans_with_pushdown": pushed,
         "codegen_spans": count(r"WholeStageCodegen \(\d+\)", formatted),
-        "global_sort": count(r"Sort \[[^\]]*\], true", plan) - count(r"TakeOrderedAndProject", plan),
+        # global (all-partition) sorts; TakeOrderedAndProject is NOT one —
+        # it is the per-partition-heap top-k that replaces a global sort
+        "global_sort": count(r"Sort \[[^\]]*\], true", plan),
+        "top_k": count(r"TakeOrderedAndProject", plan),
     }
 
 
