@@ -113,6 +113,7 @@ EXTRAS = [
     "q_target_encode",
     "q_kanonymity",
     "q_walk_forward",
+    "q_time_rollup",
 ]
 
 RUNS = 3

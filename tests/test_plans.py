@@ -735,3 +735,14 @@ def test_walk_forward_fold_join_is_broadcast(spark, sf_dir, queries):
     plan = plan_of(queries["q_walk_forward"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_time_rollup_reuses_hour_exchange(spark, sf_dir, queries):
+    """The day grain must consume the hour grain's shuffle, not re-scan
+    raw: after execution the adaptive plan carries a ReusedExchange for
+    the second branch (static plans don't show AQE reuse, so this
+    contract inspects the final executed plan)."""
+    df = queries["q_time_rollup"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan, plan

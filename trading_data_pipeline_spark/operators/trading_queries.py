@@ -425,3 +425,78 @@ def market_beta(events: DataFrame) -> DataFrame:
 )
 def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_beta(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------- hypertable-style time rollup
+
+def time_rollup(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: materialize the
+    finest grain ONCE, derive every coarser grain from the finer
+    aggregate, never from raw — sum-of-sums / min-of-mins / max-of-maxes
+    re-aggregate losslessly, so the day grain costs a tiny second
+    aggregation over |hours| rows instead of a second scan of 100 TB.
+
+    Physically the hour-level exchange is shared: both output branches
+    sit on the SAME (event_type, hour) shuffle, so the plan carries one
+    fact scan + one fact-sized exchange and a ReusedExchange for the
+    second branch (asserted in tests/test_plans.py).
+    """
+    hours = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    days = (
+        hours.groupBy(
+            "event_type", F.date_trunc("day", "bucket").alias("bucket")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    out = lambda df, grain: df.select(  # noqa: E731 — tiny local projection
+        F.lit(grain).alias("grain"),
+        "event_type",
+        "bucket",
+        "n",
+        _q(F.col("sv"), 100).alias("sum_value"),
+        "mn",
+        "mx",
+    )
+    return out(hours, "hour").unionAll(out(days, "day"))
+
+
+@register(
+    "q_time_rollup",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum(value) AS sv,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, date_trunc('day', bucket) AS bucket,
+             sum(n) AS n, sum(sv) AS sv, min(mn) AS mn, max(mx) AS mx
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, event_type, bucket, n,
+           floor(sv * 100 + 0.5) / 100 AS sum_value, mn, mx FROM h
+    UNION ALL
+    SELECT 'day' AS grain, event_type, bucket, n,
+           floor(sv * 100 + 0.5) / 100 AS sum_value, mn, mx FROM d
+    """,
+    doc="Hypertable-style continuous aggregate: hour grain from raw, day "
+    "grain re-aggregated FROM the hour grain (sum-of-sums/min-of-mins), "
+    "both grains sharing ONE fact-sized exchange via ReusedExchange — "
+    "the fact is scanned and shuffled once however many grains stack "
+    "on top",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_rollup(load(spark, sf_dir, "events"))

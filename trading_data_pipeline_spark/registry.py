@@ -153,7 +153,7 @@ _PRIORITY: tuple[str, ...] = (
 #              q_sql_interface, q_python_source, and the round-5
 #              session additions q_variant_json, q_udtf_runs,
 #              q_dpp_join, q_seasonal_profile, q_target_encode,
-#              q_kanonymity, q_walk_forward
+#              q_kanonymity, q_walk_forward, q_time_rollup
 #              (+ any later round-6 additions)
 # = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50
 # (q_knn_eval and later additions overflow; they take round-7 slots):
