@@ -321,20 +321,25 @@ def embedding_near_dup_pairs(
     ``block_col`` bounds the self-join (cluster id / LSH bucket at scale;
     without it this is a full cross join — refuse that at 100 TB).
     """
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot_product, l2_norm
 
+    # Norms are per-row projections computed before the blocked self-join
+    # (2·|df| folds instead of 2·|pairs|); dot/(na·nb) is the same IEEE
+    # expression order as the per-pair form — bit-identical cosine.
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("_na", l2_norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("_nb", l2_norm(F.col("vb")))
     joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    sim = F.round(
+        dot_product(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
+    )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))

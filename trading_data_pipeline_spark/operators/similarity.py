@@ -380,14 +380,28 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
-    scored = corpus.join(
-        F.broadcast(queries), F.col(id_col) != F.col(query_id_col)
+    from ..functions.vector import dot_product, l2_norm
+
+    # Norms are per-ROW projections computed before the pairwise join:
+    # per pair only the dot-product fold remains (~3x less arithmetic
+    # than folding both norms per pair), and dot/(na*nb) is the same
+    # IEEE expression in the same order — bit-identical to the per-pair
+    # form the oracle computes.
+    corpus_n = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("_nc", l2_norm(F.col("_cv")))
+    queries_n = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_nq", l2_norm(F.col("_qv")))
+    scored = corpus_n.join(
+        F.broadcast(queries_n), F.col(id_col) != F.col(query_id_col)
     ).select(
         query_id_col,
         id_col,
-        cosine_similarity(
-            F.col(vec_col).cast("array<double>"),
-            F.col(query_vec_col).cast("array<double>"),
+        (
+            dot_product(F.col("_cv"), F.col("_qv"))
+            / (F.col("_nc") * F.col("_nq"))
         ).alias("_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.asc(id_col))
@@ -424,21 +438,28 @@ def knn_label_eval(
     """
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot_product, l2_norm
 
+    # Per-row norm projections before the pairwise join (see
+    # hard_negatives): |corpus| + |holdout| norm folds total instead of
+    # 2·|corpus|·|holdout|, bit-identical cosine values.
     holdout = emb.filter(F.col(id_col) % holdout_mod == 0).select(
         F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(label_col).alias("true_label"),
-    )
-    corpus = emb.filter(F.col(id_col) % holdout_mod != 0)
+    ).withColumn("_nq", l2_norm(F.col("qvec")))
+    corpus = emb.filter(F.col(id_col) % holdout_mod != 0).select(
+        F.col(label_col),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_nc", l2_norm(F.col("_cv")))
     scored = corpus.join(F.broadcast(holdout), F.lit(True)).select(
         "qid",
         "true_label",
         F.col(label_col),
-        cosine_similarity(
-            F.col(vec_col).cast("array<double>"),
-            F.col("qvec").cast("array<double>"),
+        (
+            dot_product(F.col("_cv"), F.col("qvec"))
+            / (F.col("_nc") * F.col("_nq"))
         ).alias("_sim"),
         F.col(id_col),
     )
