@@ -517,6 +517,12 @@ def containment_pairs(
     sh = ensure_parallelism(
         df.filter(F.size(F.split(text_col, " ")) >= n)
     ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
+    # The shingle table feeds THREE branches (inverted index + both verify
+    # sides); without materialization each branch re-tokenizes and re-hashes
+    # the corpus. localCheckpoint computes it once (same pattern as the
+    # graph edge cache); the checkpointed payload is |docs| × ~|shingles|
+    # int64s, executor-resident.
+    sh = sh.localCheckpoint(eager=True)
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
     posting = (
         inv.groupBy("g")
