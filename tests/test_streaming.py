@@ -987,3 +987,77 @@ def test_streaming_heavy_hitters_bounds_hold_under_eviction(
                 continue
             true_n = truth.get((t, u), 0)
             assert est - err <= true_n <= est, (t, u, est, err, true_n)
+
+
+def test_streaming_neardup_matches_greedy_reference(spark, sf_dir, tmp_path):
+    """Streaming SimHash near-dup suppression == the greedy-sequential
+    batch reference on identical input: first arrival kept, later docs
+    within max_hamming of a kept signature in the same band dropped with
+    the right dup_of/hamming, every doc emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.dedup import simhash_expr
+    from trading_data_pipeline_spark.streaming.stateful import (
+        NEARDUP_BAND_BITS,
+        NEARDUP_MAX_HAMMING,
+        neardup_stream,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.to_timestamp(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("ts"),
+            "text",
+        )
+    )
+    # inject exact and 1-word-perturbed copies arriving AFTER the originals
+    originals = docs.filter(F.col("doc_id") < 20)
+    copies = originals.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    staged = docs.unionByName(copies)
+    src = str(tmp_path / "docs_stream")
+    staged.coalesce(1).write.parquet(src)
+
+    stream = neardup_stream(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    )
+    got = run_to_completion(stream, "t_neardup", "append", spark)
+    got_rows = {r.doc_id: r for r in got.collect()}
+
+    # greedy reference over the SAME signatures, same order, pure python
+    sigs = (
+        spark.read.parquet(src)
+        .select("doc_id", "ts", simhash_expr("text").alias("sig"))
+        .collect()
+    )
+    bands: dict[int, list[tuple[int, int]]] = {}
+    ref: dict[int, tuple] = {}
+    for r in sorted(sigs, key=lambda r: (r.ts, r.doc_id)):
+        band = r.sig >> (60 - NEARDUP_BAND_BITS)
+        kept_list = bands.setdefault(band, [])
+        hit_id, hit_d = None, None
+        for kid, ksig in kept_list:
+            d = (r.sig ^ ksig).bit_count()
+            if d <= NEARDUP_MAX_HAMMING and (hit_d is None or d < hit_d):
+                hit_id, hit_d = kid, d
+        if hit_id is None:
+            kept_list.append((r.doc_id, r.sig))
+            ref[r.doc_id] = (True, None, None)
+        else:
+            ref[r.doc_id] = (False, hit_id, hit_d)
+
+    assert set(got_rows) == set(ref)  # every doc exactly once
+    for doc_id, (kept, dup_of, hamming) in ref.items():
+        g = got_rows[doc_id]
+        assert (g.kept, g.dup_of, g.hamming) == (kept, dup_of, hamming), doc_id
+    # the injected near-copies must actually exercise the drop path
+    dropped = [d for d, r in ref.items() if d >= 100000 and not r[0]]
+    assert len(dropped) >= 10, f"only {len(dropped)} injected copies dropped"

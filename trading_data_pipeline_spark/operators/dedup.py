@@ -84,6 +84,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (2.0 s → 0.6 s). At 100 TB the difference is categorical: fingerprints
     stream out at scan speed with no exchange at all.
     """
+    return ensure_parallelism(df).select(
+        id_col, simhash_expr(text_col, bits).alias("simhash")
+    )
+
+
+def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """The SimHash fingerprint as a reusable column expression (shared by
+    the batch :func:`simhash` table and the streaming near-dup
+    suppressor) — see :func:`simhash` for the bit-vote derivation."""
     hs = (
         f"transform(split({text_col}, ' '), "
         f"w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
@@ -97,9 +106,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
         f"(v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
     )
-    return ensure_parallelism(df).select(
-        id_col, F.expr(fp).cast("long").alias("simhash")
-    )
+    return F.expr(fp).cast("long")
 
 
 def shingles(text: str | Column, n: int = 3) -> Column:

@@ -383,3 +383,97 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = 50) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEARDUP_SCHEMA = "doc_id long, kept boolean, dup_of long, hamming int"
+NEARDUP_STATE = "ids array<long>, sigs array<long>"
+NEARDUP_BAND_BITS = 16
+NEARDUP_MAX_HAMMING = 3
+NEARDUP_STATE_CAP = 256
+
+
+def neardup_stream(
+    docs: DataFrame,
+    band_bits: int = NEARDUP_BAND_BITS,
+    max_hamming: int = NEARDUP_MAX_HAMMING,
+    cap: int = NEARDUP_STATE_CAP,
+    bits: int = 60,
+) -> DataFrame:
+    """Streaming near-duplicate suppression: emit each document once with
+    a keep/drop verdict against everything seen before it — the ingest-
+    time filter that keeps near-copies out of a training corpus without
+    a batch dedup pass over the accumulated lake.
+
+    Mechanics: the shared batch SimHash expression
+    (operators.dedup.simhash_expr — one codegen'd pass, zero shuffle)
+    fingerprints each doc; the stream groups by the fingerprint's top
+    ``band_bits`` bits and each band's state holds the signatures seen
+    in that band. A doc whose signature is within ``max_hamming`` bits
+    of ANY stored signature is marked ``kept=false`` with the matched
+    doc and distance; otherwise it is stored and ``kept=true``.
+
+    Semantics are GREEDY-SEQUENTIAL by (ts, doc_id) — the first arrival
+    wins, later near-copies drop, and a dropped doc still occupies no
+    state (only kept docs suppress followers), matching the batch greedy
+    reference asserted in tests/test_streaming.py.
+
+    Scale/recall notes:
+    - state is per-band and FIFO-capped at ``cap`` signatures (~2·8·cap
+      bytes per band, 2^band_bits bands worst-case) — bounded like
+      heavy_hitters_stream, evicting the oldest signature first;
+    - single-band LSH: a true near-dup pair is missed iff one of its
+      ≤ ``max_hamming`` differing bits falls inside the band
+      (probability ≈ max_hamming·band_bits/bits per pair) — the standard
+      banding trade; the batch q_simhash/q_dedup_near passes remain the
+      exhaustive sweep, this operator is the cheap online prefilter.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash_expr
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc_id"], kind="mergesort")
+        out: dict[str, list] = {"doc_id": [], "kept": [], "dup_of": [], "hamming": []}
+        for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
+            doc_id, sig = int(doc_id), int(sig)
+            hit_id, hit_d = None, None
+            for kid, ksig in zip(ids, sigs):
+                d = (sig ^ ksig).bit_count()
+                if d <= max_hamming and (hit_d is None or d < hit_d):
+                    hit_id, hit_d = kid, d
+            out["doc_id"].append(doc_id)
+            if hit_id is None:
+                ids.append(doc_id)
+                sigs.append(sig)
+                out["kept"].append(True)
+                out["dup_of"].append(None)
+                out["hamming"].append(None)
+            else:
+                out["kept"].append(False)
+                out["dup_of"].append(hit_id)
+                out["hamming"].append(hit_d)
+        state.update((ids[-cap:], sigs[-cap:]))
+        yield pd.DataFrame(out)
+
+    banded = docs.select(
+        "doc_id",
+        "ts",
+        simhash_expr("text", bits).alias("sig"),
+    ).withColumn("band", F.shiftright("sig", bits - band_bits))
+    return banded.groupBy("band").applyInPandasWithState(
+        fold,
+        outputStructType=NEARDUP_SCHEMA,
+        stateStructType=NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
