@@ -68,3 +68,20 @@ def test_operator_index_is_current():
     for name in qs:
         assert f"| `{name}` |" in content, f"{name} missing from docs/OPERATORS.md"
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
+
+
+def test_round6_window_proposal_is_sound():
+    """_PRIORITY_ROUND6 is next round's driver window — validate it NOW so
+    a rename/removal between rounds can't silently break the rotation:
+    every name registered, exactly 50, canaries first, no duplicates, and
+    no wasted slot on a query the round-5 window already covers."""
+    from trading_data_pipeline_spark.registry import _PRIORITY, _PRIORITY_ROUND6
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND6 if n not in qs]
+    assert not unknown, f"round-6 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND6) == 50, len(_PRIORITY_ROUND6)
+    assert len(set(_PRIORITY_ROUND6)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND6[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND6[2:]) & set(_PRIORITY)
+    assert not overlap, f"slots wasted on round-5-covered queries: {sorted(overlap)}"

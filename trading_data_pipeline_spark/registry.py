@@ -130,36 +130,40 @@ _PRIORITY: tuple[str, ...] = (
     # q_sink_parquet rotate out — green rows in r1-r3)
 )
 
-# ROUND-6 WINDOW PROPOSAL (apply at the start of round 6 — do NOT apply
-# mid-round-5; the driver grades round 5 against the list above). After
-# round 5 lands, every query registered before round-5-batch-2 has a
-# driver row. The 32 never-driver-verified queries, in suggested order:
-#   canaries:  q_report1, q_dedup_near
-#   batch 2:   q_sequence_pattern, q_incremental_agg, q_schema_evolution,
-#              q_topic_clusters, q_data_quality, q_wap_publish, q_pit_join,
-#              q_feature_hash, q_jaccard_prefix_join, q_fuzzy_join
-#   batch 3:   q_max_drawdown, q_vwap_bars, q_mad_outliers, q_rfm,
-#              q_ab_test, q_basket_pairs, q_cooccurrence, q_triangle_count,
-#              q_file_stats, q_hll_rollup, q_theta_overlap, q_kll_quantiles
-#   batch 4/5: q_pruned_scan, q_attribution, q_first_touch, q_corr_matrix,
-#              q_market_beta, q_gini, q_drift_tvd, q_time_to_convert
-#   batch 6/7: q_snapshot_diff, q_semijoin_selectivity, q_bfs_levels,
-#              q_share_of_parent, q_pps_sample
-#   round-6:   q_interpolate, q_salted_agg, q_random_projection, q_kcore,
-#              q_streaks, q_changepoint, q_benford, q_auc, q_decile_lift,
-#              q_containment, q_table_checksum
-#   round-7 (window overflow; pin in round 7): q_knn_eval,
-#              q_stratified_exact, q_skew_audit, q_phash_dedup,
-#              q_sql_interface, q_python_source, and the round-5
-#              session additions q_variant_json, q_udtf_runs,
-#              q_dpp_join, q_seasonal_profile, q_target_encode,
-#              q_kanonymity, q_walk_forward, q_time_rollup
-#              (+ any later round-6 additions)
-# = 2 canaries + 37 prior never-verified + 11 round-6 = EXACTLY 50
-# (q_knn_eval and later additions overflow; they take round-7 slots):
-# replace the entire _PRIORITY list with the names above in that order
-# (drop every round-5 re-verification slot — each will have a fresh
-# green row from this round's window).
+# ROUND-6 WINDOW (apply at the start of round 6 — do NOT apply
+# mid-round-5; the driver grades round 5 against the list above).
+# Checked by tests/test_registry.py: every name exists, exactly 50,
+# canaries first, zero overlap with queries the round-5 window already
+# covers. At round-6 open, set ``_PRIORITY = _PRIORITY_ROUND6``.
+_PRIORITY_ROUND6: tuple[str, ...] = (
+    # flagship canaries (continuity: one green row per round)
+    "q_report1", "q_dedup_near",
+    # batch 2
+    "q_sequence_pattern", "q_incremental_agg", "q_schema_evolution",
+    "q_topic_clusters", "q_data_quality", "q_wap_publish", "q_pit_join",
+    "q_feature_hash", "q_jaccard_prefix_join", "q_fuzzy_join",
+    # batch 3
+    "q_max_drawdown", "q_vwap_bars", "q_mad_outliers", "q_rfm",
+    "q_ab_test", "q_basket_pairs", "q_cooccurrence", "q_triangle_count",
+    "q_file_stats", "q_hll_rollup", "q_theta_overlap", "q_kll_quantiles",
+    # batch 4/5
+    "q_pruned_scan", "q_attribution", "q_first_touch", "q_corr_matrix",
+    "q_market_beta", "q_gini", "q_drift_tvd", "q_time_to_convert",
+    # batch 6/7
+    "q_snapshot_diff", "q_semijoin_selectivity", "q_bfs_levels",
+    "q_share_of_parent", "q_pps_sample",
+    # round-6 additions
+    "q_interpolate", "q_salted_agg", "q_random_projection", "q_kcore",
+    "q_streaks", "q_changepoint", "q_benford", "q_auc", "q_decile_lift",
+    "q_containment", "q_table_checksum",
+    # first two round-7 overflow names promoted to fill the 50 exactly
+    "q_knn_eval", "q_stratified_exact",
+)
+# Round-7 overflow (pin in round 7): q_skew_audit, q_phash_dedup,
+# q_sql_interface, q_python_source, and the round-5 session additions
+# q_variant_json, q_udtf_runs, q_dpp_join, q_seasonal_profile,
+# q_target_encode, q_kanonymity, q_walk_forward, q_time_rollup
+# (+ any later round-6 additions).
 
 
 def all_queries() -> dict[str, QuerySpec]:
