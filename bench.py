@@ -114,6 +114,7 @@ EXTRAS = [
     "q_kanonymity",
     "q_walk_forward",
     "q_time_rollup",
+    "q_quantile_normalize",
 ]
 
 RUNS = 3

@@ -746,3 +746,11 @@ def test_time_rollup_reuses_hour_exchange(spark, sf_dir, queries):
     df.collect()
     plan = plan_of(df)
     assert "ReusedExchange" in plan, plan
+
+
+def test_quantile_normalize_single_exchange(spark, sf_dir, queries):
+    """Rank + group count share the event_type partitioning: one exchange,
+    no global window funnel."""
+    plan = plan_of(queries["q_quantile_normalize"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange SinglePartition" not in plan, plan

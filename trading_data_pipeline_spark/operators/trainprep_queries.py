@@ -201,3 +201,44 @@ def walk_forward_folds(events: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
 )
 def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_forward_folds(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- quantile normalization
+
+@register(
+    "q_quantile_normalize",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             rank() OVER w AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_id, event_type,
+           floor((rk - 1) * 1.0 / (n - 1) * 10000 + 0.5) / 10000 AS qnorm
+    FROM r
+    """,
+    doc="Within-group quantile normalization: each value maps to its "
+    "exact empirical quantile (rank-1)/(n-1) inside its event_type — "
+    "the rank-based feature transform that is outlier-proof where "
+    "z-scoring (q_zscore_outliers) is not. Integer rank arithmetic "
+    "with (value, event_id) tie-break, one exchange on the group key, "
+    "no global window",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    ).select(
+        "event_id",
+        "event_type",
+        _q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000).alias("qnorm"),
+    )
