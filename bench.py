@@ -119,6 +119,12 @@ EXTRAS = [
 
 RUNS = 3
 WARMUPS = 2
+# Extras are informational (headline is the baseline-comparable number):
+# a lighter protocol keeps the full-bench wall clock bounded as the
+# extras list grows (~80 queries; the driver may invoke bench several
+# times per round).
+RUNS_EXTRA = 2
+WARMUPS_EXTRA = 1
 
 
 def main() -> None:
@@ -160,10 +166,10 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in EXTRAS:
         fn = specs[name].fn
-        for _ in range(WARMUPS):
+        for _ in range(WARMUPS_EXTRA):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
-        for _ in range(RUNS):
+        for _ in range(RUNS_EXTRA):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
