@@ -115,6 +115,7 @@ EXTRAS = [
     "q_walk_forward",
     "q_time_rollup",
     "q_quantile_normalize",
+    "q_interval_join",
 ]
 
 RUNS = 3

@@ -754,3 +754,13 @@ def test_quantile_normalize_single_exchange(spark, sf_dir, queries):
     plan = plan_of(queries["q_quantile_normalize"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir, queries):
+    """The grid decomposition must turn the interval-overlap condition
+    into an equi-join on the cell id — a BroadcastNestedLoopJoin here
+    means the decomposition regressed to the O(|sessions|·|windows|)
+    inequality form."""
+    plan = plan_of(queries["q_interval_join"].fn(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
