@@ -92,3 +92,17 @@ def test_walk_forward_hand_case(spark):
     assert rows[4].n_train == 8 and rows[4].n_test == 2
     assert rows[5].n_train == 10 and rows[5].n_test == 2
     assert rows[5].test_end == datetime.date(2024, 3, 12)
+
+
+def test_walk_forward_refuses_degenerate_span(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    short = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 3, 1) + datetime.timedelta(days=i % 3))
+         for i in range(9)],
+        "event_id long, ts timestamp",
+    )
+    with _pytest.raises(ValueError, match="date span"):
+        walk_forward_folds(short)

@@ -151,12 +151,22 @@ def main() -> int:
         "wall_s": round(time.time() - t_all, 1),
     }
     out = {"summary": summary, "queries": results}
-    if not only:  # full sweep → refresh the committed artifact
-        with open(os.path.join(REPO, "PLANAUDIT.json"), "w") as f:
+    clean = (
+        not summary["errors"]
+        and summary["row_python_udf_total"] == 0
+        and not summary["cartesian_offenders"]
+    )
+    if not only:  # full sweep → refresh an artifact
+        # Never clobber the last CLEAN committed artifact with a failing
+        # sweep: violations land in PLANAUDIT.REJECTED.json for triage
+        # and the run exits non-zero.
+        name = "PLANAUDIT.json" if clean else "PLANAUDIT.REJECTED.json"
+        with open(os.path.join(REPO, name), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
-        write_markdown(out)
+        if clean:
+            write_markdown(out)
     print(json.dumps(summary))
-    return 0 if not summary["errors"] and summary["row_python_udf_total"] == 0 else 1
+    return 0 if clean else 1
 
 
 def write_markdown(out: dict) -> None:

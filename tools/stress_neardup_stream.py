@@ -29,12 +29,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from trading_data_pipeline_spark.registry import load  # noqa: E402
 from trading_data_pipeline_spark.session import build_session  # noqa: E402
 from trading_data_pipeline_spark.streaming.stateful import (  # noqa: E402
+    NEARDUP_BAND_BITS,
     NEARDUP_STATE_CAP,
     neardup_stream,
 )
 
 
-def main() -> None:
+def main() -> int:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
@@ -89,6 +90,29 @@ def main() -> None:
         fam.filter("kept").groupBy("fam").count().agg(F.max("count")).first()[0]
     )
     families_kept = fam.filter("kept").select("fam").distinct().count()
+    # End-state per-band occupancy: only KEPT docs enter state, so the
+    # final state of band b = min(cap, kept docs in b). Recompute each
+    # kept doc's band from the batch form of the same signature
+    # expression and report the occupancy distribution vs the cap.
+    from trading_data_pipeline_spark.operators.dedup import simhash_expr
+
+    kept_bands = (
+        spark.read.parquet(src)
+        .select(
+            "doc_id",
+            F.shiftright(simhash_expr("text"), 60 - NEARDUP_BAND_BITS).alias(
+                "band"
+            ),
+        )
+        .join(out.filter("kept").select("doc_id"), "doc_id")
+        .groupBy("band")
+        .count()
+    )
+    occ = kept_bands.agg(
+        F.max(F.least(F.col("count"), F.lit(NEARDUP_STATE_CAP))),
+        F.sum((F.col("count") >= NEARDUP_STATE_CAP).cast("long")),
+    ).first()
+    max_band_occupancy, bands_at_cap = int(occ[0]), int(occ[1])
 
     print(
         json.dumps(
@@ -102,6 +126,8 @@ def main() -> None:
                 "max_kept_per_family": kept_per_family,
                 "families_with_a_keeper": families_kept,
                 "state_cap": NEARDUP_STATE_CAP,
+                "max_band_occupancy": max_band_occupancy,
+                "bands_at_cap": bands_at_cap,
                 "docs_per_sec": round(n_docs * replicas / wall, 1),
                 "wall_s": round(wall, 1),
             }

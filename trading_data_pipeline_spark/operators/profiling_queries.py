@@ -26,13 +26,18 @@ from ..registry import load, register
 SESSION_GAP_MIN = 30
 
 
-def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
-    """Assign (user_id, session_id) to every event: session_id increments
-    whenever the gap to the previous event of the same user reaches
-    ``gap_min`` minutes (>=, matching ``F.session_window``'s half-open
-    [ts, ts+gap) merge rule so counts agree with ``session_agg``). Exact
-    on both engines — the flag compares integer microsecond differences,
-    and the id is a running integer sum."""
+def session_assignments(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """(event_id, user_id, es=epoch seconds, session_id) for every event:
+    session_id increments whenever the gap to the previous event of the
+    same user reaches ``gap_min`` minutes (>=, matching
+    ``F.session_window``'s half-open [ts, ts+gap) merge rule so counts
+    agree with ``session_agg``). Exact on both engines — the flag
+    compares integer microsecond differences, and the id is a running
+    integer sum. THE single sessionization definition: q_sessionize and
+    the interval-overlap join both derive from it, so the gap rule can
+    never silently diverge between them."""
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     prev = F.lag(ts_us).over(w)
@@ -46,7 +51,16 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
+        F.unix_timestamp("ts").alias("es"),
         F.sum(new_sess).over(run).alias("session_id"),
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assignment view of :func:`session_assignments` (the q_sessionize
+    output contract: one (event_id, user_id, session_id) row per event)."""
+    return session_assignments(events, gap_min).select(
+        "event_id", "user_id", "session_id"
     )
 
 

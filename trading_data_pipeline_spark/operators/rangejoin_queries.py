@@ -48,7 +48,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- interval × interval overlap
 
-IVL_GAP_MIN = 30      # session gap (matches q_sessionize / SESSION_GAP_MIN)
+from .profiling_queries import SESSION_GAP_MIN as IVL_GAP_MIN  # one gap rule
+
 IVL_VALUE_MIN = 15.0  # "high-value" activity cutoff for window cells
 IVL_ACT_MIN = 2       # events per (type, hour) cell to call it active
 IVL_CELL_S = 3600     # grid cell = 1 hour
@@ -70,23 +71,11 @@ def interval_overlap_join(events: DataFrame) -> DataFrame:
     The oracle is the naive inequality join — identical pairs prove the
     decomposition exact.
     """
-    from pyspark.sql import Window
+    from .profiling_queries import session_assignments
 
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
-    brk = F.when(
-        F.lag(ts_us).over(w).isNull()
-        | ((ts_us - F.lag(ts_us).over(w)) >= IVL_GAP_MIN * 60_000_000),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     sess = (
-        events.select(
-            "user_id",
-            F.unix_timestamp("ts").alias("es"),
-            F.sum(brk).over(run).alias("sid"),
-        )
-        .groupBy("user_id", "sid")
+        session_assignments(events)
+        .groupBy("user_id", "session_id")
         .agg(F.min("es").alias("s0"), F.max("es").alias("s1"))
     )
     cells = sess.select(

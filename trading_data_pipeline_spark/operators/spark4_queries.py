@@ -130,6 +130,11 @@ def _register_word_runs(spark: SparkSession) -> None:
     "imperative generator and the relational form",
 )
 def q_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-level POLICY knob, deliberately left on after the call (a
+    # restore would flip it back before the lazy plan executes): this
+    # engine mandates Arrow for every Python boundary (see
+    # tests/test_no_python_udfs.py), UDTFs included — build_session sets
+    # the same default; setting it here covers vanilla driver sessions.
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     _register_word_runs(spark)
     docs = load(spark, sf_dir, "documents").filter(
@@ -154,12 +159,26 @@ _DPP_LAKE: dict[tuple[str, str], str] = {}
 
 def dpp_lake_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per session) events as a date-partitioned lake table —
-    the 100 TB layout whose scan DPP prunes at runtime."""
+    the 100 TB layout whose scan DPP prunes at runtime.
+
+    The on-disk path embeds the applicationId AND a digest of the FULL
+    sf_dir: two sf_dirs sharing a basename never collide on one
+    directory, and two concurrent Spark apps (bench + pytest) never
+    race an overwrite against each other's reads. Dead app dirs are
+    plain tmp debris (.tmp/ is vacuumable/gitignored)."""
+    import hashlib
+
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DPP_LAKE.get(key)
     if path is None:
+        digest = hashlib.sha1(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:8]
         path = os.path.join(
-            TMP_ROOT, "events_by_date", os.path.basename(sf_dir.rstrip("/"))
+            TMP_ROOT,
+            "events_by_date",
+            spark.sparkContext.applicationId,
+            f"{os.path.basename(sf_dir.rstrip('/'))}-{digest}",
         )
         (
             load(spark, sf_dir, "events")

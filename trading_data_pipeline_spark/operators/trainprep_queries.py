@@ -36,7 +36,11 @@ N_FOLDS = 5        # walk-forward folds (span cut into N_FOLDS+1 chunks)
 # ---------------------------------------------------------- target encoding
 
 def target_encode_loo(
-    df: DataFrame, cat_col: str, target_col: str, m: int = TE_SMOOTHING
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: int = TE_SMOOTHING,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Leave-one-out smoothed target encoding:
     ``(sum_cat - y_i + m * global_mean) / (n_cat - 1 + m)``.
@@ -55,7 +59,7 @@ def target_encode_loo(
         df.join(per_cat, cat_col)
         .crossJoin(global_mean)
         .select(
-            "event_id",
+            id_col,
             cat_col,
             _q(
                 (F.col("s_cat") - F.col(target_col) + m * F.col("g"))
@@ -129,8 +133,21 @@ def walk_forward_folds(events: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
     range join of the fact against the ≤n_folds fold rows (each event
     matches at most n_folds folds, so the join output is bounded by
     n_folds x |events| and immediately partial-aggregates).
+
+    A span shorter than ``n_folds + 1`` days cannot host n_folds
+    non-empty expanding windows (the chunk size floors to zero) —
+    refuse loudly rather than silently emitting fewer folds. The span
+    probe is a 1-row aggregate collected driver-side (the
+    rfm_segments reference-date pattern).
     """
     dated = events.select(F.to_date("ts").alias("d"))
+    probe = dated.agg(F.min("d"), F.max("d")).first()
+    span_days = (probe[1] - probe[0]).days + 1 if probe[0] is not None else 0
+    if span_days < n_folds + 1:
+        raise ValueError(
+            f"walk_forward_folds needs a date span of >= {n_folds + 1} "
+            f"days for {n_folds} folds; events span {span_days}"
+        )
     bounds = dated.agg(
         F.min("d").alias("d0"),
         F.max("d").alias("d1"),

@@ -44,6 +44,9 @@ def build_session(
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # engine policy: every Python boundary is Arrow-batched, UDTFs
+        # included (tests/test_no_python_udfs.py enforces the plans)
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
