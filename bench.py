@@ -116,6 +116,7 @@ EXTRAS = [
     "q_time_rollup",
     "q_quantile_normalize",
     "q_interval_join",
+    "q_dedup_delta",
 ]
 
 RUNS = 3

@@ -780,3 +780,58 @@ def test_jaccard_prefix_join_equals_brute_force_and_prunes(spark):
     # candidate set stayed a strict subset of all pairs.
     all_pairs = n_docs * (n_docs - 1) / 2
     assert n_cand < 0.9 * all_pairs, (n_cand, n_docs)
+
+
+def test_delta_dedup_equals_batch_cross_pairs(spark, sf_dir):
+    """The incremental index-probe path must find EXACTLY the batch
+    self-join's (delta, corpus) cross pairs — same banding scheme, same
+    collisions, same exact-Jaccard verify (within-corpus and
+    within-delta pairs are out of the delta probe's scope by design)."""
+    from trading_data_pipeline_spark.operators.dedup import (
+        banded_minhash_pairs,
+        delta_dedup_pairs,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = {
+        (r.delta_id, r.corpus_id, r.jaccard)
+        for r in delta_dedup_pairs(corpus, delta).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in banded_minhash_pairs(docs).collect()
+    }
+    cross = {
+        (a, b, j) if a % 10 == 0 else (b, a, j)
+        for a, b, j in batch
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert inc == cross
+    assert inc, "equivalence is vacuous with no cross pairs"
+
+
+def test_delta_dedup_golden_pairs(spark):
+    """Hand-built corpus/delta: near-copies in the delta are caught
+    against the corpus with exact Jaccard; unrelated delta docs pass."""
+    from trading_data_pipeline_spark.operators.dedup import delta_dedup_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "h g f e d c b a"),   # reorder of 1 → j=1.0
+         (101, "a b c d e f g q"),   # j(.,1)=7/9
+         (102, "m n o p q2 r s2 t2")],  # unrelated
+        "doc_id long, text string",
+    )
+    got = {
+        (r.delta_id, r.corpus_id): r.jaccard
+        for r in delta_dedup_pairs(corpus, delta, n=1, min_jaccard=0.5).collect()
+    }
+    assert got.get((100, 1)) == 1.0
+    assert got.get((101, 1)) == 0.7778
+    assert all(d != 102 for d, _ in got)

@@ -214,6 +214,45 @@ def hashed_shingles(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, _sh(tokh)))
 
 
+def band_buckets(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 9,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, key) LSH bucket rows from a hashed-shingle table:
+    k=bands·rows minhash signature (seeded ``xxhash64`` permutations,
+    ``array_min∘transform`` folds — all JVM-side, zero shuffles), then
+    one 64-bit key per band over its signature rows. Shared by the
+    all-pairs self-join (:func:`banded_minhash_pairs`) and the
+    incremental corpus-index path (:func:`build_band_index` /
+    :func:`delta_dedup_pairs`), so the banding scheme can never diverge
+    between them."""
+    k = bands * rows_per_band
+
+    # NB: a 2-arg lambda would be read by F.transform as (element, index) —
+    # bind the permutation seed via a 1-arg closure factory instead.
+    def _perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    sig = sh.select(
+        id_col,
+        F.array(
+            *[F.array_min(F.transform("shh", _perm(i))) for i in range(k)]
+        ).alias("sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig")[j] for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.posexplode(band_keys).alias("band", "key"))
+
+
 def banded_minhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -254,32 +293,10 @@ def banded_minhash_pairs(
     boilerplate; pair the cap with exact dedup, don't rely on it alone.
     ``None`` disables the cap (exhaustive, small corpora only).
     """
-    k = bands * rows_per_band
     sh = ensure_parallelism(df.filter(F.size(F.split(text_col, " ")) >= n)).select(
         id_col, hashed_shingles(text_col, n).alias("shh")
     )
-
-    # NB: a 2-arg lambda would be read by F.transform as (element, index) —
-    # bind the permutation seed via a 1-arg closure factory instead.
-    def _perm(i: int):
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    sig = sh.select(
-        id_col,
-        F.array(
-            *[F.array_min(F.transform("shh", _perm(i))) for i in range(k)]
-        ).alias("sig"),
-    )
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col("sig")[j] for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(id_col, F.posexplode(band_keys).alias("band", "key"))
+    buckets = band_buckets(sh, id_col, bands, rows_per_band)
     grp = buckets.groupBy("band", "key").agg(F.collect_list(id_col).alias("ids"))
     size_ok = F.size("ids") >= 2
     if max_bucket is not None:
@@ -566,4 +583,96 @@ def containment_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("containment") >= min_containment)
+    )
+
+
+# --------------------------------------------- incremental (delta) dedup
+
+def build_band_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 9,
+    rows_per_band: int = 2,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Persisted-form MinHash band index over a corpus: one row per
+    (band, key) bucket with the posting list of corpus ids. THE artifact
+    an incremental ingestion pipeline stores (write it partitioned by
+    ``band``) so each new batch probes the index instead of re-banding
+    the accumulated 100 TB corpus.
+
+    ``max_posting`` drops hot buckets at BUILD time (same rationale and
+    default as :func:`banded_minhash_pairs`' ``max_bucket``: a bucket of
+    m near-identical docs makes every future probe generate m candidates
+    per band; exact-dup clusters belong to :func:`exact_dedup`)."""
+    sh = ensure_parallelism(
+        corpus.filter(F.size(F.split(text_col, " ")) >= n)
+    ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
+    return (
+        band_buckets(sh, id_col, bands, rows_per_band)
+        .groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") <= max_posting)
+    )
+
+
+def delta_dedup_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 9,
+    rows_per_band: int = 2,
+    min_jaccard: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch (``delta``) and an EXISTING
+    corpus, without re-banding the corpus: the delta's band keys probe
+    the corpus band index (prebuilt ``index``, or derived here), and
+    only colliding (delta, corpus) pairs are exact-Jaccard verified.
+
+    Work scales with |delta| · collision-rate, never |corpus| — the
+    asymmetric production form of :func:`banded_minhash_pairs`
+    (its self-join answers "dedup this corpus once"; this answers
+    "keep tomorrow's batch clean against everything already ingested").
+    Output: (delta_id, corpus_id, jaccard ≥ ``min_jaccard``).
+    """
+    sh_c = ensure_parallelism(
+        corpus.filter(F.size(F.split(text_col, " ")) >= n)
+    ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
+    sh_d = ensure_parallelism(
+        delta.filter(F.size(F.split(text_col, " ")) >= n)
+    ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
+    if index is None:
+        index = build_band_index(
+            corpus, id_col, text_col, n, bands, rows_per_band, max_posting
+        )
+    cand = (
+        band_buckets(sh_d, id_col, bands, rows_per_band)
+        .join(index, ["band", "key"])
+        .select(
+            F.col(id_col).alias("delta_id"),
+            F.explode("ids").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    d = sh_d.select(F.col(id_col).alias("delta_id"), F.col("shh").alias("sh_d"))
+    c = sh_c.select(F.col(id_col).alias("corpus_id"), F.col("shh").alias("sh_c"))
+    return (
+        cand.join(d, "delta_id")
+        .join(c, "corpus_id")
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.round(
+                F.size(F.array_intersect("sh_d", "sh_c"))
+                / F.size(F.array_union("sh_d", "sh_c")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -163,8 +163,8 @@ _PRIORITY_ROUND6: tuple[str, ...] = (
 # q_sql_interface, q_python_source, and the round-5 session additions
 # q_variant_json, q_udtf_runs, q_dpp_join, q_seasonal_profile,
 # q_target_encode, q_kanonymity, q_walk_forward, q_time_rollup,
-# q_quantile_normalize, q_interval_join (+ any later round-6
-# additions).
+# q_quantile_normalize, q_interval_join, q_dedup_delta (+ any
+# later round-6 additions).
 
 
 def all_queries() -> dict[str, QuerySpec]:
