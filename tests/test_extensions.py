@@ -835,3 +835,35 @@ def test_delta_dedup_golden_pairs(spark):
     assert got.get((100, 1)) == 1.0
     assert got.get((101, 1)) == 0.7778
     assert all(d != 102 for d, _ in got)
+
+
+def test_delta_dedup_cap_matches_batch_at_boundary(spark):
+    """Hot-bucket cap semantics must match the batch self-join EXACTLY at
+    the boundary: the capped quantity is the TOTAL (corpus + delta)
+    bucket population, not the corpus posting size alone."""
+    from trading_data_pipeline_spark.operators.dedup import (
+        banded_minhash_pairs,
+        delta_dedup_pairs,
+    )
+
+    text = "p q r s t u v w"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    both = corpus.unionByName(delta)
+    for cap in (3, 4):
+        inc = {
+            (r.delta_id, r.corpus_id)
+            for r in delta_dedup_pairs(
+                corpus, delta, n=1, max_bucket=cap
+            ).collect()
+        }
+        cross = {
+            (b, a)
+            for r in banded_minhash_pairs(both, n=1, max_bucket=cap).collect()
+            for a, b in [(r.doc_a, r.doc_b)]
+            if (a >= 100) != (b >= 100)
+        }
+        assert inc == cross, (cap, inc, cross)
+    assert inc == {(100, 1), (100, 2), (100, 3)}  # cap=4 kept the bucket

@@ -165,6 +165,10 @@ def main() -> int:
             json.dump(out, f, indent=1, sort_keys=True)
         if clean:
             write_markdown(out)
+            # a stale rejection artifact must not outlive the fix
+            rejected = os.path.join(REPO, "PLANAUDIT.REJECTED.json")
+            if os.path.exists(rejected):
+                os.remove(rejected)
     print(json.dumps(summary))
     return 0 if clean else 1
 

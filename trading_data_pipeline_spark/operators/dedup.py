@@ -622,44 +622,85 @@ def delta_dedup_pairs(
     corpus: DataFrame,
     delta: DataFrame,
     index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     bands: int = 9,
     rows_per_band: int = 2,
     min_jaccard: float = 0.5,
-    max_posting: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch (``delta``) and an EXISTING
     corpus, without re-banding the corpus: the delta's band keys probe
     the corpus band index (prebuilt ``index``, or derived here), and
     only colliding (delta, corpus) pairs are exact-Jaccard verified.
 
-    Work scales with |delta| · collision-rate, never |corpus| — the
-    asymmetric production form of :func:`banded_minhash_pairs`
-    (its self-join answers "dedup this corpus once"; this answers
-    "keep tomorrow's batch clean against everything already ingested").
+    The probe-many production artifact is TWO persisted tables —
+    the ``index`` postings AND ``corpus_shingles`` (the per-doc hashed
+    shingle sets the verify join reads). With both supplied, a probe's
+    work scales with |delta| · collision-rate, never |corpus|; without
+    ``corpus_shingles`` the verify pays one full corpus shingle pass
+    (pruned to candidate ids before hashing), and without ``index``
+    this degrades to an ad-hoc one-shot build.
+
+    Cap semantics MATCH :func:`banded_minhash_pairs` exactly: a
+    (band, key) bucket whose TOTAL population (corpus postings + delta
+    probes this batch) exceeds ``max_bucket`` generates no candidates —
+    so the incremental path emits exactly the batch self-join's
+    (delta, corpus) cross pairs even at the hot-bucket boundary
+    (equivalence-tested). Build the index with ``max_posting`` ≥ this
+    ``max_bucket``; a MISMATCHED index (different bands/rows/n than the
+    probe arguments) silently collides on nothing — the band-count
+    guard below rejects the detectable case.
+
     Output: (delta_id, corpus_id, jaccard ≥ ``min_jaccard``).
     """
-    sh_c = ensure_parallelism(
-        corpus.filter(F.size(F.split(text_col, " ")) >= n)
-    ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
     sh_d = ensure_parallelism(
         delta.filter(F.size(F.split(text_col, " ")) >= n)
     ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
     if index is None:
         index = build_band_index(
-            corpus, id_col, text_col, n, bands, rows_per_band, max_posting
+            corpus, id_col, text_col, n, bands, rows_per_band,
+            max_posting=max_bucket if max_bucket is not None else 1 << 31,
+        )
+    else:
+        got_bands = index.agg(F.max("band")).first()[0]
+        if got_bands is not None and got_bands + 1 != bands:
+            raise ValueError(
+                f"band index was built with {got_bands + 1} bands but the "
+                f"probe uses bands={bands} — rebuild or pass matching "
+                "banding parameters (rows_per_band/n mismatches are not "
+                "detectable structurally; keep them with the artifact)"
+            )
+    delta_buckets = band_buckets(sh_d, id_col, bands, rows_per_band)
+    collided = delta_buckets.join(index, ["band", "key"])
+    if max_bucket is not None:
+        # total bucket population = corpus postings + delta members, the
+        # SAME quantity banded_minhash_pairs caps on the combined corpus
+        delta_cnt = delta_buckets.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_dn")
+        )
+        collided = collided.join(delta_cnt, ["band", "key"]).filter(
+            F.size("ids") + F.col("_dn") <= max_bucket
         )
     cand = (
-        band_buckets(sh_d, id_col, bands, rows_per_band)
-        .join(index, ["band", "key"])
-        .select(
+        collided.select(
             F.col(id_col).alias("delta_id"),
             F.explode("ids").alias("corpus_id"),
         )
         .distinct()
     )
+    if corpus_shingles is not None:
+        sh_c = corpus_shingles
+    else:
+        # prune to candidate ids BEFORE hashing shingles, so the ad-hoc
+        # path shingle-hashes only colliding corpus docs
+        cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+        sh_c = ensure_parallelism(
+            corpus.join(cand_ids, id_col, "semi")
+            .filter(F.size(F.split(text_col, " ")) >= n)
+        ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
     d = sh_d.select(F.col(id_col).alias("delta_id"), F.col("shh").alias("sh_d"))
     c = sh_c.select(F.col(id_col).alias("corpus_id"), F.col("shh").alias("sh_c"))
     return (

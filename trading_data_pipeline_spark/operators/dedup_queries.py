@@ -246,26 +246,37 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- incremental (delta) dedup
 
-# Build-once / probe-many: the corpus band index is built on the first
-# q_dedup_delta call and reused for every later probe in the process.
-# CONTRACT (same as _IVF_CACHE / the graph edge cache): keyed by
-# (applicationId, sf_dir) — sf_dir identifies an immutable corpus, and an
-# entry never outlives its SparkSession.
-_BAND_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Build-once / probe-many: the corpus's TWO persisted artifacts — the
+# (band, key) -> postings index AND the per-doc hashed-shingle table the
+# verify join reads — are built on the first q_dedup_delta call and
+# reused for every later probe in the process, so a probe never scans
+# the corpus at all. CONTRACT (same as _IVF_CACHE / the graph edge
+# cache): keyed by (applicationId, sf_dir) — sf_dir identifies an
+# immutable corpus, and an entry never outlives its SparkSession.
+_BAND_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def band_index_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import build_band_index
+def band_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from ..plans import ensure_parallelism
+    from .dedup import build_band_index, hashed_shingles
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _BAND_INDEX_CACHE.get(key)
-    if idx is None:
+    entry = _BAND_INDEX_CACHE.get(key)
+    if entry is None:
         corpus = load(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
         idx = build_band_index(corpus).localCheckpoint(eager=True)
-        _BAND_INDEX_CACHE[key] = idx
-    return idx
+        sh_c = (
+            ensure_parallelism(
+                corpus.filter(F.size(F.split("text", " ")) >= 3)
+            )
+            .select("doc_id", hashed_shingles("text", 3).alias("shh"))
+            .localCheckpoint(eager=True)
+        )
+        entry = (idx, sh_c)
+        _BAND_INDEX_CACHE[key] = entry
+    return entry
 
 
 @register(
@@ -285,6 +296,7 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
+    idx, sh_c = band_index_for(spark, sf_dir)
     return delta_dedup_pairs(
-        corpus, delta, index=band_index_for(spark, sf_dir)
+        corpus, delta, index=idx, corpus_shingles=sh_c
     )

@@ -148,9 +148,10 @@ def walk_forward_folds(events: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
             f"walk_forward_folds needs a date span of >= {n_folds + 1} "
             f"days for {n_folds} folds; events span {span_days}"
         )
-    bounds = dated.agg(
-        F.min("d").alias("d0"),
-        F.max("d").alias("d1"),
+    # the probe IS the bounds — seed them as literals so the fold table
+    # costs no second scan of the fact
+    bounds = events.sparkSession.createDataFrame(
+        [(probe[0], probe[1])], "d0 date, d1 date"
     ).withColumn(
         "base", F.expr(f"div(datediff(d1, d0) + 1, {n_folds + 1})")
     )
