@@ -180,6 +180,11 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    # Full record first (bands/extras/co-load for humans + BASELINE.md),
+    # then a COMPACT headline-only line LAST: the driver tail-captures
+    # stdout, and in round 5 the ever-growing extras dict pushed the
+    # leading "metric"/"value" fields out of its window ("parsed": null).
+    # The final line must stay small and self-contained forever.
     print(
         json.dumps(
             {
@@ -193,6 +198,18 @@ def main() -> None:
                 "sf": float(sf),
             }
         )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wallclock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        ),
+        flush=True,
     )
 
 

@@ -867,3 +867,40 @@ def test_delta_dedup_cap_matches_batch_at_boundary(spark):
         }
         assert inc == cross, (cap, inc, cross)
     assert inc == {(100, 1), (100, 2), (100, 3)}  # cap=4 kept the bucket
+
+
+def test_band_index_metadata_validates_probe_without_scan(spark, tmp_path):
+    """The banding parameters ride the band column's schema metadata:
+    a parameter-mismatched probe must raise from metadata alone (no index
+    scan), and the metadata must survive the parquet round trip a stored
+    production index goes through."""
+    import pytest
+
+    from trading_data_pipeline_spark.operators.dedup import (
+        build_band_index,
+        delta_dedup_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "h g f e d c b a")], "doc_id long, text string"
+    )
+    idx = build_band_index(corpus, n=1, bands=6, rows_per_band=3)
+    path = str(tmp_path / "postings")
+    idx.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    assert loaded.schema["band"].metadata == {
+        "bands": 6, "rows_per_band": 3, "n": 1,
+    }
+    # matched parameters: probe works against the loaded artifact
+    assert delta_dedup_pairs(
+        corpus, delta, index=loaded, n=1, bands=6, rows_per_band=3
+    ).count() > 0
+    # any single mismatched parameter: plan-build-time ValueError
+    for kw in ({"bands": 9}, {"rows_per_band": 2}, {"n": 2}):
+        args = {"n": 1, "bands": 6, "rows_per_band": 3, **kw}
+        with pytest.raises(ValueError, match="band index was built"):
+            delta_dedup_pairs(corpus, delta, index=loaded, **args)

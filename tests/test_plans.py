@@ -672,11 +672,15 @@ def test_decile_lift_uses_two_pass_ntile(spark, sf_dir, queries):
 
 
 def test_round6_batch2_plan_contracts(spark, sf_dir, queries):
-    """knn eval broadcasts the holdout (corpus never shuffles for
-    scoring); stratified take gets rank-limit pushdown; skew audit
+    """knn eval is registered as the EXACT cell-pruned IVF path: candidate
+    generation must be __cell equi-joins (hash/broadcast-hash), never the
+    unconditional corpus×holdout product that made the old registration
+    quadratic; stratified take gets rank-limit pushdown; skew audit
     partial-aggregates the key counts and broadcasts the stats row."""
     knn = plan_of(queries["q_knn_eval"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in knn or "BroadcastExchange" in knn, knn
+    assert "CartesianProduct" not in knn, knn
+    assert "BroadcastNestedLoopJoin" not in knn, knn
+    assert "__cell" in knn, knn
 
     strat = plan_of(queries["q_stratified_exact"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in strat, strat

@@ -73,18 +73,53 @@ def test_operator_index_is_current():
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
 
 
-def test_round6_window_proposal_is_sound():
-    """_PRIORITY_ROUND6 is next round's driver window — validate it NOW so
-    a rename/removal between rounds can't silently break the rotation:
+def test_round6_window_is_applied_and_sound():
+    """Round 6 is LIVE: _PRIORITY must be the staged round-6 list —
     every name registered, exactly 50, canaries first, no duplicates, and
-    no wasted slot on a query the round-5 window already covers."""
-    from trading_data_pipeline_spark.registry import _PRIORITY, _PRIORITY_ROUND6
+    no wasted slot on a query the round-5 window already covered."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY,
+        _PRIORITY_ROUND5,
+        _PRIORITY_ROUND6,
+    )
 
+    assert _PRIORITY is _PRIORITY_ROUND6, "round-6 window not applied"
     qs = all_queries()
     unknown = [n for n in _PRIORITY_ROUND6 if n not in qs]
     assert not unknown, f"round-6 window names not registered: {unknown}"
     assert len(_PRIORITY_ROUND6) == 50, len(_PRIORITY_ROUND6)
     assert len(set(_PRIORITY_ROUND6)) == 50, "duplicate names"
     assert _PRIORITY_ROUND6[:2] == ("q_report1", "q_dedup_near")
-    overlap = set(_PRIORITY_ROUND6[2:]) & set(_PRIORITY)
+    overlap = set(_PRIORITY_ROUND6[2:]) & set(_PRIORITY_ROUND5)
     assert not overlap, f"slots wasted on round-5-covered queries: {sorted(overlap)}"
+
+
+def test_no_oracle_column_is_duckdb_hugeint():
+    """DuckDB types sum(<int>) as HUGEINT, which the driver's value hash
+    serializes differently from Spark's BIGINT — rows and schema match but
+    hash_match fails on identical values (5 red rows in CORRECTNESS_r05).
+    DESCRIBE every registered oracle and reject HUGEINT (and unsigned)
+    output columns; new oracles must CAST integer sums to BIGINT."""
+    import duckdb
+
+    from trading_data_pipeline_spark.registry import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        bad = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if "HUGEINT" in ty.upper() or ty.upper().startswith("U")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-hash-hostile oracle column types: {offenders}"

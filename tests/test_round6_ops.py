@@ -473,6 +473,74 @@ def test_knn_eval_separable_clusters_score_perfectly(spark):
         assert r.accuracy == 1.0 and r.n_correct == r.n_eval > 0
 
 
+def test_knn_eval_index_path_equals_brute_force(spark, sf_dir):
+    """The registered q_knn_eval routes through IvfIndex.knn_join_exact —
+    its EXACTNESS claim means byte-identical output to the brute-force
+    broadcast path on the same data, including rank and vote tiebreaks."""
+    from trading_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        knn_label_eval,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, n_cells=8)
+    brute = sorted(map(tuple, knn_label_eval(emb).collect()))
+    pruned = sorted(
+        map(tuple, knn_label_eval(emb, index=idx, n_probe=2).collect())
+    )
+    assert brute == pruned
+
+
+def test_knn_join_exact_topk_matches_per_query_brute(spark):
+    """knn_join_exact's per-query (id, sim) top-k — not just the label
+    rollup — must match an exhaustive cross-join ranking, on data crafted
+    so true neighbours straddle cell boundaries (the case pruning gets
+    wrong if the radius bound is unsound)."""
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.functions.vector import cosine_similarity
+    from trading_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    import math
+
+    rows = []
+    # ring of 60 unit vectors: neighbourhoods are angular, cells cut the
+    # ring into arcs, so most queries' true k-NN cross a cell edge
+    for i in range(60):
+        a = 2 * math.pi * i / 60
+        rows.append((i, [math.cos(a), math.sin(a)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_index(emb, n_cells=6)
+    queries_df = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).filter(F.col("qid") % 4 == 0)
+    got = {
+        (r.qid, r.vec_id)
+        for r in idx.knn_join_exact(
+            queries_df, k=3, n_probe=1,
+            corpus_filter=F.col("vec_id") % 4 != 0,
+        ).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    crossed = corpus.join(
+        queries_df.withColumnRenamed("qvec", "_qv"), F.lit(True)
+    ).select(
+        "qid",
+        "vec_id",
+        cosine_similarity(
+            F.col("embedding").cast("array<double>"), F.col("_qv")
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    want = {
+        (r.qid, r.vec_id)
+        for r in crossed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .collect()
+    }
+    assert got == want
+
+
 def test_knn_eval_counts_every_holdout_vector(spark, sf_dir):
     from trading_data_pipeline_spark.operators.similarity import knn_label_eval
 
@@ -547,3 +615,58 @@ def test_skew_audit_hand_built(spark):
     import math
 
     assert r.skew_factor == math.floor(8 / 2.4 * 10000 + 0.5) / 10000
+
+
+def test_quantile_normalize_singleton_group_cross_engine(spark):
+    """A singleton event_type group hits (rk-1)/(n-1) = 0/0: Spark
+    (non-ANSI) yields NULL, DuckDB (ieee_floating_point_ops) yields NaN —
+    both sides must instead pin the defined value 0.0 (ADVICE round 5)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.functions.quantize import q as _q
+
+    rows = [(1, "a", 5.0), (2, "a", 7.0), (3, "b", 9.0)]  # "b" is singleton
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    got = {
+        (r.event_id, r.qnorm)
+        for r in events.select(
+            "event_id",
+            F.rank().over(w).alias("_rk"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .select(
+            "event_id",
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(_q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000))
+            .alias("qnorm"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["event_id", "event_type", "value"]))
+    want = {
+        (int(e), float(qn))
+        for e, qn in con.execute(
+            """
+            WITH r AS (
+              SELECT event_id, value,
+                     rank() OVER w AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+            )
+            SELECT event_id,
+                   CASE WHEN n = 1 THEN 0.0
+                        ELSE floor((rk - 1) * 1.0 / (n - 1) * 10000 + 0.5) / 10000
+                   END AS qnorm
+            FROM r
+            """
+        ).fetchall()
+    }
+    assert got == want and (3, 0.0) in got

@@ -215,6 +215,25 @@ def test_streaming_asof_equals_batch(spark, staged_events):
     assert got == want
 
 
+def test_asof_stream_rejects_oversized_right_side(spark, staged_events):
+    """The right side ships in the task closure, so it must be STATE-SIZED:
+    over the cap the job must raise with the foreachBatch/asof_join_union
+    escape hatch, never silently collect a fact table to the driver."""
+    import pytest
+
+    from trading_data_pipeline_spark.streaming.jobs import asof_stream
+
+    events = spark.read.parquet(staged_events)
+    right = events.select("user_id", "ts", "value")
+    with pytest.raises(ValueError, match="asof_join_union"):
+        asof_stream(
+            events.select("event_id", "user_id", "ts", "value"),
+            right,
+            on="user_id",
+            max_right_rows=5,
+        )
+
+
 def test_stream_stream_interval_join_equals_batch(spark, staged_events):
     """Stream-stream interval join (click→purchase attribution within 1h)
     must equal the identical expression run in batch over the same files —

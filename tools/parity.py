@@ -47,6 +47,54 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def canon_dtype(s: pd.Series) -> str:
+    """Canonical type class for a result column, mirroring how a value hash
+    would serialize it. int-vs-float drift (e.g. a DuckDB HUGEINT ``sum()``
+    fetched as float64/object against Spark's int64) must FAIL here even
+    when the values compare numerically equal — that exact drift produced
+    5 red driver rows in CORRECTNESS_r05 while this mirror stayed green."""
+    import datetime
+    import decimal
+
+    d = str(s.dtype)
+    if "datetime" in d:
+        # date vs timestamp is NOT driver-breaking (r5 evidence: Spark
+        # DateType objects vs DuckDB datetime64 hashed equal), so one class
+        return "datetime"
+    if d.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if d.startswith(("float", "Float")):
+        return "float"
+    if d == "bool" or d == "boolean":
+        return "bool"
+    if d == "object":
+        for v in s:
+            if v is None or v is pd.NA:
+                continue
+            try:
+                if pd.isna(v):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, (float, decimal.Decimal)):
+                return "float" if isinstance(v, float) else "decimal"
+            if isinstance(v, str):
+                return "str"
+            if isinstance(v, (bytes, bytearray)):
+                return "bytes"
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return "datetime"
+            if isinstance(v, (list, tuple)):
+                return "list"
+            return type(v).__name__
+        return "null"
+    return d
+
+
 def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -70,6 +118,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return [f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"]
     if len(spark_pdf) != len(duck_pdf):
         errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    # dtype-strict: the driver hashes values type-tagged, so a numeric
+    # class mismatch is a hash mismatch even when values compare equal
+    for c in sorted(spark_pdf.columns):
+        ka, kb = canon_dtype(spark_pdf[c]), canon_dtype(duck_pdf[c])
+        if "null" in (ka, kb):  # all-NULL column: class unknowable
+            continue
+        if ka != kb:
+            errs.append(f"dtype col {c}: spark={ka} duck={kb} (driver hash would differ)")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     n = min(len(a), len(b))
     bad = 0

@@ -41,7 +41,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PRODUCT_JOIN_ALLOWLIST = {
     "q_cross_join",       # the cartesian demo itself (two tiny dims)
     "q_hard_negatives",   # bounded query set, doc'd broadcast NLJ
-    "q_knn_eval",         # holdout slice broadcast into local scoring
     "q_market_beta",      # 1-row market aggregate joined back
     "q_theta_overlap",    # 1-row sketch vs 1-row sketch
     "q_semijoin_selectivity",  # 1-row denominators joined back

@@ -376,7 +376,8 @@ def chunk_dedup_stats(docs: DataFrame, hashed: bool = True) -> DataFrame:
                         ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS _kept
       FROM ch
     )
-    SELECT doc_id, count(*) AS n_chunks, sum(_kept) AS n_kept,
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(_kept) AS BIGINT) AS n_kept,
            floor(CAST(sum(_kept) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
              AS keep_ratio
     FROM ranked GROUP BY doc_id

@@ -185,10 +185,10 @@ def ab_test(events: DataFrame) -> DataFrame:
     ), a AS (
       SELECT arm, count(*) AS n, sum(conv) AS c FROM u GROUP BY arm
     ), one AS (
-      SELECT sum(CASE WHEN arm = 0 THEN n END) AS n_a,
-             sum(CASE WHEN arm = 0 THEN c END) AS conv_a,
-             sum(CASE WHEN arm = 1 THEN n END) AS n_b,
-             sum(CASE WHEN arm = 1 THEN c END) AS conv_b
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS conv_b
       FROM a
     )
     SELECT n_a, conv_a, n_b, conv_b,
@@ -598,8 +598,12 @@ def auc_exact(events: DataFrame) -> DataFrame:
     for each value's preceding-count (no SinglePartition window), then
     ONE scalar aggregate of the tie-corrected rank sum. Everything stays
     integral until the final division: 2·ranksum = Σ p·(2·cum_before +
-    g + 1) accumulates in DECIMAL(38,0), so the result is exact at any
-    row count and bit-identical across engines.
+    g + 1) accumulates in DECIMAL(38,0). The single lossy step is the
+    final ``rs2 :: DOUBLE`` before dividing (both engines do the same),
+    so bit-identity across engines holds while 2·ranksum fits a double
+    mantissa — i.e. rs2 < 2^53, roughly 10^8–10^9 rows with ties;
+    beyond that both engines degrade identically on identical data, but
+    the quotient is no longer exact in the mathematical sense.
     """
     s = events.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),

@@ -91,7 +91,8 @@ def boilerplate_stats(docs: DataFrame, n: int = 8, hashed: bool = True) -> DataF
     )
     SELECT sh.doc_id,
            count(*) AS n_grams,
-           sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
            floor(sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / count(*) * 10000 + 0.5) / 10000 AS boiler_ratio
     FROM sh LEFT JOIN bp ON sh.g = bp.g
@@ -158,7 +159,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              count(*) AS n_docs,
-             sum(len(string_split(text, ' '))) AS n_tokens
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ), tot AS (
       SELECT sum(n_docs) AS total_docs, count(*) AS n_sources FROM per_src

@@ -606,7 +606,14 @@ def build_band_index(
     ``max_posting`` drops hot buckets at BUILD time (same rationale and
     default as :func:`banded_minhash_pairs`' ``max_bucket``: a bucket of
     m near-identical docs makes every future probe generate m candidates
-    per band; exact-dup clusters belong to :func:`exact_dedup`)."""
+    per band; exact-dup clusters belong to :func:`exact_dedup`).
+
+    The banding parameters are stamped into the ``band`` column's schema
+    METADATA — they travel with the artifact through persist/checkpoint
+    and through a parquet round trip — so :func:`delta_dedup_pairs` can
+    validate a probe's parameters against the index without launching a
+    scan (the earlier ``max(band)`` guard ran a full index scan on every
+    probe call)."""
     sh = ensure_parallelism(
         corpus.filter(F.size(F.split(text_col, " ")) >= n)
     ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
@@ -615,6 +622,10 @@ def build_band_index(
         .groupBy("band", "key")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") <= max_posting)
+        .withMetadata(
+            "band",
+            {"bands": bands, "rows_per_band": rows_per_band, "n": n},
+        )
     )
 
 
@@ -651,8 +662,10 @@ def delta_dedup_pairs(
     (delta, corpus) cross pairs even at the hot-bucket boundary
     (equivalence-tested). Build the index with ``max_posting`` ≥ this
     ``max_bucket``; a MISMATCHED index (different bands/rows/n than the
-    probe arguments) silently collides on nothing — the band-count
-    guard below rejects the detectable case.
+    probe arguments) silently collides on nothing — indexes built by
+    :func:`build_band_index` carry their parameters as schema metadata
+    and are validated here WITHOUT any scan; a foreign postings table
+    without metadata falls back to a one-off ``max(band)`` probe.
 
     Output: (delta_id, corpus_id, jaccard ≥ ``min_jaccard``).
     """
@@ -665,14 +678,28 @@ def delta_dedup_pairs(
             max_posting=max_bucket if max_bucket is not None else 1 << 31,
         )
     else:
-        got_bands = index.agg(F.max("band")).first()[0]
-        if got_bands is not None and got_bands + 1 != bands:
-            raise ValueError(
-                f"band index was built with {got_bands + 1} bands but the "
-                f"probe uses bands={bands} — rebuild or pass matching "
-                "banding parameters (rows_per_band/n mismatches are not "
-                "detectable structurally; keep them with the artifact)"
-            )
+        meta = index.schema["band"].metadata if "band" in index.columns else {}
+        if meta.get("bands") is not None:
+            # built by build_band_index: full no-scan validation
+            got = {k: meta.get(k) for k in ("bands", "rows_per_band", "n")}
+            want = {"bands": bands, "rows_per_band": rows_per_band, "n": n}
+            if got != want:
+                raise ValueError(
+                    f"band index was built with {got} but the probe uses "
+                    f"{want} — rebuild the index or pass matching banding "
+                    "parameters"
+                )
+        else:
+            # foreign postings table without metadata: one-off structural
+            # probe (band ids are 0..bands-1); rows_per_band/n mismatches
+            # are not detectable structurally
+            got_bands = index.agg(F.max("band")).first()[0]
+            if got_bands is not None and got_bands + 1 != bands:
+                raise ValueError(
+                    f"band index was built with {got_bands + 1} bands but "
+                    f"the probe uses bands={bands} — rebuild or pass "
+                    "matching banding parameters"
+                )
     delta_buckets = band_buckets(sh_d, id_col, bands, rows_per_band)
     collided = delta_buckets.join(index, ["band", "key"])
     if max_bucket is not None:

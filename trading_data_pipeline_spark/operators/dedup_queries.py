@@ -257,6 +257,16 @@ _BAND_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def band_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Materialize (once per session+corpus) the two probe artifacts to
+    STORAGE and read them back — the production shape for a long-lived
+    index, and fault-tolerant where the earlier ``localCheckpoint`` form
+    was not: checkpointed blocks die with their executor, permanently
+    breaking every later probe in the session, while a parquet-backed
+    artifact re-reads from disk after any executor loss. The band column's
+    banding-parameter metadata survives the parquet round trip, so probes
+    still validate without a scan."""
+    import tempfile
+
     from ..plans import ensure_parallelism
     from .dedup import build_band_index, hashed_shingles
 
@@ -266,15 +276,22 @@ def band_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         corpus = load(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
-        idx = build_band_index(corpus).localCheckpoint(eager=True)
-        sh_c = (
+        root = tempfile.mkdtemp(prefix="band_index_")
+        build_band_index(corpus).write.mode("overwrite").parquet(
+            f"{root}/postings"
+        )
+        (
             ensure_parallelism(
                 corpus.filter(F.size(F.split("text", " ")) >= 3)
             )
             .select("doc_id", hashed_shingles("text", 3).alias("shh"))
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .parquet(f"{root}/shingles")
         )
-        entry = (idx, sh_c)
+        entry = (
+            spark.read.parquet(f"{root}/postings"),
+            spark.read.parquet(f"{root}/shingles"),
+        )
         _BAND_INDEX_CACHE[key] = entry
     return entry
 

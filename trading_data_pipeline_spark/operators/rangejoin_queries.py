@@ -141,8 +141,9 @@ def interval_overlap_join(events: DataFrame) -> DataFrame:
     )
     SELECT w.event_type,
            count(*) AS n_pairs,
-           sum(least(s.s1, w.cell * {IVL_CELL_S} + {IVL_CELL_S - 1})
-               - greatest(s.s0, w.cell * {IVL_CELL_S}) + 1) AS overlap_s
+           CAST(sum(least(s.s1, w.cell * {IVL_CELL_S} + {IVL_CELL_S - 1})
+                    - greatest(s.s0, w.cell * {IVL_CELL_S}) + 1)
+                AS BIGINT) AS overlap_s
     FROM s JOIN w
       ON s.s0 <= w.cell * {IVL_CELL_S} + {IVL_CELL_S - 1}
      AND w.cell * {IVL_CELL_S} <= s.s1

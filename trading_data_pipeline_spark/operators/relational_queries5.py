@@ -60,7 +60,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
            round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           regr_count(l_extendedprice, l_quantity)               AS n
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem GROUP BY l_linestatus
     """,
     doc="Linear-regression aggregates (regr_slope / intercept / r2 / "

@@ -255,6 +255,183 @@ class IvfIndex:
             )
         )
 
+    def cell_radii(self) -> list[float]:
+        """Per-cell angular radius: max angle(member, centroid) over the
+        cell's members — ONE aggregate over the assigned corpus, collected
+        as n_cells floats and cached on the instance. The radii turn the
+        IVF layout into an EXACT search structure (see
+        :meth:`knn_join_exact`): for unit centroids c and any member v of
+        cell c, the spherical triangle inequality gives
+        ``angle(q, v) >= angle(q, c) - R_c``, so
+        ``cos_sim(q, v) <= cos(max(0, angle(q, c) - R_c))`` — a provable
+        per-cell upper bound on any member's cosine similarity."""
+        if getattr(self, "_radii", None) is None:
+            from ..functions.vector import l2_norm
+
+            cents = F.array(*[F.lit([float(x) for x in c]) for c in self.centroids])
+            v = F.col(self.vec_col).cast("array<double>")
+            cent = F.element_at(cents, F.col("__cell") + 1)
+            dot = F.aggregate(
+                F.zip_with(v, cent, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            cos = dot / l2_norm(v)
+            ang = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos)))
+            rows = (
+                self.assigned.groupBy("__cell")
+                .agg(F.max(ang).alias("r"))
+                .collect()
+            )
+            radii = [0.0] * len(self.centroids)
+            for r in rows:
+                radii[r["__cell"]] = float(r["r"])
+            self._radii = radii
+        return self._radii
+
+    def knn_join_exact(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        corpus_filter: Column | None = None,
+        keep_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """EXACT per-query cosine top-k as a cell-pruned two-phase join —
+        the scale path that replaces an unconditional corpus × queries
+        product (quadratic in input) with two ``__cell`` equi-joins whose
+        combined right side is, on separable data, a small fraction of the
+        corpus. Unlike :meth:`probe_batch` this is NOT approximate: phase 1
+        scores the ``n_probe`` nearest cells and takes the provisional
+        k-th-best similarity ``t_q``; phase 2 re-scores exactly those
+        remaining cells whose radius bound (:meth:`cell_radii`) admits a
+        member with similarity >= ``t_q`` (ties included, so id-tiebreaks
+        stay exact); every cell excluded is PROVEN to hold only vectors
+        strictly below the current top-k. A query whose phase-1 cells
+        yield fewer than ``k`` candidates falls back to bounding with
+        t_q = -1 (all cells qualify) — still exact, never silently short.
+
+        Returns (qid, id, _sim [, keep_cols...]) rows, exactly the top-k
+        per query, ties broken (sim DESC, id ASC).
+        """
+        from pyspark.sql import Window
+
+        from ..functions.vector import l2_norm
+
+        radii = self.cell_radii()
+        n_cells = len(self.centroids)
+        n_probe = min(n_probe, n_cells)
+        rad_lit = F.lit([float(r) for r in radii])
+
+        corpus = self.assigned
+        if corpus_filter is not None:
+            corpus = corpus.filter(corpus_filter)
+        sel = [F.col("__cell"), F.col(self.id_col)]
+        sel.append(F.col(self.vec_col).cast("array<double>").alias("__cv"))
+        sel += [F.col(c) for c in keep_cols]
+        corpus = corpus.select(*sel).withColumn("__cn", l2_norm(F.col("__cv")))
+
+        # Per-query cell geometry, one codegen'd pass: angle to every
+        # centroid, sorted ascending -> probed prefix / bounded suffix.
+        qv = F.col(qvec_col).cast("array<double>")
+        qn = l2_norm(qv)
+        angs = F.array(
+            *[
+                F.struct(
+                    F.acos(
+                        F.least(
+                            F.lit(1.0),
+                            F.greatest(F.lit(-1.0), _dot_lit(qv, c) / qn),
+                        )
+                    ).alias("th"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(self.centroids)
+            ]
+        )
+        q = queries.select(
+            F.col(qid_col).alias("__qid"),
+            qv.alias("__qv"),
+            F.array_sort(angs).alias("__angs"),
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+        def scored(joined: DataFrame) -> DataFrame:
+            sim = F.aggregate(
+                F.zip_with(F.col("__cv"), F.col("__qv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ) / (F.col("__cn") * F.col("__qn"))
+            return joined.select(
+                "__qid",
+                F.col(self.id_col),
+                sim.alias("_sim"),
+                *[F.col(c) for c in keep_cols],
+            )
+
+        w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc(self.id_col))
+
+        # Phase 1: the n_probe nearest cells, exact scores, provisional
+        # top-k. Kept rows are candidates for the final rank.
+        p1 = q.withColumn(
+            "__cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__angs"), 1, n_probe), lambda s: s["c"]
+                )
+            ),
+        )
+        cand1 = (
+            scored(p1.join(corpus, "__cell"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        # t_q: the k-th best phase-1 similarity (or -1 when short of k so
+        # every remaining cell qualifies — exactness over pruning).
+        thr = cand1.groupBy("__qid").agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("_sim"))
+            .otherwise(F.lit(-1.0))
+            .alias("__tq")
+        )
+
+        # Phase 2: remaining cells whose radius bound admits >= t_q.
+        bound_ok = F.col("__s.th") - F.element_at(
+            rad_lit, F.col("__s.c") + 1
+        )
+        cos_ub = F.cos(F.greatest(F.lit(0.0), bound_ok))
+        p2 = (
+            # left join + coalesce(-1): a query whose probed cells were all
+            # EMPTY has no thr row, but must still bound-check every cell
+            q.join(thr, "__qid", "left")
+            .withColumn("__tq", F.coalesce(F.col("__tq"), F.lit(-1.0)))
+            .withColumn(
+                "__s",
+                F.explode(
+                    F.slice(
+                        F.col("__angs"), n_probe + 1, n_cells - n_probe
+                    )
+                ),
+            )
+            .filter(cos_ub >= F.col("__tq"))
+            .withColumn("__cell", F.col("__s.c"))
+            .drop("__s", "__tq")
+        )
+        cand2 = scored(p2.join(corpus, "__cell"))
+
+        return (
+            cand1.unionByName(cand2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(
+                F.col("__qid").alias(qid_col),
+                self.id_col,
+                "_sim",
+                *keep_cols,
+            )
+        )
+
     def append(self, new_df: DataFrame) -> "IvfIndex":
         """Incremental index maintenance: assign NEW vectors to the
         EXISTING centroids (one codegen'd map pass over the batch — no
@@ -420,6 +597,8 @@ def knn_label_eval(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    index: "IvfIndex | None" = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Embedding-quality evaluation via k-NN label prediction: hold out
     every ``holdout_mod``-th vector, predict its label by majority vote
@@ -428,48 +607,88 @@ def knn_label_eval(
     embeddings actually encode the thing we care about" run before a
     corpus-wide similarity pass is trusted.
 
-    Plan: broadcast the holdout set (1/holdout_mod of the corpus) into a
-    local scoring pass — the corpus never shuffles; per-query top-k gets
-    rank-limit pushdown on the single qid exchange; votes and accuracy
-    are tiny aggregates. Ties are deterministic on every engine:
-    neighbour rank breaks on (cosine DESC, id ASC) — cosine is the
-    bit-identical JVM fold — and the vote breaks on (count DESC, label
-    ASC).
+    Plan (index=None, eval-scale default): broadcast the holdout set
+    (1/holdout_mod of the corpus) into a local scoring pass — the corpus
+    never shuffles; per-query top-k gets rank-limit pushdown on the single
+    qid exchange; votes and accuracy are tiny aggregates. This scoring is
+    O(|corpus|·|holdout|) — fine for a bounded eval probe, quadratic as a
+    corpus-wide job.
+
+    Plan (index given, the 100 TB path): route the holdout through
+    :meth:`IvfIndex.knn_join_exact` — two ``__cell`` equi-joins with
+    radius-bound pruning. EXACT, not approximate: the result (and hash)
+    is identical to the brute-force path by construction, verified per
+    round by the unchanged DuckDB oracle; the quadratic product is
+    replaced by candidate joins that touch only cells whose bound admits
+    a top-k member.
+
+    Ties are deterministic WITHIN this engine: neighbour rank breaks on
+    (cosine DESC, id ASC) — both paths compute cosine with the identical
+    sequential JVM fold — and the vote breaks on (count DESC, label ASC).
+    Cross-engine (the DuckDB oracle computes ``list_cosine_similarity``
+    with its own float evaluation order) the comparison is only
+    float-close: two DISTINCT but near-equal cosines straddling the
+    rank-k boundary could in principle order differently there. The
+    sequential fold has matched DuckDB exactly on every driver dataset so
+    far; if that ever drifts, quantize ``_sim`` before ranking on both
+    sides rather than loosening the tiebreak.
     """
     from pyspark.sql import Window
 
     from ..functions.vector import dot_product, l2_norm
 
-    # Per-row norm projections before the pairwise join (see
-    # hard_negatives): |corpus| + |holdout| norm folds total instead of
-    # 2·|corpus|·|holdout|, bit-identical cosine values.
-    holdout = emb.filter(F.col(id_col) % holdout_mod == 0).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-        F.col(label_col).alias("true_label"),
-    ).withColumn("_nq", l2_norm(F.col("qvec")))
-    corpus = emb.filter(F.col(id_col) % holdout_mod != 0).select(
-        F.col(label_col),
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_nc", l2_norm(F.col("_cv")))
-    scored = corpus.join(F.broadcast(holdout), F.lit(True)).select(
-        "qid",
-        "true_label",
-        F.col(label_col),
-        (
-            dot_product(F.col("_cv"), F.col("qvec"))
-            / (F.col("_nc") * F.col("_nq"))
-        ).alias("_sim"),
-        F.col(id_col),
-    )
-    wk = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
-    votes = (
-        scored.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k)
-        .groupBy("qid", "true_label", label_col)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    if index is not None:
+        holdq = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+        )
+        topk = index.knn_join_exact(
+            holdq,
+            k=k,
+            n_probe=n_probe,
+            corpus_filter=F.col(id_col) % holdout_mod != 0,
+            keep_cols=(label_col,),
+        )
+        labels = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).alias("true_label"),
+        )
+        votes = (
+            topk.join(F.broadcast(labels), "qid")
+            .groupBy("qid", "true_label", label_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+    else:
+        # Per-row norm projections before the pairwise join (see
+        # hard_negatives): |corpus| + |holdout| norm folds total instead
+        # of 2·|corpus|·|holdout|, bit-identical cosine values.
+        holdout = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+            F.col(label_col).alias("true_label"),
+        ).withColumn("_nq", l2_norm(F.col("qvec")))
+        corpus = emb.filter(F.col(id_col) % holdout_mod != 0).select(
+            F.col(label_col),
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ).withColumn("_nc", l2_norm(F.col("_cv")))
+        scored = corpus.join(F.broadcast(holdout), F.lit(True)).select(
+            "qid",
+            "true_label",
+            F.col(label_col),
+            (
+                dot_product(F.col("_cv"), F.col("qvec"))
+                / (F.col("_nc") * F.col("_nq"))
+            ).alias("_sim"),
+            F.col(id_col),
+        )
+        wk = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
+        votes = (
+            scored.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .groupBy("qid", "true_label", label_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
     wv = Window.partitionBy("qid").orderBy(
         F.desc("_cnt"), F.asc(label_col)
     )

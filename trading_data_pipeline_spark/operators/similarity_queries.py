@@ -316,13 +316,19 @@ KNN_K = 5
     """,
     doc="Embedding-quality probe: hold out every 10th vector, predict "
     "its label by majority vote of its 5 cosine-nearest neighbours, "
-    "report per-label accuracy. Broadcast holdout (corpus never "
-    "shuffles for scoring), rank-limit-pushdown top-k, deterministic "
-    "ties (cosine DESC, id; then count DESC, label) on both engines",
+    "report per-label accuracy. Registered as the EXACT cell-pruned IVF "
+    "path (IvfIndex.knn_join_exact: radius-bounded two-phase candidate "
+    "joins on __cell — no corpus×holdout product); result identical to "
+    "brute force by construction, deterministic ties (cosine DESC, id; "
+    "then count DESC, label) on both engines",
 )
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import knn_label_eval
 
     return knn_label_eval(
-        load(spark, sf_dir, "embeddings"), holdout_mod=KNN_HOLDOUT_MOD, k=KNN_K
+        load(spark, sf_dir, "embeddings"),
+        holdout_mod=KNN_HOLDOUT_MOD,
+        k=KNN_K,
+        index=ivf_index_for(spark, sf_dir),
+        n_probe=2,
     )

@@ -180,7 +180,7 @@ def vwap_bars(events: DataFrame, bar_seconds: int = BAR_SECONDS) -> DataFrame:
            max(value) AS high,
            min(value) AS low,
            min(c)     AS close,
-           sum(qty)   AS volume,
+           CAST(sum(qty) AS BIGINT) AS volume,
            count(*)   AS n_trades,
            floor(CAST(sum(CAST(value AS DECIMAL(18,2)) * qty) AS DOUBLE)
                  / sum(qty) * 10000 + 0.5) / 10000 AS vwap
@@ -252,8 +252,8 @@ def mad_outliers(events: DataFrame) -> DataFrame:
            min(d.n)                AS n,
            min(d.med_c / 100.0)    AS med_value,
            min(s.mad_c / 100.0)    AS mad_value,
-           sum(CASE WHEN d.dev > {MAD_K} * s.mad_c THEN 1 ELSE 0 END)
-                                   AS n_outliers
+           CAST(sum(CASE WHEN d.dev > {MAD_K} * s.mad_c THEN 1 ELSE 0 END)
+                AS BIGINT)         AS n_outliers
     FROM d JOIN s USING (event_type)
     GROUP BY d.event_type
     """,
@@ -483,7 +483,8 @@ def time_rollup(events: DataFrame) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), d AS (
       SELECT event_type, date_trunc('day', bucket) AS bucket,
-             sum(n) AS n, sum(sv) AS sv, min(mn) AS mn, max(mx) AS mx
+             CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv,
+             min(mn) AS mn, max(mx) AS mx
       FROM h GROUP BY 1, 2
     )
     SELECT 'hour' AS grain, event_type, bucket, n,

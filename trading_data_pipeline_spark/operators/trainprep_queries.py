@@ -203,10 +203,10 @@ def walk_forward_folds(events: DataFrame, n_folds: int = N_FOLDS) -> DataFrame:
       FROM b, generate_series(1, {N_FOLDS}) AS t(i)
     )
     SELECT f.fold, f.d0 AS train_start, f.train_end, f.test_start, f.test_end,
-           sum(CASE WHEN CAST(e.ts AS DATE) <= f.train_end
-                    THEN 1 ELSE 0 END) AS n_train,
-           sum(CASE WHEN CAST(e.ts AS DATE) >= f.test_start
-                    THEN 1 ELSE 0 END) AS n_test
+           CAST(sum(CASE WHEN CAST(e.ts AS DATE) <= f.train_end
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN CAST(e.ts AS DATE) >= f.test_start
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_test
     FROM f JOIN events e
       ON CAST(e.ts AS DATE) BETWEEN f.d0 AND f.test_end
     GROUP BY 1, 2, 3, 4, 5
@@ -234,7 +234,9 @@ def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     )
     SELECT event_id, event_type,
-           floor((rk - 1) * 1.0 / (n - 1) * 10000 + 0.5) / 10000 AS qnorm
+           CASE WHEN n = 1 THEN 0.0
+                ELSE floor((rk - 1) * 1.0 / (n - 1) * 10000 + 0.5) / 10000
+           END AS qnorm
     FROM r
     """,
     doc="Within-group quantile normalization: each value maps to its "
@@ -242,7 +244,9 @@ def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the rank-based feature transform that is outlier-proof where "
     "z-scoring (q_zscore_outliers) is not. Integer rank arithmetic "
     "with (value, event_id) tie-break, one exchange on the group key, "
-    "no global window",
+    "no global window. Singleton groups pin qnorm=0.0 on BOTH engines "
+    "(0/0 is NULL under Spark non-ANSI but NaN under DuckDB's default "
+    "ieee_floating_point_ops — a latent cross-engine break otherwise)",
 )
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -258,5 +262,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "event_type",
-        _q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000).alias("qnorm"),
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise(_q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000))
+        .alias("qnorm"),
     )

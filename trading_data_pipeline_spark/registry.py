@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # scoring, as-of variants, hard negatives, PageRank, bucketed join,
 # LATERAL top-n). Bench-headline re-verification slots rotate out this
 # round (each of those has 3+ green rows across r1-r4).
-_PRIORITY: tuple[str, ...] = (
+_PRIORITY_ROUND5: tuple[str, ...] = (
     # flagship canaries (continuity: one green row per round)
     "q_report1", "q_dedup_near",
     # round-4 additions — never driver-verified yet
@@ -165,6 +165,10 @@ _PRIORITY_ROUND6: tuple[str, ...] = (
 # q_target_encode, q_kanonymity, q_walk_forward, q_time_rollup,
 # q_quantile_normalize, q_interval_join, q_dedup_delta (+ any
 # later round-6 additions).
+
+# ACTIVE round-6 driver window (applied at round-6 open per the staged
+# plan above; the round-5 list is kept for the no-wasted-slot check).
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND6
 
 
 def all_queries() -> dict[str, QuerySpec]:
