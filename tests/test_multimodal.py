@@ -229,3 +229,126 @@ def test_phash_rejects_hamming_beyond_pigeonhole_guarantee(spark):
     )
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dup_pairs(attach_payload(docs), max_hamming=8)
+
+
+# ------------------------------------------------ real container codecs
+
+
+def test_ppm_roundtrip_bit_exact():
+    """encode_ppm → decode_ppm is the identity on any uint8 HxWx3 image."""
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        fake_decode,
+    )
+
+    img = fake_decode(b"codec test payload", 21, 17)
+    assert img.shape == (17, 21, 3)
+    out = decode_ppm(encode_ppm(img))
+    assert out.dtype == np.uint8 and np.array_equal(out, img)
+
+
+def test_ppm_parses_comments_and_p5_gray():
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.multimodal import decode_ppm
+
+    # P6 with a netpbm comment line inside the header
+    raster = bytes(range(2 * 2 * 3))
+    img = decode_ppm(b"P6\n# a comment\n2 2\n255\n" + raster)
+    assert img.shape == (2, 2, 3) and img[0, 0, 0] == 0 and img[1, 1, 2] == 11
+    # P5 grayscale replicates to 3 channels
+    g = decode_ppm(b"P5\n2 1\n255\n" + bytes([7, 9]))
+    assert g.shape == (1, 2, 3) and np.array_equal(g[0, 0], [7, 7, 7])
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 3], dtype="<i2")
+    wave, sr = decode_wav(encode_wav(samples, sample_rate=44100))
+    assert sr == 44100 and np.array_equal(wave, samples)
+    # container with an extra LIST chunk BEFORE data must still parse
+    raw = encode_wav(samples)
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    wave2, _ = decode_wav(patched)
+    assert np.array_equal(wave2, samples)
+
+
+def test_image_features_golden_over_real_ppm(spark):
+    """The registered image path decodes REAL PPM containers: features
+    must equal the hand-computed channel means of the resized source
+    pixels — value-level, not shape-level."""
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.multimodal import (
+        FAKE_H_MOD,
+        FAKE_W_MOD,
+        attach_media_payload,
+        decode_auto,
+        fake_decode,
+        image_features,
+        resize_nearest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "an image doc payload text"), (3, "another image document")],
+        "doc_id long, text string",
+    )
+    mm = attach_media_payload(docs)
+    got = {r.doc_id: r for r in image_features(mm, decode=decode_auto).collect()}
+    for doc_id, text in [(0, "an image doc payload text"), (3, "another image document")]:
+        tb = text.encode()
+        w, h = len(tb) % FAKE_W_MOD + 16, len(tb) % FAKE_H_MOD + 16
+        small = resize_nearest(fake_decode(tb, w, h), 8, 8)
+        means = small.reshape(-1, 3).mean(axis=0)
+        r = got[doc_id]
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(map(float, means))
+        assert r.brightness == float(means.mean())
+        assert (r.width, r.height) == (w, h)
+
+
+def test_audio_features_golden_over_real_wav(spark):
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.multimodal import (
+        attach_media_payload,
+        audio_features,
+    )
+
+    text = "audio text that becomes samples!"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    mm = attach_media_payload(docs)
+    assert mm.first().payload[:4] == bytearray(b"RIFF")
+    r = audio_features(mm).collect()[0]
+    wave = np.frombuffer(text.encode(), dtype="<i2").astype(np.float64)
+    assert r.n_samples == len(wave)
+    assert r.rms == float(np.sqrt(np.mean(wave**2)))
+    assert r.zero_crossings == int(np.count_nonzero(np.diff(np.signbit(wave))))
+
+
+def test_registered_media_queries_cover_real_containers(spark, sf_dir):
+    """q_image_features / q_audio_features decode genuine PPM/WAV built
+    from the documents table — non-empty, finite features, media-typed."""
+    import math
+
+    from trading_data_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    img = qs["q_image_features"].fn(spark, sf_dir).collect()
+    assert img and all(r.media_type == "image" for r in img)
+    assert all(0 <= r.brightness <= 255 and math.isfinite(r.brightness) for r in img)
+    aud = qs["q_audio_features"].fn(spark, sf_dir).collect()
+    assert aud and all(r.n_samples > 0 and math.isfinite(r.rms) for r in aud)

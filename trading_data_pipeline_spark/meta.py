@@ -52,13 +52,14 @@ def _read_meta(connector: FileSystemConnector, meta_key: str) -> DataFrame | Non
 
     Ref meta_process.py:52-54,116-118 — boto3 NoSuchKey → empty meta.
     """
-    fs, path, _ = connector._fs(connector._abs(meta_key))
-    if not fs.exists(path):
+    if not connector.exists(meta_key):
         return None
     # Read the header AS WRITTEN (no imposed schema, no inference → all
     # strings): the schema-drift guard must see the file's real columns
     # (ref meta_process.py:47-50 compares actual vs expected column sets).
-    return connector.spark.read.options(header=True).csv(connector._abs(meta_key))
+    # Goes through the connector duck-type so the same protocol runs over
+    # a directory tree (FileSystemConnector) or a bucket (BucketConnector).
+    return connector.read_csv_raw(meta_key)
 
 
 def update_meta_file(

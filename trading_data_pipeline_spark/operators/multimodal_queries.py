@@ -2,9 +2,11 @@
 
 ``q_multimodal_meta`` and ``q_frame_sample`` have exact DuckDB oracles
 (payloads are UTF-8 of ASCII text, so byte slicing/hashing agrees between
-engines). ``q_image_features`` / ``q_audio_features`` are rows-only — their
-decode step is the deterministic fake (real codecs absent here), checked
-for determinism + batch shape in tests/test_multimodal.py instead.
+engines). ``q_image_features`` / ``q_audio_features`` decode REAL
+containers (binary PPM / PCM WAV built by ``attach_media_payload``, parsed
+in pure numpy) — container decode is not SQL-expressible, so they stay
+rows-only for the driver, with feature VALUES golden-tested against
+hand-computed numpy in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -81,28 +83,37 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_image_features",
-    None,  # decode is the deterministic fake → rows-only; tests pin values
-    doc="Image decode → nearest-neighbour resize → channel means via "
-    "Arrow-batched mapInPandas (codec stubbed: deterministic payload-"
-    "seeded pixels; numpy feature math is the real path)",
+    None,  # container decode not SQL-expressible → rows-only; feature
+    # values are GOLDEN-tested against hand-computed channel means over
+    # the same PPM containers (tests/test_multimodal.py)
+    doc="REAL image container decode (binary PPM/P6, pure-numpy header+"
+    "raster parse via decode_auto; PIL handles other formats where "
+    "installed) → nearest-neighbour resize → channel means, as one "
+    "Arrow-batched mapInPandas stage over the image-typed rows",
 )
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = attach_payload(
+    from .multimodal import attach_media_payload, decode_auto
+
+    mm = attach_media_payload(
         ensure_parallelism(load(spark, sf_dir, "documents"))
-    )
-    return image_features(mm)
+    ).filter(F.col("meta.media_type") == "image")
+    return image_features(mm, decode=decode_auto)
 
 
 @register(
     "q_audio_features",
-    None,  # fake int16 waveform → rows-only; tests pin values
-    doc="Audio features (RMS, zero-crossings) over payload-as-waveform via "
+    None,  # container decode not SQL-expressible → rows-only; RMS/zc
+    # values are GOLDEN-tested against numpy over the same WAV containers
+    doc="REAL audio container decode (PCM RIFF/WAVE chunk walk, pure "
+    "numpy) → RMS + zero-crossings over the audio-typed rows via "
     "Arrow-batched mapInPandas — vectorized numpy per batch",
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = attach_payload(
+    from .multimodal import attach_media_payload
+
+    mm = attach_media_payload(
         ensure_parallelism(load(spark, sf_dir, "documents"))
-    )
+    ).filter(F.col("meta.media_type") == "audio")
     return audio_features(mm)
 
 

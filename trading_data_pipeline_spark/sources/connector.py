@@ -85,7 +85,20 @@ class FileSystemConnector:
             out.append(it.next().getPath().toString())
         return sorted(out)
 
+    def exists(self, key: str) -> bool:
+        """True iff ``root/key`` exists (file or directory). Part of the
+        connector duck-type shared with BucketConnector so the meta
+        protocol never touches Hadoop internals directly."""
+        fs, path, _ = self._fs(self._abs(key))
+        return fs.exists(path)
+
     # -- reads (ref s3.py:65-82) -------------------------------------------
+    def read_csv_raw(self, key: str) -> DataFrame:
+        """Header-as-written, all-string CSV read (no imposed schema, no
+        inference) — the meta protocol's schema-drift guard must see the
+        file's real columns (ref meta_process.py:47-50)."""
+        return self.spark.read.options(header=True).csv(self._abs(key))
+
     def read_csv(
         self,
         paths: str | list[str],
