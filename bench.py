@@ -117,6 +117,30 @@ EXTRAS = [
     "q_quantile_normalize",
     "q_interval_join",
     "q_dedup_delta",
+    # round-6 session additions
+    "q_bollinger",
+    "q_rsi",
+    "q_candle_patterns",
+    "q_drawdown_duration",
+    "q_bigram_lm",
+    "q_source_overlap",
+    "q_doc_length_hist",
+    "q_node_jaccard",
+    "q_label_propagation",
+    "q_centroid_classify",
+    "q_referential_integrity",
+    "q_functional_dependency",
+    "q_recursive_cte",
+    "q_atr",
+    "q_obv",
+    "q_turnover_hhi",
+    "q_grouped_mode",
+    "q_outlier_iqr",
+    "q_gap_top",
+    "q_degree_hist",
+    "q_tail_tokens",
+    "q_embedding_drift",
+    "q_principal_component",
 ]
 
 RUNS = 3

@@ -768,3 +768,69 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir, queries):
     plan = plan_of(queries["q_interval_join"].fn(spark, sf_dir))
     assert "NestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round6_session_batch_plan_contracts(spark, sf_dir, queries):
+    """Indicator chain shares one event_type-keyed exchange after the
+    daily rollup; drawdown windows+aggregates share the user_id key;
+    the corpus overlap self-join carries 8-byte hashed gram keys; the
+    centroid classifier and bigram LM never form a cartesian product."""
+    boll = plan_of(queries["q_bollinger"].fn(spark, sf_dir))
+    # daily rollup exchanges on (event_type, day); the frame window
+    # re-keys on event_type — 2 exchanges total, no more
+    assert boll.count("Exchange hashpartitioning") <= 2, boll
+
+    dd = plan_of(queries["q_drawdown_duration"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in dd
+    # equity/peak/run windows + per-run and total aggregates all key
+    # user_id — AQE may coalesce, but nothing may key anything else
+    assert "SinglePartition" not in dd, dd
+
+    ovl = plan_of(queries["q_source_overlap"].fn(spark, sf_dir))
+    assert "xxhash64" in ovl, ovl
+    assert "CartesianProduct" not in ovl
+
+    for name in ("q_bigram_lm", "q_centroid_classify", "q_node_jaccard"):
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_recursive_cte_plan_is_recursive(spark, sf_dir, queries):
+    """WITH RECURSIVE must plan as Spark's recursion operator (a
+    UnionLoop/recursive node), not be silently rewritten to a bounded
+    union — otherwise the per-group unbounded iteration contract is
+    gone."""
+    plan = plan_of(queries["q_recursive_cte"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan or "Recursion" in plan, plan
+
+
+def test_referential_integrity_broadcasts_every_antijoin(spark, sf_dir, queries):
+    """Each FK edge is child LEFT ANTI parent on the key column only —
+    the dims must broadcast (no shuffled anti join of a fact against a
+    5-row region table), and the only BNLJ is the 1-row count × 1-row
+    orphan-count combiner."""
+    plan = plan_of(queries["q_referential_integrity"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round6_batch2_shuffle_budgets(spark, sf_dir, queries):
+    """Indicator/audit batch keeps minimal plan shapes: the daily-bar
+    chains spend one exchange on (type, day) + one on type; the HHI and
+    mode pairs are two counting aggregates; tail tokens shuffles token
+    keys with no product joins."""
+    budgets = {
+        "q_atr": 2,
+        "q_obv": 2,
+        "q_turnover_hhi": 2,
+        "q_grouped_mode": 3,
+        "q_gap_top": 1,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= budget, f"{name} shuffles {n}x, expected <={budget}:\n{plan}"
+    for name in ("q_tail_tokens", "q_embedding_drift", "q_outlier_iqr"):
+        plan = plan_of(queries[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -44,6 +44,12 @@ def test_oracle_coverage_accounting():
         # banding is probabilistic; equivalence to the batch self-join's
         # cross pairs + golden pairs in test_extensions.py
         "q_dedup_delta",
+        # fixed-round synchronous propagation is iterative, not single-SQL;
+        # exactness vs a driver-side reference in test_round6b_ops.py
+        "q_label_propagation",
+        # iterative driver-normalized state; direction vs numpy eigh
+        # pinned in test_round6b_ops.py
+        "q_principal_component",
     }, sorted(rows_only)
 
 
@@ -123,3 +129,25 @@ def test_no_oracle_column_is_duckdb_hugeint():
         if bad:
             offenders[name] = bad
     assert not offenders, f"driver-hash-hostile oracle column types: {offenders}"
+
+
+def test_round7_window_proposal_is_sound():
+    """_PRIORITY_ROUND7 is next round's staged driver window — validate it
+    NOW so a rename/removal between rounds can't silently break the
+    rotation: every name registered, exactly 50, canaries first, no
+    duplicates, no overlap with the live round-6 window (slots must pay
+    down verification debt, not repeat this round), and it must contain
+    every query that has never had a driver row through round 6."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND6,
+        _PRIORITY_ROUND7,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND7 if n not in qs]
+    assert not unknown, f"round-7 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND7) == 50, len(_PRIORITY_ROUND7)
+    assert len(set(_PRIORITY_ROUND7)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND7[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND7[2:]) & set(_PRIORITY_ROUND6)
+    assert not overlap, f"slots wasted on round-6-covered queries: {sorted(overlap)}"

@@ -1,0 +1,488 @@
+"""Hand-built semantics for the round-6 session batch: technical
+indicators, corpus bigram-LM / overlap stats, graph similarity +
+label propagation, nearest-centroid eval, and schema-contract audits."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    # rows: (day, hour, user, value) — one event_type
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h), u, "click", v, "{}")
+            for i, (d, h, u, v) in enumerate(rows)
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+# ------------------------------------------------------------- indicators
+
+
+def test_daily_close_is_last_event_of_day(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import (
+        daily_close,
+    )
+
+    ev = _ev(spark, [(1, 9, 1, 10.0), (1, 15, 1, 12.5), (2, 9, 1, 7.0)])
+    out = {r.day.day: r.close_c for r in daily_close(ev).collect()}
+    assert out == {1: 1250, 2: 700}
+
+
+def test_bollinger_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import (
+        bollinger,
+    )
+
+    closes = [10.0, 11.0, 12.0, 13.0, 14.0, 30.0, 11.0]
+    ev = _ev(spark, [(d + 1, 9, 1, c) for d, c in enumerate(closes)])
+    rows = {r.day.day: r for r in bollinger(ev).collect()}
+    # prior-window bands: first banded day is 6 (needs 5 PRIOR closes)
+    assert set(rows) == {6, 7}
+    # day 6: band from 10..14 → mean 12, var 2.5; close 30 breaks above
+    r6 = rows[6]
+    assert r6.ma == 12.0
+    sd = math.sqrt(2.5)
+    assert r6.sd == math.floor(sd * 10000 + 0.5) / 10000
+    assert (r6.break_up, r6.break_dn) == (1, 0)
+    # day 7: band from 11..14,30 → mean 16, sd inflated by the spike;
+    # close 11 is back inside
+    r7 = rows[7]
+    assert r7.ma == 16.0 and (r7.break_up, r7.break_dn) == (0, 0)
+
+
+def test_rsi_all_gains_is_100_flat_is_50(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import rsi
+
+    up = _ev(spark, [(d + 1, 9, 1, float(10 + d)) for d in range(6)])
+    out = {r.day.day: r.rsi for r in rsi(up, n=3).collect()}
+    # deltas all +1 → RSI 100 once the frame fills (rn > 3)
+    assert set(out) == {4, 5, 6} and all(v == 100.0 for v in out.values())
+
+    flat = _ev(spark, [(d + 1, 9, 1, 10.0) for d in range(5)])
+    out = {r.day.day: r.rsi for r in rsi(flat, n=3).collect()}
+    assert out and all(v == 50.0 for v in out.values())
+
+
+def test_candle_patterns_hand_built(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import (
+        candle_patterns,
+    )
+
+    rows = [
+        # day 1: down candle o=20 c=10, h=21 l=9 (body 10, range 12 → no doji)
+        (1, 9, 1, 20.0), (1, 10, 1, 21.0), (1, 11, 1, 9.0), (1, 12, 1, 10.0),
+        # day 2: bullish engulfing of day 1: o=9.5 <= prev_c, c=20.5 >= prev_o
+        (2, 9, 1, 9.5), (2, 12, 1, 20.5),
+        # day 3: doji-ish: o=15.0 c=15.1, h=17 l=13 (body 0.1, range 4)
+        (3, 9, 1, 15.0), (3, 10, 1, 17.0), (3, 11, 1, 13.0), (3, 12, 1, 15.1),
+        # day 4: hammer: o=16 c=15.8 (body .2), low 12 (lower 3.8), high 16
+        (4, 9, 1, 16.0), (4, 10, 1, 12.0), (4, 12, 1, 15.8),
+    ]
+    out = {r.day.day: r for r in candle_patterns(_ev(spark, rows)).collect()}
+    assert out[1].doji == 0 and out[1].bull_engulf == 0
+    assert out[2].bull_engulf == 1
+    assert out[3].doji == 1
+    # day 4 is BOTH: body 0.2 vs range 4.0 → doji (≤10%), and the long
+    # lower shadow with no upper shadow → hammer
+    assert out[4].hammer == 1 and out[4].doji == 1
+
+
+def test_drawdown_duration_hand_built(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import (
+        drawdown_duration,
+    )
+
+    # user 1 equity: 5, 4(-1), 3(-1), 6(+3), 5(-1) → underwater runs [2], [1]
+    ev = _ev(
+        spark,
+        [(1, 9, 1, 5.0), (1, 10, 1, -1.0), (1, 11, 1, -1.0),
+         (1, 12, 1, 3.0), (1, 13, 1, -1.0),
+         # user 2: monotone up — never underwater
+         (1, 9, 2, 1.0), (1, 10, 2, 1.0)],
+    )
+    out = {r.user_id: r for r in drawdown_duration(ev).collect()}
+    assert (out[1].n_events, out[1].n_underwater, out[1].longest_run) == (5, 3, 2)
+    assert (out[2].n_underwater, out[2].longest_run) == (0, 0)
+
+
+# ------------------------------------------------------------------ corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bigram_lm_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        bigram_lm_stats,
+    )
+
+    docs = _docs(spark, [("a b a b", "s"), ("a b c", "s")])
+    # corpus bigrams: doc0: (a,b) (b,a) (a,b); doc1: (a,b) (b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a·=3, b·=2
+    out = {r.doc_id: r for r in bigram_lm_stats(docs).collect()}
+    d0 = out[0]
+    assert d0.n_bigrams == 3
+    assert d0.mean_bigram_count == math.floor((3 + 1 + 3) / 3 * 10000 + 0.5) / 10000
+    assert d0.hapax_ratio == math.floor(1 / 3 * 10000 + 0.5) / 10000
+    # conds: (a,b): 3e9//3=1e9 twice; (b,a): 1e9//2
+    want = (10**9 + 10**9 // 2 + 10**9) / 3 / 10**9
+    assert d0.mean_cond_p == math.floor(want * 1e6 + 0.5) / 1e6
+    d1 = out[1]
+    assert d1.n_bigrams == 2 and d1.hapax_ratio == 0.5
+
+
+def test_source_overlap_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        source_overlap,
+    )
+
+    # 2-grams; srcA: {a b, b c}, srcB: {b c, c d}, srcC: {x y}
+    docs = _docs(
+        spark,
+        [("a b c", "A"), ("b c d", "B"), ("x y", "C")],
+    )
+    got = {
+        (r.src_a, r.src_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+        for r in source_overlap(docs, n=2).collect()
+    }
+    assert got == {("A", "B"): (1, 2, 2, math.floor(1 / 3 * 1e6 + 0.5) / 1e6)}
+
+
+def test_doc_length_hist_buckets_by_bit_length(spark):
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        doc_length_hist,
+    )
+
+    # token counts 3 (bucket 2), 5 (bucket 3), 8 (bucket 4)
+    docs = _docs(
+        spark, [("a b c", "s"), ("a b c d e", "s"), ("a b c d e f g h", "s")]
+    )
+    got = {r.bucket: (r.bucket_lo, r.n_docs) for r in doc_length_hist(docs).collect()}
+    assert got == {2: (2, 1), 3: (4, 1), 4: (8, 1)}
+
+
+# ------------------------------------------------------------------- graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_node_jaccard_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.graph_queries import node_jaccard
+
+    # square 1-2-3-4-1: N(1)={2,4}, N(3)={2,4} → J(1,3)=1.0; J(2,4)=1.0;
+    # adjacent pairs share 0 neighbours → absent
+    out = {
+        (r.node_a, r.node_b): r.jaccard
+        for r in node_jaccard(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        ).collect()
+    }
+    assert out == {(1, 3): 1.0, (2, 4): 1.0}
+
+
+def test_label_propagation_two_cliques(spark):
+    from trading_data_pipeline_spark.operators.graph_queries import (
+        label_propagation,
+    )
+
+    # two triangles joined by nothing: each converges to its min label
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    out = {
+        r.node: r.community
+        for r in label_propagation(_edges(spark, tri1 + tri2), rounds=4).collect()
+    }
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+
+
+def _py_lpa(pairs, rounds):
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbs in adj.items():
+            votes: dict[int, int] = {}
+            for m in nbs:
+                votes[lbl[m]] = votes.get(lbl[m], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_reference(spark, sf_dir):
+    from trading_data_pipeline_spark.operators.graph_queries import (
+        label_propagation,
+        similarity_edges_for,
+    )
+
+    edges = similarity_edges_for(spark, sf_dir)
+    pairs = [(r.id_a, r.id_b) for r in edges.collect()]
+    want = _py_lpa(pairs, 5)
+    got = {r.node: r.community for r in label_propagation(edges).collect()}
+    assert got == want
+
+
+# -------------------------------------------------------- centroid classify
+
+
+def test_centroid_classify_separable(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        centroid_classify,
+    )
+
+    rows = []
+    for i in range(20):
+        label = i % 2
+        base = [1.0, 0.0] if label == 0 else [0.0, 1.0]
+        rows.append((i, [base[0] + 0.01 * (i % 5), base[1]], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.true_label: r for r in centroid_classify(emb).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.accuracy == 1.0 and r.n_correct == r.n_vecs == 10
+
+
+# --------------------------------------------------------- contract audits
+
+
+def test_referential_integrity_detects_injected_orphans(spark):
+    from trading_data_pipeline_spark.operators.profiling_queries import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    out = referential_integrity(
+        {"child": child, "parent": parent},
+        edges=(("child", "fk", "parent", "pk"),),
+    ).collect()[0]
+    # 99 has no parent; NULL counts as orphan under the strict contract
+    assert (out.n_rows, out.n_orphans, out.intact) == (4, 2, 0)
+
+
+def test_functional_dependency_holds_and_violations(spark):
+    from trading_data_pipeline_spark.operators.profiling_queries import (
+        functional_dependencies,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x"), (2, "b", "x"), (2, "c", "y")],
+        "k long, v string, w string",
+    )
+    out = {
+        r.fd: r
+        for r in functional_dependencies(
+            {"t": t}, candidates=(("t", "k", "v"), ("t", "v", "w"))
+        ).collect()
+    }
+    viol = out["t: k -> v"]
+    assert (viol.n_groups, viol.n_violating, viol.max_distinct, viol.holds) == (
+        2, 1, 2, 0,
+    )
+    holds = out["t: v -> w"]
+    assert (holds.n_violating, holds.holds) == (0, 1)
+
+
+def test_recursive_cte_spine_covers_span_and_flags_gaps(spark):
+    from trading_data_pipeline_spark.registry import all_queries
+
+    ev = _ev(spark, [(1, 9, 1, 1.0), (4, 9, 1, 1.0)])
+    ev.createOrReplaceTempView("events_rcte_test")
+    out = spark.sql(
+        """
+        WITH RECURSIVE spine(event_type, day, max_day) AS (
+            SELECT event_type, min(CAST(ts AS DATE)) AS day,
+                   max(CAST(ts AS DATE)) AS max_day
+            FROM events_rcte_test GROUP BY event_type
+          UNION ALL
+            SELECT event_type, date_add(day, 1), max_day
+            FROM spine WHERE day < max_day
+        ), observed AS (
+          SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+          FROM events_rcte_test
+        )
+        SELECT s.day, CAST(o.day IS NOT NULL AS INT) AS observed
+        FROM spine s LEFT JOIN observed o
+          ON o.event_type = s.event_type AND o.day = s.day
+        """
+    ).collect()
+    got = {r.day.day: r.observed for r in out}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 1}
+    assert "q_recursive_cte" in all_queries()
+
+
+# ---------------------------------------------------------- batch 2: ATR etc
+
+
+def test_atr_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import atr
+
+    # closes/days: TRs with hi=lo=close (one event per day): TR_t =
+    # |c_t - c_{t-1}| exactly
+    closes = [10.0, 12.0, 9.0, 9.5]
+    ev = _ev(spark, [(d + 1, 9, 1, c) for d, c in enumerate(closes)])
+    out = {r.day.day: r for r in atr(ev, n=3).collect()}
+    # TRs: day2=2.0, day3=3.0, day4=0.5 → ATR at day4 = (2+3+0.5)/3
+    assert set(out) == {4}
+    assert out[4].true_range == 0.5
+    assert out[4].atr == math.floor((2 + 3 + 0.5) / 3 * 10000 + 0.5) / 10000
+
+
+def test_obv_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import obv
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "click", 10.0, '{"k": 5}'),
+        (1, dt.datetime(2024, 1, 2, 9), 1, "click", 12.0, '{"k": 3}'),  # up
+        (2, dt.datetime(2024, 1, 3, 9), 1, "click", 11.0, '{"k": 7}'),  # down
+        (3, dt.datetime(2024, 1, 4, 9), 1, "click", 11.0, '{"k": 2}'),  # flat
+    ]
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = {r.day.day: r.obv for r in obv(ev).collect()}
+    assert out == {1: 0, 2: 3, 3: -4, 4: -4}
+
+
+def test_turnover_hhi_single_user_is_one(spark):
+    from trading_data_pipeline_spark.operators.indicators_queries import (
+        turnover_hhi,
+    )
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "a", 1.0, '{"k": 5}'),
+        (1, dt.datetime(2024, 1, 1, 10), 1, "a", 1.0, '{"k": 5}'),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "b", 1.0, '{"k": 6}'),
+        (3, dt.datetime(2024, 1, 1, 10), 2, "b", 1.0, '{"k": 2}'),
+    ]
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = {r.event_type: r for r in turnover_hhi(ev).collect()}
+    assert out["a"].hhi == 1.0 and out["a"].top_share == 1.0
+    # b: shares 6/8 and 2/8 → HHI = (36+4)/64 = 0.625
+    assert out["b"].hhi == 0.625 and out["b"].top_share == 0.75
+
+
+def test_grouped_mode_tie_breaks_low(spark):
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        grouped_mode,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 3), ("a", 3), ("a", 9)], "g string, v long"
+    )
+    r = grouped_mode(df, "g", "v").collect()[0]
+    assert (r.mode_value, r.mode_count, r.n_rows, r.mode_share) == (3, 2, 5, 0.4)
+
+
+def test_outlier_iqr_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        outlier_iqr,
+    )
+
+    # values 1..8 plus 100: Q1/Q3 of 9 integers interpolate exactly
+    vals = [float(v) for v in range(1, 9)] + [100.0]
+    ev = _ev(spark, [(1, 9, i % 5 + 1, v) for i, v in enumerate(vals)])
+    r = outlier_iqr(ev).collect()[0]
+    assert r.n == 9
+    assert (r.q1, r.q3) == (3.0, 7.0)  # quartiles of 1..8,100
+    assert (r.fence_lo, r.fence_hi) == (3.0 - 6.0, 7.0 + 6.0)
+    # fences are [-3, 13]: nothing below, only the 100 above
+    assert (r.n_below, r.n_above) == (0, 1)
+
+
+def test_gap_top_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.analytics2_queries import gap_top
+
+    ev = _ev(
+        spark,
+        [(1, 9, 1, 0.0), (1, 10, 1, 0.0), (1, 14, 1, 0.0), (2, 9, 1, 0.0)],
+    )
+    out = [(r.rk, r.gap_s) for r in gap_top(ev, k=2).collect()]
+    assert out == [(1, 19 * 3600), (2, 4 * 3600)]
+
+
+def test_degree_hist_square_graph(spark):
+    from trading_data_pipeline_spark.operators.graph_queries import (
+        degree_histogram,
+    )
+
+    out = {
+        r.deg: (r.n_nodes, r.share)
+        for r in degree_histogram(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+        ).collect()
+    }
+    # degrees: 1→3, 3→3, 2→2, 4→2
+    assert out == {2: (2, 0.5), 3: (2, 0.5)}
+
+
+def test_tail_tokens_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        tail_token_share,
+    )
+
+    docs = _docs(spark, [("a a b zzz", "s1"), ("a b qqq", "s2")])
+    out = {r.source: r for r in tail_token_share(docs).collect()}
+    # corpus tf: a=3, b=2, zzz=1, qqq=1
+    assert (out["s1"].n_tokens, out["s1"].n_hapax) == (4, 1)
+    assert (out["s2"].n_tokens, out["s2"].n_hapax) == (3, 1)
+    assert out["s1"].hapax_share == 0.25
+
+
+def test_embedding_drift_known_shift(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        embedding_drift,
+    )
+
+    # even ids at [0,0], odd ids at [0.5, 0] → l2 shift 0.5 on dim 0
+    rows = [(i, [0.0, 0.0] if i % 2 == 0 else [0.5, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_drift(emb).collect()[0]
+    assert r.dims == 2 and r.n_a == 5 and r.n_b == 5
+    assert r.l2_shift == 0.5 and r.max_dim_shift == 0.5
+
+
+def test_principal_component_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        top_principal_direction,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = top_principal_direction(emb).collect()
+    v = np.array([r.component for r in sorted(out, key=lambda r: r.d)])
+    share = out[0].variance_share
+    x = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    # direction matches up to sign; variance share matches the eigenvalue
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-6
+    assert abs(share - w[-1] / w.sum()) < 1e-6

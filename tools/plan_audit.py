@@ -62,6 +62,8 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_seasonal_profile", # 1-row global mean broadcast onto the 7x24 grid
     "q_target_encode",    # 1-row global mean broadcast (LOO smoothing prior)
     "q_walk_forward",     # ≤N_FOLDS fold rows broadcast into the range join
+    "q_referential_integrity",  # 1-row count × 1-row orphan count per FK edge
+    "q_degree_hist",      # 1-row node-total broadcast for the share ratio
 }
 
 

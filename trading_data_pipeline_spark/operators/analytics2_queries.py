@@ -1,0 +1,198 @@
+"""Analytics round-6 batch 2: exact grouped mode, IQR outlier fences,
+and largest inter-event gaps.
+
+- **q_grouped_mode**: exact most-frequent value per group with a pinned
+  (count DESC, value ASC) tie-break — the deterministic form of what
+  ``mode()`` leaves engine-defined; two-level counting aggregates.
+- **q_outlier_iqr**: Tukey fences per event type (Q1 − 1.5·IQR,
+  Q3 + 1.5·IQR) over exact integer cents. Quartiles interpolate at
+  .25/.5/.75 of integer inputs, so every boundary lands on an exact
+  binary fraction — identical on both engines (the q_median trick
+  extended to quartiles).
+- **q_gap_top**: top-3 largest inter-event silences per user in integer
+  epoch-microseconds — the session-threshold calibration input (what gap
+  cutoff would merge/split sessions), rank-limit-pushdown window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+IQR_K = 1.5
+GAP_TOP_K = 3
+
+
+def grouped_mode(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group mode with deterministic (count DESC, value ASC)
+    tie-break, plus the mode's share of group rows."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_cnt"), F.asc(value_col)
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .join(totals, group_col)
+        .select(
+            group_col,
+            F.col(value_col).alias("mode_value"),
+            F.col("_cnt").alias("mode_count"),
+            F.col("_n").alias("n_rows"),
+            _q(F.col("_cnt") / F.col("_n"), 10000).alias("mode_share"),
+        )
+    )
+
+
+@register(
+    "q_grouped_mode",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cnt DESC, user_id) AS r
+      FROM c
+    ), t AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT r.event_type, r.user_id AS mode_value, r.cnt AS mode_count,
+           t.n AS n_rows,
+           floor(r.cnt * 1.0 / t.n * 10000 + 0.5) / 10000 AS mode_share
+    FROM r JOIN t USING (event_type) WHERE r.r = 1
+    """,
+    doc="Exact grouped mode (most active user per event type) with a "
+    "pinned (count DESC, value ASC) tie-break — deterministic where "
+    "engine mode() is not — plus the mode's share. Two counting "
+    "aggregates + one rank-limit window",
+)
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_mode(load(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+def outlier_iqr(events: DataFrame, k: float = IQR_K) -> DataFrame:
+    """Tukey-fence outliers per event type on exact integer cents:
+    quartiles of integers interpolate onto exact binary fractions, the
+    fences are ±k·IQR around them, and the counts are integers."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vals = events.select("event_type", cents.alias("c"))
+    qs = vals.groupBy("event_type").agg(
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fenced = vals.join(qs, "event_type")
+    lo = F.col("q1") - k * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + k * (F.col("q3") - F.col("q1"))
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min(_q(F.col("q1") / 100.0, 10000)).alias("q1"),
+            F.min(_q(F.col("q3") / 100.0, 10000)).alias("q3"),
+            F.min(_q(lo / 100.0, 10000)).alias("fence_lo"),
+            F.min(_q(hi / 100.0, 10000)).alias("fence_hi"),
+            F.sum((F.col("c") < lo).cast("long")).alias("n_below"),
+            F.sum((F.col("c") > hi).cast("long")).alias("n_above"),
+        )
+    )
+
+
+@register(
+    "q_outlier_iqr",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), q AS (
+      SELECT event_type,
+             quantile_cont(c, 0.25) AS q1,
+             quantile_cont(c, 0.75) AS q3,
+             count(*) AS n
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           min(q.n) AS n,
+           min(floor(q.q1 / 100.0 * 10000 + 0.5) / 10000) AS q1,
+           min(floor(q.q3 / 100.0 * 10000 + 0.5) / 10000) AS q3,
+           min(floor((q.q1 - {IQR_K} * (q.q3 - q.q1)) / 100.0 * 10000 + 0.5)
+               / 10000) AS fence_lo,
+           min(floor((q.q3 + {IQR_K} * (q.q3 - q.q1)) / 100.0 * 10000 + 0.5)
+               / 10000) AS fence_hi,
+           CAST(sum(CASE WHEN v.c < q.q1 - {IQR_K} * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN v.c > q.q3 + {IQR_K} * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM v JOIN q USING (event_type)
+    GROUP BY v.event_type
+    """,
+    doc="Tukey IQR outlier fences per event type on exact integer cents "
+    "(quartile interpolation lands on exact binary fractions — the "
+    "q_median integral-input trick extended to Q1/Q3): fences, and "
+    "below/above counts — the robust complement to q_zscore_outliers' "
+    "parametric screen and q_mad_outliers' median scale",
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return outlier_iqr(load(spark, sf_dir, "events"))
+
+
+def gap_top(events: DataFrame, k: int = GAP_TOP_K) -> DataFrame:
+    """Top-k largest inter-event gaps per user (integer microseconds) —
+    the calibration data for session gap thresholds."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gaps = events.select(
+        "user_id",
+        "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("gap_us"), F.asc("event_id")
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(
+            "user_id",
+            "rk",
+            "event_id",
+            (F.col("gap_us") / F.lit(1_000_000)).cast("long").alias("gap_s"),
+        )
+    )
+
+
+@register(
+    "q_gap_top",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id,
+             datediff('microsecond', lag(ts) OVER w, ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, event_id, gap_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gap_us DESC, event_id) AS rk
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT user_id, rk, event_id,
+           CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+    FROM r WHERE rk <= {GAP_TOP_K}
+    """,
+    doc=f"Top-{GAP_TOP_K} largest inter-event silences per user in exact "
+    "integer microseconds (floored to seconds) — calibrates the session "
+    "gap threshold (q_sessionize's 30-min rule). One user_id exchange "
+    "shared by the lag and the rank-limit-pushdown window",
+)
+def q_gap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_top(load(spark, sf_dir, "events"))

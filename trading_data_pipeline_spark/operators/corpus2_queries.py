@@ -1,0 +1,311 @@
+"""Corpus statistics, round-6 batch: bigram language-model scoring,
+cross-source contamination overlap, and corpus shape histograms.
+
+All three stay integer/rational-exact end to end (the q_token_rarity
+discipline: no libm transcendentals cross the engine boundary — ln()
+rounding can differ between DuckDB and the JVM, integer sums cannot):
+
+- **q_bigram_lm**: per-document bigram-LM statistics — mean corpus count
+  of the doc's bigrams, hapax-bigram ratio (corpus count == 1: the
+  novelty signal a perplexity filter thresholds on), and the mean MLE
+  conditional probability P(w2|w1) = c(w1 w2)/c(w1 ·), each ratio fixed
+  to 1e-9 resolution via INTEGER division before the order-free BIGINT
+  sum.
+- **q_source_overlap**: 8-gram Jaccard between every source pair — the
+  "which sources copy which" contamination matrix run before mixing
+  weights are trusted. Spark shuffles 8-byte ``xxhash64`` gram keys
+  (same hash-vs-string contract as q_boilerplate, collision bound
+  ~|grams|²/2⁶⁴, asserted equivalent in tests); the per-gram pair
+  fan-out is bounded by C(n_sources, 2).
+- **q_doc_length_hist**: per-language power-of-two token-length histogram
+  — the corpus-shape summary that drives chunk-size and packing-budget
+  choices. The bucket is the token count's BIT LENGTH (``length(bin(n))``)
+  — exact integer structure, no log2().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..plans import ensure_parallelism
+from ..registry import load, register
+
+COND_SCALE = 1_000_000_000  # 1e-9 resolution for the MLE ratio fixing
+OVERLAP_N = 8  # gram width, matching q_boilerplate
+
+
+def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc bigram statistics against corpus-wide bigram/context counts.
+
+    Every cross-row quantity is an integer: bigram counts, context
+    counts, and the 1e9-scaled MLE conditional ``(c2 * SCALE) div c1``
+    (integer division, so each doc's sum is order-free and bit-identical
+    on any engine). The two count tables shuffle on token keys — no
+    driver-side vocab, so the plan survives a web-scale vocabulary.
+    """
+    tk = F.split(F.col(text_col), " ")
+    toks = ensure_parallelism(docs).select("doc_id", tk.alias("tk"))
+    bigrams = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(tk, 1, size(tk) - 1), (x, i) -> "
+                   "struct(x AS w1, tk[i + 1] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "c2",
+            F.expr(f"(c2 * CAST({COND_SCALE} AS BIGINT)) div c1").alias("_p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _q(F.sum("c2") / F.count(F.lit(1)), 10000).alias("mean_bigram_count"),
+        _q(
+            F.sum((F.col("c2") == 1).cast("long")) / F.count(F.lit(1)), 10000
+        ).alias("hapax_ratio"),
+        _q(F.sum("_p") / F.count(F.lit(1)) / COND_SCALE, 1_000_000).alias(
+            "mean_cond_p"
+        ),
+    )
+
+
+@register(
+    "q_bigram_lm",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i + 1], w2 := tk[i + 2]))) AS s
+      FROM toks WHERE len(tk) >= 2
+    ), b AS (
+      SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           floor(sum(c2.c2) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS mean_bigram_count,
+           floor(CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1.0 / count(*) * 10000 + 0.5) / 10000 AS hapax_ratio,
+           floor(CAST(sum((c2.c2 * CAST({COND_SCALE} AS BIGINT)) // c1.c1)
+                      AS BIGINT)
+                 * 1.0 / count(*) / {COND_SCALE} * 1000000 + 0.5) / 1000000
+             AS mean_cond_p
+    FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram language-model scoring per document: mean corpus bigram "
+    "count, hapax-bigram (novelty) ratio, and mean MLE conditional "
+    "P(w2|w1) — the integer-exact stand-in for a perplexity filter "
+    "(each ratio fixed to 1e-9 by INTEGER division before the "
+    "order-free sum; no ln(), so no cross-engine libm drift). Count "
+    "tables and join-backs all shuffle on token keys — no driver vocab",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_stats(load(spark, sf_dir, "documents"))
+
+
+def source_overlap(
+    docs: DataFrame, n: int = OVERLAP_N, hashed: bool = True
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between sources (contamination matrix).
+
+    Distinct (source, gram) pairs → per-source set sizes + pairwise
+    intersections via a self-join keyed on the gram; with ``hashed`` the
+    shuffles carry 8-byte ``xxhash64`` keys instead of gram strings. The
+    per-gram fan-out is at most C(n_sources, 2) pairs, so a gram shared
+    by every source stays bounded; with thousands of sources this needs
+    the q_dedup_near-style hot-key cap — documented, not needed at 20.
+    """
+    tk = F.split("text", " ")
+    gram = F.array_join(F.slice(F.col("tk"), F.col("i"), n), " ")
+    grams = (
+        ensure_parallelism(docs)
+        .select("source", tk.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
+            "tk",
+        )
+        .select("source", gram.alias("g"))
+    )
+    if hashed:
+        grams = grams.select("source", F.xxhash64("g").alias("g"))
+    grams = grams.distinct()
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            "n_a",
+            "n_b",
+            _q(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                1_000_000,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_source_overlap",
+    f"""
+    WITH grams AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(len(tk) - {OVERLAP_N - 1}),
+                    i -> array_to_string(tk[i + 1 : i + {OVERLAP_N}], ' ')))
+               AS g
+      FROM (SELECT source, string_split(text, ' ') AS tk FROM documents)
+      WHERE len(tk) >= {OVERLAP_N}
+    ), sizes AS (
+      SELECT source, count(*) AS sz FROM grams GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.inter, sa.sz AS n_a, sb.sz AS n_b,
+           floor(i.inter * 1.0 / (sa.sz + sb.sz - i.inter) * 1000000 + 0.5)
+             / 1000000 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    doc=f"Cross-source contamination matrix: {OVERLAP_N}-gram Jaccard "
+    "between every source pair (which sources copy which — checked "
+    "before mixing weights are trusted). Spark shuffles 8-byte "
+    "xxhash64 gram keys (string-equivalence modulo ~|grams|^2/2^64, "
+    "same contract as q_boilerplate); per-gram pair fan-out bounded by "
+    "C(n_sources,2)",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap(load(spark, sf_dir, "documents"))
+
+
+def doc_length_hist(docs: DataFrame) -> DataFrame:
+    """Per-language power-of-two token-length histogram: bucket = bit
+    length of the token count (exact integer structure), with per-bucket
+    share of the language's docs."""
+    n_tok = F.size(F.split("text", " "))
+    hist = (
+        docs.select("lang", F.length(F.bin(n_tok.cast("long"))).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = hist.groupBy("lang").agg(F.sum("n_docs").alias("_t"))
+    return hist.join(tot, "lang").select(
+        "lang",
+        "bucket",
+        (F.pow(F.lit(2.0), F.col("bucket") - 1)).cast("long").alias("bucket_lo"),
+        "n_docs",
+        _q(F.col("n_docs") / F.col("_t"), 10000).alias("share"),
+    )
+
+
+@register(
+    "q_doc_length_hist",
+    """
+    WITH h AS (
+      SELECT lang,
+             CAST(length(bin(len(string_split(text, ' ')))) AS INT)
+               AS bucket,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM h GROUP BY lang
+    )
+    SELECT h.lang, h.bucket,
+           CAST(power(2.0, h.bucket - 1) AS BIGINT) AS bucket_lo,
+           h.n_docs,
+           floor(h.n_docs * 1.0 / t.tot * 10000 + 0.5) / 10000 AS share
+    FROM h JOIN t USING (lang)
+    """,
+    doc="Corpus shape: per-language power-of-two token-length histogram "
+    "(bucket = bit length of the token count — exact integer, no "
+    "log2 libm) with per-bucket share; drives chunk-size and packing "
+    "budget choices. Two tiny aggregates over one scan",
+)
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_length_hist(load(spark, sf_dir, "documents"))
+
+
+def tail_token_share(docs: DataFrame) -> DataFrame:
+    """Per-source hapax exposure: how much of each source's token mass is
+    corpus-hapax (total corpus frequency 1 — OCR noise / gibberish /
+    genuinely novel text all live in the hapax tail). Integer counts,
+    one quantized share."""
+    toks = ensure_parallelism(docs).select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(tf, "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_hapax",
+            _q(F.col("n_hapax") / F.col("n_tokens"), 1_000_000).alias(
+                "hapax_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tail_tokens",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT t, count(*) AS tf FROM toks GROUP BY t
+    )
+    SELECT toks.source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           floor(CAST(sum(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1.0 / count(*) * 1000000 + 0.5) / 1000000 AS hapax_share
+    FROM toks JOIN tf USING (t)
+    GROUP BY toks.source
+    """,
+    doc="Per-source hapax-token exposure: the share of a source's token "
+    "occurrences whose total corpus frequency is 1 — the noise/novelty "
+    "tail a curation pass inspects per provider. Token-keyed count "
+    "table + join-back, integer-exact (q_token_rarity's corpus-level "
+    "sibling, keyed by source instead of doc)",
+)
+def q_tail_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tail_token_share(load(spark, sf_dir, "documents"))

@@ -387,3 +387,197 @@ def kcore(edges: DataFrame, k: int = KCORE_K) -> DataFrame:
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(similarity_edges_for(spark, sf_dir))
+
+
+# ------------------------------------------------- neighbour-set Jaccard
+
+
+def node_jaccard(edges: DataFrame) -> DataFrame:
+    """Structural similarity between connected-or-cowedged node pairs:
+    Jaccard of their neighbour sets, |N(a)∩N(b)| / |N(a)∪N(b)|.
+
+    Shape: symmetrize the (id_a < id_b) edge list, self-join the
+    adjacency on the SHARED NEIGHBOUR (the wedge join — Σ deg(v)² work,
+    the same bound as triangle counting, never node-quadratic), count
+    common neighbours per (a, b), then join per-node degrees twice.
+    Only pairs with ≥1 common neighbour appear (the Jaccard of any other
+    pair is 0 by definition). Integer counts end-to-end; the one ratio
+    is quantized."""
+    adj = edges.select(
+        F.col("id_a").alias("n"), F.col("id_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("n"), F.col("id_a").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    common = (
+        adj.select(F.col("n").alias("a"), "nb")
+        .join(adj.select(F.col("n").alias("b"), "nb"), "nb")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            _q(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                1_000_000,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_node_jaccard",
+    f"""
+    WITH e AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {TRIANGLE_COS}
+    ), adj AS (
+      SELECT ea AS n, eb AS nb FROM e
+      UNION ALL
+      SELECT eb AS n, ea AS nb FROM e
+    ), deg AS (
+      SELECT n, count(*) AS deg FROM adj GROUP BY n
+    ), common AS (
+      SELECT x.n AS a, y.n AS b, count(*) AS common
+      FROM adj x JOIN adj y ON x.nb = y.nb AND x.n < y.n
+      GROUP BY 1, 2
+    )
+    SELECT c.a AS node_a, c.b AS node_b, c.common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           floor(c.common * 1.0 / (da.deg + db.deg - c.common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM common c
+    JOIN deg da ON da.n = c.a
+    JOIN deg db ON db.n = c.b
+    """,
+    doc="Neighbour-set Jaccard over the cosine similarity graph (same "
+    "label-blocked edge derivation as q_triangle_count): structural "
+    "node similarity via the wedge self-join (Σ deg² work, the "
+    "triangle-counting bound), per-node degrees joined back, exact "
+    "integer counts with one quantized ratio — the link-prediction / "
+    "role-equivalence primitive",
+)
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return node_jaccard(similarity_edges_for(spark, sf_dir))
+
+
+# ----------------------------------------------------- label propagation
+
+LPA_ROUNDS = 5
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own community; each round every node adopts the most
+    frequent label among its neighbours, ties broken on the SMALLEST
+    label — fully deterministic, unlike classic randomized LPA.
+
+    Iterative like :func:`pagerank`: one adjacency⋈labels join + one
+    count + one rank window per round, lineage truncated per round, so
+    the plan depth is O(rounds), not O(rounds·|V|). A fixed round budget
+    (not convergence polling) keeps the driver loop job-count
+    deterministic; synchronous updates can oscillate on bipartite-ish
+    structures, which a bounded budget simply truncates — the standard
+    distributed LPA trade-off."""
+    adj = edges.select(
+        F.col("id_a").alias("n"), F.col("id_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("n"), F.col("id_a").alias("nb"))
+    )
+    labels = adj.select("n").distinct().select("n", F.col("n").alias("lbl"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n").orderBy(F.desc("_cnt"), F.asc("lbl"))
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(F.col("n").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        labels = (
+            votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("n", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))
+
+
+@register(
+    "q_label_propagation",
+    None,  # iterative fixpoint-style algorithm → rows-only; exactness vs a
+    # driver-side reference propagation in tests/test_round6_ops.py
+    doc=f"Deterministic synchronous label propagation ({LPA_ROUNDS} "
+    "rounds) over the similarity graph: most-frequent neighbour label, "
+    "ties to the smallest — community detection complementing "
+    "q_dedup_clusters' pure connectivity. One join + count + rank "
+    "window per round, lineage truncated per round",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(similarity_edges_for(spark, sf_dir))
+
+
+# --------------------------------------------------- degree distribution
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the similarity graph: per degree value, the
+    node count and share — the first sanity read on any graph (a hub-heavy
+    distribution predicts hot keys in every downstream wedge join)."""
+    adj = edges.select(F.col("id_a").alias("n")).unionByName(
+        edges.select(F.col("id_b").alias("n"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = deg.agg(F.count(F.lit(1)).alias("_t"))
+    return hist.join(tot, F.lit(True)).select(
+        "deg",
+        "n_nodes",
+        _q(F.col("n_nodes") / F.col("_t"), 10000).alias("share"),
+    )
+
+
+@register(
+    "q_degree_hist",
+    f"""
+    WITH e AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {TRIANGLE_COS}
+    ), adj AS (
+      SELECT ea AS n FROM e UNION ALL SELECT eb AS n FROM e
+    ), deg AS (
+      SELECT n, count(*) AS deg FROM adj GROUP BY n
+    ), t AS (SELECT count(*) AS tot FROM deg)
+    SELECT deg.deg, count(*) AS n_nodes,
+           floor(count(*) * 1.0 / min(t.tot) * 10000 + 0.5) / 10000 AS share
+    FROM deg CROSS JOIN t
+    GROUP BY deg.deg
+    """,
+    doc="Degree distribution of the cosine similarity graph (same edge "
+    "derivation as q_triangle_count): per-degree node counts and shares "
+    "— the hub-heaviness read that predicts hot keys in wedge joins. "
+    "Two counting aggregates + one 1-row broadcast",
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_histogram(similarity_edges_for(spark, sf_dir))

@@ -464,3 +464,218 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
 )
 def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_audit(load(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+# ------------------------------------------- schema-contract audits
+
+# The FK graph of the TPC-H-ish star schema (TESTDATA.md): child table,
+# FK column, parent table, PK column.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity(
+    tables: dict[str, DataFrame],
+    edges: tuple[tuple[str, str, str, str], ...] = FK_EDGES,
+) -> DataFrame:
+    """Orphan audit over an FK graph: one row per relationship with the
+    child row count and the number of rows whose FK has no parent.
+
+    Each relationship is a LEFT ANTI join (child ⋉̸ parent) — the join
+    shuffles only the two key columns, and small parents broadcast, so
+    the full-graph audit is one pass per child table at any scale. NULL
+    FKs count as orphans (a NULL never matches a parent key), matching
+    the strict-contract reading a lake enforcement job wants.
+    """
+    from functools import reduce
+
+    parts = []
+    for child, fk, parent, pk in edges:
+        c = tables[child].select(F.col(fk).alias("_fk"))
+        p = tables[parent].select(F.col(pk).alias("_fk"))
+        orphans = c.join(p, "_fk", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        total = tables[child].agg(F.count(F.lit(1)).alias("n_rows"))
+        parts.append(
+            total.join(orphans, F.lit(True)).select(
+                F.lit(f"{child}.{fk}").alias("fk"),
+                F.lit(f"{parent}.{pk}").alias("references"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).cast("int").alias("intact"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "q_referential_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey' AS fk, 'orders.o_orderkey' AS refs,
+             (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey', 'part.p_partkey',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders.o_custkey', 'customer.c_custkey',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey', 'region.r_regionkey',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n
+              WHERE NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = n.n_regionkey))
+    )
+    SELECT fk, refs AS "references", n_rows, n_orphans,
+           CAST(n_orphans = 0 AS INT) AS intact
+    FROM checks
+    """,
+    doc="Referential-integrity audit over the star schema's 7 FK edges: "
+    "per relationship the child row count, orphan count (LEFT ANTI "
+    "join; NULL FKs count as orphans), and an intact flag — the "
+    "contract check a lake runs before publishing. Anti-joins shuffle "
+    "only key columns; dimension parents broadcast",
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = {t for edge in FK_EDGES for t in (edge[0], edge[2])}
+    tables = {t: load(spark, sf_dir, t) for t in sorted(names)}
+    return referential_integrity(tables)
+
+
+# Candidate functional dependencies to audit: (table, determinant,
+# dependent). A holding FD has max 1 distinct dependent per determinant.
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderdate"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def functional_dependencies(
+    tables: dict[str, DataFrame],
+    candidates: tuple[tuple[str, str, str], ...] = FD_CANDIDATES,
+) -> DataFrame:
+    """Audit candidate functional dependencies X → Y: per candidate, the
+    number of X-groups, how many X-groups carry >1 distinct Y (the
+    violations), and the worst group's distinct-Y count. One
+    two-level aggregate per candidate (group on X with count_distinct(Y),
+    then fold to one row) — the discovery half of a schema-contract
+    miner, exact at any scale because only counts cross the exchange."""
+    from functools import reduce
+
+    parts = []
+    for table, det, dep in candidates:
+        g = (
+            tables[table]
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("_nd"))
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("_nd") > 1).cast("long")).alias("n_violating"),
+                F.max("_nd").alias("max_distinct"),
+            )
+            .select(
+                F.lit(f"{table}: {det} -> {dep}").alias("fd"),
+                "n_groups",
+                "n_violating",
+                "max_distinct",
+                (F.col("n_violating") == 0).cast("int").alias("holds"),
+            )
+        )
+        parts.append(g)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "q_functional_dependency",
+    """
+    WITH fd1 AS (
+      SELECT 'orders: o_orderkey -> o_orderdate' AS fd, *
+      FROM (SELECT count(*) AS n_groups,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   max(nd) AS max_distinct
+            FROM (SELECT o_orderkey, count(DISTINCT o_orderdate) AS nd
+                  FROM orders GROUP BY o_orderkey))
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> l_shipdate', *
+      FROM (SELECT count(*),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   max(nd)
+            FROM (SELECT l_orderkey, count(DISTINCT l_shipdate) AS nd
+                  FROM lineitem GROUP BY l_orderkey))
+      UNION ALL
+      SELECT 'documents: doc_id -> lang', *
+      FROM (SELECT count(*),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   max(nd)
+            FROM (SELECT doc_id, count(DISTINCT lang) AS nd
+                  FROM documents GROUP BY doc_id))
+      UNION ALL
+      SELECT 'documents: source -> lang', *
+      FROM (SELECT count(*),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   max(nd)
+            FROM (SELECT source, count(DISTINCT lang) AS nd
+                  FROM documents GROUP BY source))
+      UNION ALL
+      SELECT 'events: user_id -> event_type', *
+      FROM (SELECT count(*),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   max(nd)
+            FROM (SELECT user_id, count(DISTINCT event_type) AS nd
+                  FROM events GROUP BY user_id))
+    )
+    SELECT fd, n_groups, n_violating, max_distinct,
+           CAST(n_violating = 0 AS INT) AS holds
+    FROM fd1
+    """,
+    doc="Functional-dependency audit (X -> Y holds iff every X-group has "
+    "exactly one distinct Y): group count, violating-group count, and "
+    "worst group per candidate — the schema-contract miner's check, "
+    "run here over 5 declared candidates spanning keys that hold and "
+    "keys that must not. Two-level counting aggregates only",
+)
+def q_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = {t for t, _, _ in FD_CANDIDATES}
+    tables = {t: load(spark, sf_dir, t) for t in sorted(names)}
+    return functional_dependencies(tables)

@@ -332,3 +332,309 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=ivf_index_for(spark, sf_dir),
         n_probe=2,
     )
+
+
+# ------------------------------------------------- nearest-centroid eval
+
+CC_SCALE = 10_000  # per-component fixing: 1e-4 on unit-scale floats
+
+
+def centroid_classify(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = CC_SCALE,
+) -> DataFrame:
+    """Nearest-centroid classification accuracy per label — the cheap
+    linear-probe twin of q_knn_eval (one pass + a label-count-bounded
+    join instead of a neighbour search).
+
+    Exactness discipline: components fix to integers (``floor(x·s+.5)``),
+    per-(label, dim) centroid SUMS stay integer, and the squared distance
+    to label ℓ is compared via the EXACT integer numerator
+    ``Σ_d (n_ℓ·x_d − S_{ℓ,d})²`` divided by ``n_ℓ²`` — the division's
+    operands are exact integers below 2^53, so the double quotient (and
+    therefore the argmin, tie-broken on label) is bit-identical on any
+    engine. No floating-point accumulation anywhere.
+    """
+    from pyspark.sql import Window
+
+    x = F.floor(
+        F.element_at(F.col(vec_col).cast("array<double>"), F.col("d")) * scale
+        + F.lit(0.5)
+    ).cast("long")
+    comps = (
+        emb.select(
+            id_col,
+            F.col(label_col).alias("true_label"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(vec_col).cast("int"))
+            ).alias("d"),
+            F.col(vec_col),
+        )
+        .select(id_col, "true_label", "d", x.alias("qx"))
+    )
+    cents = comps.groupBy(F.col("true_label").alias("c_label"), "d").agg(
+        F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        comps.join(cents, "d")
+        .groupBy(id_col, "true_label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("qx") - F.col("s"))
+                * (F.col("n") * F.col("qx") - F.col("s"))
+            ).alias("num"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            id_col,
+            "true_label",
+            "c_label",
+            (F.col("num") / (F.col("n") * F.col("n"))).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("c_label"))
+    picked = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") == 1
+    )
+    return (
+        picked.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("c_label") == F.col("true_label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "true_label",
+            "n_vecs",
+            "n_correct",
+            _q(F.col("n_correct") / F.col("n_vecs"), 10000).alias("accuracy"),
+        )
+    )
+
+
+@register(
+    "q_centroid_classify",
+    f"""
+    WITH comps AS (
+      SELECT vec_id, label AS true_label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CC_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), cents AS (
+      SELECT true_label AS c_label, d,
+             CAST(sum(qx) AS BIGINT) AS s,
+             count(*) AS n
+      FROM comps GROUP BY 1, 2
+    ), scored AS (
+      SELECT comps.vec_id, comps.true_label, cents.c_label,
+             CAST(sum((cents.n * comps.qx - cents.s)
+                      * (cents.n * comps.qx - cents.s)) AS BIGINT)
+               / (min(cents.n) * min(cents.n)) AS dist
+      FROM comps JOIN cents USING (d)
+      GROUP BY 1, 2, 3
+    ), picked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, c_label) AS r
+      FROM scored
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           floor(sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS accuracy
+    FROM picked WHERE r = 1 GROUP BY true_label
+    """,
+    doc="Nearest-centroid classification accuracy per label (the linear "
+    "probe run before trusting embeddings): per-(label, dim) integer "
+    "centroid sums, EXACT integer distance numerators sq-summed under "
+    "2^53, argmin tie-broken on label — bit-identical across engines "
+    "with zero float accumulation. One exchange for centroids (bounded "
+    "by labels × dims) + one for the per-vector argmin",
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_classify(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- drift / power iteration
+
+DRIFT_SCALE = 1_000_000  # per-half mean fixing: 1e-6
+
+
+def embedding_drift(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid drift between two corpus halves (vec_id parity as the
+    stand-in for before/after batches): L2 distance between the halves'
+    mean vectors plus the worst dimension — THE cheap monitor that tells
+    you an embedding model changed under the corpus (before any ANN
+    index silently degrades).
+
+    Exactness: per-dim integer component sums per half; each half's mean
+    is fixed to 1e-6 by INTEGER division (``(s * SCALE) div n`` — exact
+    on both engines at any n, no overflow since the fixed means are
+    ≤ SCALE·max|x|); the distance folds the integer diffs. One shuffle
+    on the dim id."""
+    comps = emb.select(
+        (F.col(id_col) % 2).alias("half"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "half",
+        "d",
+        F.floor(F.col("x") * DRIFT_SCALE + F.lit(0.5)).cast("long").alias("qx"),
+    )
+    per = comps.groupBy("half", "d").agg(
+        F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # s is already component-scaled (Σ floor(x·SCALE)), so s div n IS the
+    # half's mean fixed at 1e-6 — bounded by SCALE·max|x|, no overflow
+    fixed = per.select("half", "d", F.expr("s div n").alias("qm"), "n")
+    a = fixed.filter(F.col("half") == 0).select(
+        "d", F.col("qm").alias("qa"), F.col("n").alias("n_a")
+    )
+    b = fixed.filter(F.col("half") == 1).select(
+        "d", F.col("qm").alias("qb"), F.col("n").alias("n_b")
+    )
+    diff2 = (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+    return (
+        a.join(b, "d")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.sum(diff2).alias("_ss"),
+            F.max(F.abs(F.col("qa") - F.col("qb"))).alias("_mx"),
+        )
+        .select(
+            "dims",
+            "n_a",
+            "n_b",
+            _q(
+                F.sqrt(F.col("_ss").cast("double")) / DRIFT_SCALE,
+                1_000_000_000,
+            ).alias("l2_shift"),
+            _q(
+                F.col("_mx") / float(DRIFT_SCALE), 1_000_000_000
+            ).alias("max_dim_shift"),
+        )
+    )
+
+
+@register(
+    "q_embedding_drift",
+    f"""
+    WITH comps AS (
+      SELECT vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DRIFT_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), per AS (
+      SELECT half, d, CAST(sum(qx) AS BIGINT) AS s, count(*) AS n
+      FROM comps GROUP BY half, d
+    ), fixed AS (
+      SELECT half, d, s // n AS qm, n
+      FROM per
+    )
+    SELECT count(*) AS dims,
+           min(a.n) AS n_a, min(b.n) AS n_b,
+           floor(sqrt(CAST(sum((a.qm - b.qm) * (a.qm - b.qm)) AS DOUBLE))
+                 / {DRIFT_SCALE}.0 * 1000000000 + 0.5)
+             / 1000000000 AS l2_shift,
+           floor(max(abs(a.qm - b.qm)) / {DRIFT_SCALE}.0
+                 * 1000000000 + 0.5) / 1000000000 AS max_dim_shift
+    FROM (SELECT * FROM fixed WHERE half = 0) a
+    JOIN (SELECT * FROM fixed WHERE half = 1) b USING (d)
+    """,
+    doc="Embedding centroid drift between two corpus halves: L2 distance "
+    "of the mean vectors + the worst dimension — the distribution-shift "
+    "monitor run before trusting a refreshed embedding batch. Per-dim "
+    "integer sums, means fixed by integer division (exact both "
+    "engines), one dim-keyed shuffle",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_drift(load(spark, sf_dir, "embeddings"))
+
+
+def top_principal_direction(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the centered embedding cloud — PCA's
+    first component, without ever collecting the corpus.
+
+    The 100 TB shape for moderate d: ONE distributed aggregate computes
+    the d×d Gram matrix Σ x·xᵀ (d² = 4096 scalar sums — the exchange
+    carries d² partials, never vectors) plus Σx and n; the driver then
+    eigendecomposes the tiny centered covariance ``G − n·μμᵀ`` with
+    numpy. "Collect the Gram matrix, not the corpus." Iterative power
+    methods were tried and rejected: this corpus's eigengap is ~0.93, so
+    convergence needs ~100 distributed rounds vs exactly 2 jobs here —
+    the data says which algorithm wins, not the textbook. (For d where
+    d² no longer fits an aggregate — 10⁵+ — the right tool is a
+    per-partition numpy Gram via mapInPandas feeding the same driver
+    eigh, or randomized sketching; documented, not needed at 64.)
+
+    Deterministic given the aggregate result (numpy eigh is
+    deterministic; sign pinned so the largest-|component| entry is
+    positive). Output: (d, component) rows + the top eigenvalue's
+    variance share. Rows-only for the driver (driver-side eigh is not
+    single-SQL); direction + share vs full numpy eigh pinned in tests."""
+    import numpy as np
+
+    x = F.col(vec_col).cast("array<double>")
+    ex = emb.select(F.posexplode(x).alias("i", "xi"), x.alias("_v"))
+    ex2 = ex.select("i", "xi", F.posexplode("_v").alias("j", "xj"))
+    gram_rows = (
+        ex2.groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("g"))
+        .collect()
+    )
+    sums = (
+        emb.select(F.posexplode(x).alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dims = len(sums)
+    n = sums[0]["n"]
+    mu = np.zeros(dims)
+    for r in sums:
+        mu[r["i"]] = r["s"] / n
+    gram = np.zeros((dims, dims))
+    for r in gram_rows:
+        gram[r["i"], r["j"]] = r["g"]
+    cov = gram - n * np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:  # pin the sign convention
+        v = -v
+    share = float(w[-1] / w.sum()) if w.sum() else 0.0
+    spark = emb.sparkSession
+    rows = [(d, float(v[d]), share) for d in range(dims)]
+    return spark.createDataFrame(
+        rows, "d int, component double, variance_share double"
+    )
+
+
+@register(
+    "q_principal_component",
+    None,  # driver-side eigh of the collected d×d Gram → rows-only;
+    # direction + variance share vs full numpy eigh pinned in tests
+    doc="Top principal component of the centered embedding cloud via ONE "
+    "distributed Gram-matrix aggregate (d² partial sums cross the "
+    "exchange, vectors never shuffle) + driver-side numpy eigh of the "
+    "64×64 covariance — 'collect the Gram matrix, not the corpus'. "
+    "Chosen over distributed power iteration because this corpus's "
+    "eigengap (~0.93) would need ~100 rounds; sign-pinned, "
+    "deterministic, variance share attached",
+)
+def q_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_principal_direction(load(spark, sf_dir, "embeddings"))

@@ -239,3 +239,56 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q(F.sum("value"), 100).alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------------------ recursive CTE
+
+@register(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE spine(event_type, day, max_day) AS (
+        SELECT event_type, min(CAST(ts AS DATE)) AS day,
+               max(CAST(ts AS DATE)) AS max_day
+        FROM events GROUP BY event_type
+      UNION ALL
+        SELECT event_type, day + 1, max_day
+        FROM spine WHERE day < max_day
+    ), observed AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT s.event_type, s.day,
+           CAST(o.day IS NOT NULL AS INT) AS observed
+    FROM spine s LEFT JOIN observed o
+      ON o.event_type = s.event_type AND o.day = s.day
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): per-event-type calendar "
+    "spine grown iteratively from min to max date — each type recurses "
+    "to ITS own bound, which a static sequence() cross join can't "
+    "express without first materializing per-type bounds — left-joined "
+    "against observed days to flag gaps. The recursion depth is the "
+    "date span (bounded); each step is a one-column filter+project. "
+    "Spark and DuckDB differ only in date increment spelling "
+    "(date_add vs day + 1)",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    view = "events_rcte"
+    events.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(event_type, day, max_day) AS (
+            SELECT event_type, min(CAST(ts AS DATE)) AS day,
+                   max(CAST(ts AS DATE)) AS max_day
+            FROM {view} GROUP BY event_type
+          UNION ALL
+            SELECT event_type, date_add(day, 1), max_day
+            FROM spine WHERE day < max_day
+        ), observed AS (
+          SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM {view}
+        )
+        SELECT s.event_type, s.day,
+               CAST(o.day IS NOT NULL AS INT) AS observed
+        FROM spine s LEFT JOIN observed o
+          ON o.event_type = s.event_type AND o.day = s.day
+        """
+    )

@@ -159,12 +159,37 @@ _PRIORITY_ROUND6: tuple[str, ...] = (
     # first two round-7 overflow names promoted to fill the 50 exactly
     "q_knn_eval", "q_stratified_exact",
 )
-# Round-7 overflow (pin in round 7): q_skew_audit, q_phash_dedup,
-# q_sql_interface, q_python_source, and the round-5 session additions
-# q_variant_json, q_udtf_runs, q_dpp_join, q_seasonal_profile,
-# q_target_encode, q_kanonymity, q_walk_forward, q_time_rollup,
-# q_quantile_normalize, q_interval_join, q_dedup_delta (+ any
-# later round-6 additions).
+# ROUND-7 WINDOW (apply at the start of round 7 — do NOT apply
+# mid-round-6). Validated NOW by tests/test_registry.py (names exist,
+# exactly 50, canaries first, no overlap with the round-6 window).
+# Composition: canaries; the 15 queries never driver-verified through
+# round 6; the 23 round-6 session additions (E70–E92); the 5 r5-red
+# HUGEINT-oracle queries whose fix needs a green driver row on record;
+# 5 bench-headline re-verification slots (each 3+ greens in r1–r5).
+# At round-7 open, set ``_PRIORITY = _PRIORITY_ROUND7``.
+_PRIORITY_ROUND7: tuple[str, ...] = (
+    "q_report1", "q_dedup_near",
+    # never driver-verified through round 6
+    "q_seasonal_profile", "q_dedup_delta", "q_sql_interface",
+    "q_python_source", "q_phash_dedup", "q_skew_audit", "q_interval_join",
+    "q_variant_json", "q_udtf_runs", "q_dpp_join", "q_time_rollup",
+    "q_target_encode", "q_kanonymity", "q_walk_forward",
+    "q_quantile_normalize",
+    # round-6 session additions (E70–E92)
+    "q_bollinger", "q_rsi", "q_candle_patterns", "q_drawdown_duration",
+    "q_bigram_lm", "q_source_overlap", "q_doc_length_hist",
+    "q_node_jaccard", "q_label_propagation", "q_centroid_classify",
+    "q_referential_integrity", "q_functional_dependency", "q_recursive_cte",
+    "q_atr", "q_obv", "q_turnover_hhi", "q_grouped_mode", "q_outlier_iqr",
+    "q_gap_top", "q_degree_hist", "q_tail_tokens", "q_embedding_drift",
+    "q_principal_component",
+    # r5-red HUGEINT-oracle queries: fixed in round 6, need a green row
+    "q_tpch_q12", "q_boilerplate", "q_domain_mix", "q_chunk_dedup",
+    "q_sessionize",
+    # bench-headline re-verification
+    "q_tpch_q1", "q_join_multi", "q_tumbling_window", "q_asof_join",
+    "q_topk_cosine",
+)
 
 # ACTIVE round-6 driver window (applied at round-6 open per the staged
 # plan above; the round-5 list is kept for the no-wasted-slot check).
@@ -174,12 +199,15 @@ _PRIORITY: tuple[str, ...] = _PRIORITY_ROUND6
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from .operators import (  # noqa: F401
+        analytics2_queries,
         analytics_queries,
         asof_queries,
         bi_queries,
+        corpus2_queries,
         corpus_queries,
         dedup_queries,
         graph_queries,
+        indicators_queries,
         io_queries,
         lake_queries,
         meta_queries,
