@@ -794,6 +794,8 @@ def test_round6_session_batch_plan_contracts(spark, sf_dir, queries):
         plan = plan_of(queries[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # bigram count tables must shuffle hashed keys, not token strings
+    assert "xxhash64" in plan_of(queries["q_bigram_lm"].fn(spark, sf_dir))
 
 
 def test_recursive_cte_plan_is_recursive(spark, sf_dir, queries):

@@ -1080,3 +1080,30 @@ def test_streaming_neardup_matches_greedy_reference(spark, sf_dir, tmp_path):
     # the injected near-copies must actually exercise the drop path
     dropped = [d for d, r in ref.items() if d >= 100000 and not r[0]]
     assert len(dropped) >= 10, f"only {len(dropped)} injected copies dropped"
+
+
+def test_streaming_obv_equals_batch_for_finalized_days(spark, staged_events):
+    """Streaming OBV emits a day's bar when its successor day begins;
+    every finalized day must be bit-identical to the batch q_obv row.
+    The per-type LAST day never finalizes (no successor) — exactly the
+    pending in-progress day the append contract documents."""
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.operators.indicators_queries import obv
+    from trading_data_pipeline_spark.streaming.jobs import stream_events
+    from trading_data_pipeline_spark.streaming.stateful import obv_stream
+
+    batch_df = obv(spark.read.parquet(staged_events))
+    w = Window.partitionBy("event_type")
+    finalized = batch_df.withColumn("_mx", F.max("day").over(w)).filter(
+        F.col("day") < F.col("_mx")
+    )
+    want = {tuple(r) for r in finalized.select(
+        "event_type", "day", "close", "vol", "obv").collect()}
+
+    got_df = run_to_completion(
+        obv_stream(stream_events(spark, staged_events)),
+        "t_obv", "append", spark,
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want and want

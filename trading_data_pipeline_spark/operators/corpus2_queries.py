@@ -42,23 +42,34 @@ def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Every cross-row quantity is an integer: bigram counts, context
     counts, and the 1e9-scaled MLE conditional ``(c2 * SCALE) div c1``
     (integer division, so each doc's sum is order-free and bit-identical
-    on any engine). The two count tables shuffle on token keys — no
-    driver-side vocab, so the plan survives a web-scale vocabulary.
+    on any engine). The two count tables shuffle on 8-byte ``xxhash64``
+    keys, never token strings — no driver-side vocab and string-free
+    exchanges, so the plan survives a web-scale vocabulary (counts equal
+    the string-keyed oracle modulo ~|keys|²/2⁶⁴ hash collisions, the
+    q_boilerplate contract).
     """
     tk = F.split(F.col(text_col), " ")
     toks = ensure_parallelism(docs).select("doc_id", tk.alias("tk"))
+    # 8-byte hashed keys for every count-table shuffle/join (h2 = hash of
+    # the PAIR, h1 = hash of the context token) — the exchanges never
+    # carry token strings, same hash-vs-string contract as q_boilerplate
+    # (counts equal the oracle's string-keyed form modulo ~|keys|²/2⁶⁴).
     bigrams = toks.filter(F.size("tk") >= 2).select(
         "doc_id",
         F.explode(
             F.expr("transform(slice(tk, 1, size(tk) - 1), (x, i) -> "
                    "struct(x AS w1, tk[i + 1] AS w2))")
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ).select(
+        "doc_id",
+        F.xxhash64("bg.w1", "bg.w2").alias("h2"),
+        F.xxhash64("bg.w1").alias("h1"),
+    )
+    c2 = bigrams.groupBy("h2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        bigrams.join(c2, "h2")
+        .join(c1, "h1")
         .select(
             "doc_id",
             "c2",
@@ -112,7 +123,8 @@ def bigram_lm_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     "P(w2|w1) — the integer-exact stand-in for a perplexity filter "
     "(each ratio fixed to 1e-9 by INTEGER division before the "
     "order-free sum; no ln(), so no cross-engine libm drift). Count "
-    "tables and join-backs all shuffle on token keys — no driver vocab",
+    "tables and join-backs shuffle 8-byte xxhash64 keys, never token "
+    "strings — no driver vocab, string-free exchanges",
 )
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_stats(load(spark, sf_dir, "documents"))

@@ -477,3 +477,85 @@ def neardup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OBV_SCHEMA = "event_type string, day date, close double, vol long, obv long"
+OBV_STATE = (
+    "cur_day long, day_close_c long, day_vol long, prev_close_c long, "
+    "has_prev boolean, obv long"
+)
+
+
+def obv_stream(events: DataFrame) -> DataFrame:
+    """Streaming On-Balance Volume — the stateful form of
+    ``operators.indicators_queries.obv``: O(1) state per event type
+    (current day's last close + volume, previous day's close, running
+    OBV, all exact integers), folding events as they arrive and EMITTING
+    a day's bar when its first successor-day event shows up
+    (outputMode('append') — a day is final once a later day begins,
+    matching the batch daily-bar semantics; the in-progress day stays
+    pending until then).
+
+    Exactness: the same floor(value·100+0.5) cent fixing and JSON
+    ``props.$.k`` volume parse as the batch path, so every finalized day
+    is bit-identical to the batch q_obv row (asserted in
+    tests/test_streaming.py). Ordering contract as drawdown_stream:
+    (ts, event_id)-sorted within a micro-batch, per-key event-time order
+    across batches."""
+    import json
+    import math
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        cur_day, day_close_c, day_vol, prev_close_c, has_prev, obv = (
+            state.get if state.exists else (-1, 0, 0, 0, False, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: dict[str, list] = {
+            "event_type": [], "day": [], "close": [], "vol": [], "obv": []
+        }
+
+        def finalize():
+            nonlocal prev_close_c, has_prev, obv
+            if has_prev:
+                if day_close_c > prev_close_c:
+                    obv += day_vol
+                elif day_close_c < prev_close_c:
+                    obv -= day_vol
+            out["event_type"].append(key[0])
+            out["day"].append(_dt.date.fromordinal(cur_day))
+            out["close"].append(day_close_c / 100.0)
+            out["vol"].append(day_vol)
+            out["obv"].append(obv)
+            prev_close_c, has_prev = day_close_c, True
+
+        for ts, val, props in zip(pdf["ts"], pdf["value"], pdf["props"]):
+            d = ts.date().toordinal()
+            try:
+                q = int(json.loads(props).get("k", 0) or 0)
+            except (TypeError, ValueError):
+                q = 0
+            if cur_day == -1:
+                cur_day = d
+            elif d != cur_day:
+                finalize()
+                cur_day, day_close_c, day_vol = d, 0, 0
+            day_close_c = int(math.floor(float(val) * 100 + 0.5))
+            day_vol += q
+        state.update(
+            (cur_day, day_close_c, day_vol, prev_close_c, has_prev, obv)
+        )
+        yield pd.DataFrame(out)
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=OBV_SCHEMA,
+        stateStructType=OBV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
