@@ -1,0 +1,269 @@
+"""Distributed exact statistical tests (round-6 batch 3).
+
+The two-sample / independence tests an analytics engine runs to decide
+whether two slices of the tape differ — each derived so the TEST
+STATISTIC is exact integer arithmetic until one final division:
+
+- **q_ks_test**: two-sample Kolmogorov–Smirnov statistic between the
+  'click' and 'view' price distributions. D = sup|F₁−F₂| is computed
+  CROSS-MULTIPLIED: max over the merged value grid of
+  |cum₁·n₂ − cum₂·n₁| (a BIGINT), divided once by n₁·n₂ — no per-point
+  float ECDFs, no accumulation drift. The cumulative counts run through
+  ``plans/global_rank.global_cumsum`` (quantile-bucketed two-pass), so
+  there is NO SinglePartition window even though the grid order is
+  global.
+- **q_chi_square**: χ² independence of event_type × day-of-week. Each
+  cell's (O−E)²/E is the exact rational (O·T − R·C)²/(T·R·C); the
+  numerator and denominator are built in BIGINT, the quotient is fixed
+  to 1e-9 BIGINTs per cell, and cells sum as integers — one final
+  division. dof = (R−1)(C−1).
+- **q_spearman**: Spearman rank correlation between price and trade
+  size per type, with mid-rank ties. DOUBLED average ranks
+  (2·rank + tie_count − 1) keep every rank integral, so the Pearson
+  sums over them are exact BIGINTs; one division + two IEEE sqrts.
+
+Scale notes: KS aggregates each side to its distinct-value grid first
+(cardinality = price grid, not row count); χ² works on a
+|types|×|weekdays| cell table; Spearman's integer sums hold to
+n ≈ 10⁶ rows/group at 2⁶³ (switch the power sums to DECIMAL(38,0)
+beyond that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..plans.global_rank import global_cumsum
+from ..registry import load, register
+
+CHI2_SCALE = 10**9
+RHO_SCALE = 10**8
+
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample KS over integer-cent values of two groups. Returns one
+    row (n_a, n_b, d_num, ks) with ks = max|cum_a·n_b − cum_b·n_a|/(n_a·n_b)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    counts = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(F.col(group_col).alias("g"), cents.alias("c"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("b"),
+        )
+    )
+    ca, n_a = global_cumsum(counts, ["c"], "a")
+    ca = ca.withColumnRenamed("_gcum", "cum_a")
+    cb, n_b = global_cumsum(ca, ["c"], "b")
+    cb = cb.withColumnRenamed("_gcum", "cum_b")
+    d = F.abs(
+        F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a)
+    )
+    return cb.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.max(d).alias("d_num"),
+        (F.max(d) / F.lit(float(n_a) * float(n_b))).alias("ks"),
+    )
+
+
+@register(
+    "q_ks_test",
+    f"""
+    WITH v AS (
+      SELECT event_type AS g, {_CENTS} AS c FROM events
+      WHERE event_type IN ('click', 'view')
+    ), counts AS (
+      SELECT c,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM v GROUP BY c
+    ), cum AS (
+      SELECT c,
+             CAST(sum(a) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_a,
+             CAST(sum(b) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_b
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      FROM counts
+    )
+    SELECT n_a, n_b,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           max(abs(cum_a * n_b - cum_b * n_a))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks
+    FROM cum, tot GROUP BY n_a, n_b
+    """,
+    doc="Two-sample Kolmogorov–Smirnov D between click and view price "
+    "distributions — cross-multiplied integer ECDFs over the distinct "
+    "cents grid (bucketed two-pass cumsum, no SinglePartition window), "
+    "one final division",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_test(
+        load(spark, sf_dir, "events"), "event_type", "value", "click", "view"
+    )
+
+
+def chi_square(df: DataFrame, row_col: str, col_expr: F.Column) -> DataFrame:
+    """χ² independence of ``row_col`` × ``col_expr`` categories. Exact
+    rational per-cell terms fixed to 1e-9 BIGINTs before the sum."""
+    cells = (
+        df.select(F.col(row_col).alias("r"), col_expr.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    tt = cells.agg(
+        F.sum("o").alias("t"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    j = cells.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c").crossJoin(
+        F.broadcast(tt)
+    )
+    diff = F.col("o") * F.col("t") - F.col("rn") * F.col("cn")
+    term_q = F.floor(
+        (diff * diff).cast("double")
+        / (F.col("t") * F.col("rn") * F.col("cn")).cast("double")
+        * F.lit(CHI2_SCALE)
+        + F.lit(0.5)
+    ).cast("long")
+    return j.select(term_q.alias("q"), "nr", "nc").groupBy("nr", "nc").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        (F.sum("q") / F.lit(float(CHI2_SCALE))).alias("chi2"),
+    ).select("n_cells", "dof", "chi2")
+
+
+@register(
+    "q_chi_square",
+    f"""
+    WITH cells AS (
+      SELECT event_type AS r, dayofweek(ts) + 1 AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY r
+    ), ct AS (
+      SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY c
+    ), tt AS (
+      SELECT CAST(sum(o) AS BIGINT) AS t,
+             CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             CAST(count(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ), terms AS (
+      SELECT CAST(floor(
+               CAST((o * t - rn * cn) * (o * t - rn * cn) AS DOUBLE)
+               / CAST(t * rn * cn AS DOUBLE) * {CHI2_SCALE} + 0.5)
+             AS BIGINT) AS q, nr, nc
+      FROM cells JOIN rt USING (r) JOIN ct USING (c), tt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           CAST(sum(q) AS BIGINT) / {float(CHI2_SCALE)} AS chi2
+    FROM terms GROUP BY nr, nc
+    """,
+    doc="χ² independence of event_type × day-of-week — per-cell "
+    "(O·T−R·C)²/(T·R·C) exact rationals fixed to 1e-9 BIGINTs before "
+    "the integer sum; broadcast margin joins on a |r|×|c| cell table",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chi_square(
+        load(spark, sf_dir, "events"),
+        "event_type",
+        F.dayofweek("ts"),
+    )
+
+
+def spearman(
+    df: DataFrame, group_col: str, x_col: F.Column, y_col: F.Column
+) -> DataFrame:
+    """Spearman ρ per group with mid-rank ties, on DOUBLED integer ranks
+    (2·rank + ties − 1) so all Pearson sums are exact BIGINTs."""
+    d = df.select(F.col(group_col).alias("g"), x_col.alias("x"), y_col.alias("y"))
+
+    def ranks2(col: str) -> F.Column:
+        wr = Window.partitionBy("g").orderBy(col)
+        wt = Window.partitionBy("g", col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 3
+        ).cast("long")
+        # rank() is 1-based min-rank; 2·avg = 2·rank + ties − 1; the −3
+        # (= −1 −2) recenters to 0-based doubled ranks — an affine shift
+        # that cancels in Pearson but keeps magnitudes smaller.
+
+    r = d.withColumn("rx", ranks2("x")).withColumn("ry", ranks2("y"))
+    agg = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+    return agg.select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_rows"),
+        _q(rho, RHO_SCALE).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q_spearman",
+    f"""
+    WITH d AS (
+      SELECT event_type AS g, {_CENTS} AS x,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS y
+      FROM events
+    ), r AS (
+      SELECT g,
+             CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                  + count(*) OVER (PARTITION BY g, x) - 3 AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                  + count(*) OVER (PARTITION BY g, y) - 3 AS BIGINT) AS ry
+      FROM d
+    ), agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM r GROUP BY g
+    )
+    SELECT g AS event_type, n AS n_rows,
+           floor(CASE WHEN n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END * {RHO_SCALE} + 0.5) / {RHO_SCALE} AS spearman_rho
+    FROM agg
+    """,
+    doc="Spearman rank correlation (mid-rank ties) between price and "
+    "props.$.k size per type — doubled integer ranks keep all sums "
+    "BIGINT-exact; one division, two IEEE sqrts, quantized 1e-8",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    qty = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    return spearman(load(spark, sf_dir, "events"), "event_type", cents, qty)

@@ -1,0 +1,254 @@
+"""Corpus lexical-statistics operators (round-6 batch 3) — the
+vocabulary-shape diagnostics an LLM-data pipeline runs before mixing
+sources (reference has no text surface; extension per SURVEY §2.f):
+
+- **q_ttr**: per-document type-token ratio (lexical diversity) —
+  distinct whitespace tokens / total tokens, exact rational, plus the
+  repeated-token count. Low TTR flags template/spam docs the repetition
+  and boilerplate screens then inspect.
+- **q_token_coverage**: per-source vocabulary concentration — the
+  number of distinct tokens needed to cover ≥90% of the source's token
+  mass (cumulative sum over per-token counts in (count DESC, token)
+  order) and the top-1 token share. The Zipf-shape summary: a source
+  whose mass hides in a handful of tokens is boilerplate-heavy.
+- **q_ngram_novelty**: ingestion-order 8-gram novelty — sources ranked
+  lexicographically (the deterministic stand-in for arrival order);
+  for each source, the fraction of its distinct 8-grams never seen in
+  any earlier source. The marginal-value curve of adding a source to
+  the corpus: novelty → 0 means the source is redundant. First-seen
+  attribution is ``min(source_rank)`` per gram — one aggregate over
+  hashed grams, no cross-source self-join.
+
+Exactness: everything is token counting — integer sums and one final
+division per ratio (IEEE-deterministic). The Spark side shuffles hashed
+grams (8-byte keys, xxhash64); the oracle groups the gram STRINGS — the
+counts agree unless xxhash64 collides inside one source's gram set
+(~10⁻¹⁰ at gate scale; a collision would fail parity loudly).
+
+Scale: q_token_coverage's per-source window runs over the AGGREGATED
+(source, token) vocabulary (Heaps-law sublinear in corpus size);
+novelty is a distinct + min-aggregate over hashed grams — the same
+shuffle shape as the dedup family's fingerprint pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+
+TTR_SCALE = 10**6
+COVERAGE_PCT = 90  # integer percent — coverage test stays integral
+NGRAM_N = 8
+
+
+def ttr(docs: DataFrame) -> DataFrame:
+    """Per-doc type-token ratio over whitespace tokens. One narrow pass:
+    split → size + array_distinct size; no shuffle at all."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        _q(
+            F.size(F.array_distinct(toks)) / F.size(toks), TTR_SCALE
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "q_ttr",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_types,
+           floor(CAST(len(list_distinct(string_split(text, ' ')))
+                      AS DOUBLE)
+                 / len(string_split(text, ' ')) * {TTR_SCALE} + 0.5)
+             / {TTR_SCALE} AS ttr
+    FROM documents
+    """,
+    doc="Per-document type-token ratio (lexical diversity) — distinct /"
+    " total whitespace tokens, exact rational quantized 1e-6. Pure "
+    "narrow map, zero shuffles",
+)
+def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ttr(load(spark, sf_dir, "documents"))
+
+
+def token_coverage(docs: DataFrame, pct: int = COVERAGE_PCT) -> DataFrame:
+    """Per-source: distinct-token count, tokens needed for ≥pct% of
+    token mass, and top-1 token share. The cumulative window runs in
+    (count DESC, token ASC) order over the aggregated vocabulary."""
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    with_cum = counts.select(
+        "source",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.max("c").over(wall).alias("top1"),
+        F.count(F.lit(1)).over(wall).alias("vocab"),
+    )
+    # integer coverage test: cum·100 ≥ pct·tot
+    return (
+        with_cum.filter(F.col("cum") * 100 >= F.lit(pct) * F.col("tot"))
+        .groupBy("source")
+        .agg(
+            F.max("vocab").alias("vocab_size"),
+            F.count(F.lit(1)).alias("_above"),
+            F.max("tot").alias("total_tokens"),
+            _q(F.max("top1") / F.max("tot"), TTR_SCALE).alias("top1_share"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            (F.col("vocab_size") - F.col("_above") + 1).alias(
+                "tokens_for_cover"
+            ),
+            "total_tokens",
+            "top1_share",
+        )
+    )
+
+
+@register(
+    "q_token_coverage",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ), cum AS (
+      SELECT source, c,
+             CAST(sum(c) OVER (PARTITION BY source
+                               ORDER BY c DESC, tok
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot,
+             CAST(max(c) OVER (PARTITION BY source) AS BIGINT) AS top1,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS vocab
+      FROM counts
+    )
+    SELECT source,
+           CAST(max(vocab) AS BIGINT) AS vocab_size,
+           CAST(max(vocab) - count(*) + 1 AS BIGINT) AS tokens_for_cover,
+           CAST(max(tot) AS BIGINT) AS total_tokens,
+           floor(CAST(max(top1) AS DOUBLE) / max(tot) * {TTR_SCALE} + 0.5)
+             / {TTR_SCALE} AS top1_share
+    FROM cum WHERE cum * 100 >= {COVERAGE_PCT} * tot
+    GROUP BY source
+    """,
+    doc="Per-source vocabulary concentration: tokens needed to cover "
+    "90% of token mass (cumulative window over the aggregated "
+    "vocabulary in count-DESC order) + top-1 token share — the "
+    "Zipf-shape boilerplate screen. All-integer coverage test",
+)
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_coverage(load(spark, sf_dir, "documents"))
+
+
+def _gram_expr(n: int) -> str:
+    # contiguous n-token windows as single strings, Spark SQL side.
+    # The CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty) — short docs must produce an empty gram list.
+    return f"""
+      CASE WHEN size(split(text, ' ')) >= {n}
+           THEN transform(
+                  sequence(1, size(split(text, ' ')) - {n - 1}),
+                  i -> array_join(slice(split(text, ' '), i, {n}), ' ')
+                )
+           ELSE array()
+      END
+    """
+
+
+def ngram_novelty(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Per-source novelty in lexicographic source-rank order: the share
+    of the source's distinct n-grams first seen at that source. Grams
+    shuffle as xxhash64 keys; first-seen = min(source_rank) per gram."""
+    # rank the DISTINCT source set (bounded — source count, not rows),
+    # then broadcast it back: no global window ever touches doc rows
+    src_rank = docs.select("source").distinct().select(
+        "source",
+        F.dense_rank().over(Window.orderBy("source")).alias("srank"),
+    )
+    grams = docs.join(F.broadcast(src_rank), "source").select(
+        "srank",
+        "source",
+        F.explode(F.expr(_gram_expr(n))).alias("g"),
+    ).select("srank", "source", F.xxhash64("g").alias("gh"))
+    per_source = grams.distinct()
+    first_seen = per_source.groupBy("gh").agg(
+        F.min("srank").alias("first_rank")
+    )
+    return (
+        per_source.join(first_seen, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("srank") == F.col("first_rank"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_new",
+            _q(F.col("n_new") / F.col("n_grams"), TTR_SCALE).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+    WITH ranked AS (
+      SELECT source, text,
+             dense_rank() OVER (ORDER BY source) AS srank
+      FROM documents
+    ), toks AS (
+      SELECT srank, source, string_split(text, ' ') AS t FROM ranked
+    ), grams AS (
+      SELECT DISTINCT srank, source,
+             unnest(CASE WHEN len(t) >= {NGRAM_N}
+                    THEN list_transform(
+                           range(1, len(t) - {NGRAM_N - 2}),
+                           i -> array_to_string(
+                                  t[i : i + {NGRAM_N - 1}], ' '))
+                    ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ), first_seen AS (
+      SELECT g, min(srank) AS first_rank FROM grams GROUP BY g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN srank = first_rank THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           floor(CAST(sum(CASE WHEN srank = first_rank THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * {TTR_SCALE} + 0.5)
+             / {TTR_SCALE} AS novelty
+    FROM grams JOIN first_seen USING (g)
+    GROUP BY source
+    """,
+    doc="Ingestion-order 8-gram novelty per source (lexicographic rank "
+    "= deterministic arrival order): share of the source's distinct "
+    "grams first seen there — min(source_rank) per hashed gram, the "
+    "marginal-value curve for corpus mixing. No cross-source self-join",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load(spark, sf_dir, "documents"))

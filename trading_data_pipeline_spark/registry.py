@@ -211,6 +211,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_queries,
         lake_queries,
         meta_queries,
+        microstructure_queries,
         multimodal_queries,
         profiling_queries,
         quality_queries,
@@ -226,7 +227,9 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         sketch_queries,
         spark4_queries,
+        stattests_queries,
         text_queries,
+        textqc_queries,
         trading_queries,
         trainprep_queries,
         window_queries,
