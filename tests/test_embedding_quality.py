@@ -1,0 +1,98 @@
+"""Hand-built semantics for the embedding-quality pair: simplified
+silhouette and the exact Lloyd k-means step."""
+
+from __future__ import annotations
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        silhouette_by_label,
+    )
+
+    # two tight, far-apart clusters → silhouette ≈ 1 for both labels
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [0.01, 0.0], 0),
+        (2, [10.0, 10.0], 1),
+        (3, [10.01, 10.0], 1),
+    ]
+    out = {r.label: r for r in silhouette_by_label(
+        spark.createDataFrame(rows, EMB_SCHEMA)
+    ).collect()}
+    assert out[0].n_vecs == 2 and out[1].n_vecs == 2
+    assert out[0].silhouette > 0.99 and out[1].silhouette > 0.99
+
+
+def test_silhouette_identical_clusters_zero(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        silhouette_by_label,
+    )
+
+    # both labels share the same centroid → a == b → s = 0
+    rows = [
+        (0, [1.0, 1.0], 0),
+        (1, [1.0, 1.0], 0),
+        (2, [1.0, 1.0], 1),
+        (3, [1.0, 1.0], 1),
+    ]
+    out = silhouette_by_label(
+        spark.createDataFrame(rows, EMB_SCHEMA)
+    ).collect()
+    assert all(r.silhouette == 0.0 for r in out)
+
+
+def test_silhouette_single_label_pins_zero(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        silhouette_by_label,
+    )
+
+    rows = [(0, [0.0, 0.0], 0), (1, [5.0, 5.0], 0)]
+    [r] = silhouette_by_label(
+        spark.createDataFrame(rows, EMB_SCHEMA)
+    ).collect()
+    assert r.silhouette == 0.0  # b undefined → pinned, not NULL
+
+
+def test_kmeans_step_hand_computed(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        kmeans_step,
+    )
+
+    # seeds (k=2): vec 0 at (0,0), vec 1 at (10,10). Points 2,3 near
+    # seed 0; point 4 near seed 1.
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [10.0, 10.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 2.0], 0),
+        (4, [9.0, 10.0], 0),
+    ]
+    out = kmeans_step(
+        spark.createDataFrame(rows, EMB_SCHEMA), k=2
+    ).collect()
+    by = {(r.cluster, r.d): r for r in out}
+    # cluster 0 = vecs {0, 2, 3}: mean dim1 = (0+1+0)/3, dim2 = (0+0+2)/3
+    assert by[(0, 1)].n_points == 3
+    assert abs(by[(0, 1)].coord - 1 / 3) < 1e-9
+    assert abs(by[(0, 2)].coord - 2 / 3) < 1e-9
+    # cluster 1 = vecs {1, 4}: mean = (9.5, 10)
+    assert by[(1, 1)].n_points == 2 and by[(1, 1)].coord == 9.5
+    assert by[(1, 2)].coord == 10.0
+
+
+def test_kmeans_step_equidistant_ties_to_lower_seed(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        kmeans_step,
+    )
+
+    # point 2 exactly between the seeds → assigned to seed 0 by tie-break
+    rows = [
+        (0, [0.0], 0),
+        (1, [2.0], 0),
+        (2, [1.0], 0),
+    ]
+    out = kmeans_step(spark.createDataFrame(rows, EMB_SCHEMA), k=2).collect()
+    sizes = {r.cluster: r.n_points for r in out}
+    assert sizes == {0: 2, 1: 1}

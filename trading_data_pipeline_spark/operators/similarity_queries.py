@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.quantize import q as _q
@@ -638,3 +638,223 @@ def top_principal_direction(
 )
 def q_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_principal_direction(load(spark, sf_dir, "embeddings"))
+
+
+SIL_SCALE = 10**6
+KMEANS_K = 8
+
+
+def _comps(emb: DataFrame, scale: int = CC_SCALE):
+    """(vec_id, label, d, qx): integer-fixed per-dimension components —
+    the shared explode the centroid family builds on."""
+    x = F.floor(
+        F.element_at(F.col("embedding").cast("array<double>"), F.col("d"))
+        * scale
+        + F.lit(0.5)
+    ).cast("long")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.sequence(F.lit(1), F.size("embedding").cast("int"))
+        ).alias("d"),
+        "embedding",
+    ).select("vec_id", "label", "d", x.alias("qx"))
+
+
+def silhouette_by_label(emb: DataFrame) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each point,
+    a = distance² to its own label centroid, b = min distance² to any
+    other centroid, s = (b − a)/max(a, b) ∈ [−1, 1].
+
+    Exactness: distances are the centroid_classify integer numerators
+    ``Σ_d (n·qx − S)² / n²`` — exact-operand double quotients — and
+    per-point s is fixed to 1e-6 BIGINTs before the per-label MEAN, so
+    nothing float ever accumulates. The full-pairwise silhouette is
+    O(n²); the centroid form is the one that survives 100 TB (one
+    explode + a |labels|-bounded join).
+    """
+    comps = _comps(emb)
+    cents = comps.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        comps.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("qx") - F.col("s"))
+                * (F.col("n") * F.col("qx") - F.col("s"))
+            ).alias("num"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (F.col("num") / (F.col("n") * F.col("n"))).alias("dist"),
+        )
+    )
+    per_point = scored.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    # explicit NULL guard: a degenerate single-label corpus has b = NULL,
+    # where Spark's greatest() skips NULLs but DuckDB's returns NULL —
+    # pin s = 0.0 on both engines instead of relying on either.
+    s = F.when(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.greatest("a", "b") > 0),
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    sq = F.floor(s * SIL_SCALE + F.lit(0.5)).cast("long")
+    return (
+        per_point.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("sq").alias("ssum"))
+        .select(
+            "label",
+            "n_vecs",
+            (F.col("ssum") / (F.col("n_vecs") * F.lit(SIL_SCALE))).alias(
+                "silhouette"
+            ),
+        )
+    )
+
+
+@register(
+    "q_silhouette",
+    f"""
+    WITH comps AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CC_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), cents AS (
+      SELECT label AS c_label, d, CAST(sum(qx) AS BIGINT) AS s,
+             count(*) AS n
+      FROM comps GROUP BY 1, 2
+    ), scored AS (
+      SELECT comps.vec_id, comps.label, cents.c_label,
+             CAST(sum((cents.n * comps.qx - cents.s)
+                      * (cents.n * comps.qx - cents.s)) AS BIGINT)
+               / (min(cents.n) * min(cents.n)) AS dist
+      FROM comps JOIN cents USING (d)
+      GROUP BY 1, 2, 3
+    ), pp AS (
+      SELECT vec_id, label,
+             min(CASE WHEN c_label = label THEN dist END) AS a,
+             min(CASE WHEN c_label <> label THEN dist END) AS b
+      FROM scored GROUP BY 1, 2
+    ), sq AS (
+      SELECT label,
+             CAST(floor(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                              AND greatest(a, b) > 0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0.0 END * {SIL_SCALE} + 0.5)
+                  AS BIGINT) AS sq
+      FROM pp
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sq) AS BIGINT) / (count(*) * {SIL_SCALE})
+             AS silhouette
+    FROM sq GROUP BY label
+    """,
+    doc="Simplified (centroid-distance) silhouette per label — cluster "
+    "cohesion vs nearest-other-centroid separation, (b−a)/max(a,b). "
+    "Integer distance numerators, per-point scores fixed to 1e-6 "
+    "BIGINTs before the mean; the O(n²) pairwise form reduced to one "
+    "explode + a |labels|-bounded broadcast join",
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silhouette_by_label(load(spark, sf_dir, "embeddings"))
+
+
+def kmeans_step(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One exact Lloyd iteration from deterministic seeds (the k lowest
+    vec_ids): assign every point to its nearest seed by EXACT integer
+    squared distance (seeds are single vectors, so Σ(qx−qs)² needs no
+    division at all), then emit the new per-cluster centroids as
+    integer-fixed means — (cluster, d, coord, n_points) rows.
+
+    The distributed-iterative-ML shape: seeds broadcast (k·dims rows),
+    points never pairwise-join, one exchange for assignment + one for
+    the re-mean. A full k-means is this step in a driver loop over a
+    cached comps frame.
+    """
+    comps = _comps(emb)
+    seeds = comps.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("seed"), F.col("d").alias("sd"),
+        F.col("qx").alias("qs"),
+    )
+    assign = (
+        comps.join(
+            F.broadcast(seeds), F.col("d") == F.col("sd")
+        )
+        .groupBy("vec_id", "seed")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("qs")) * (F.col("qx") - F.col("qs"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("seed"))
+    best = (
+        assign.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", F.col("seed").alias("cluster"))
+    )
+    return (
+        comps.join(best, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "d",
+            (F.col("s") / (F.col("n") * F.lit(CC_SCALE))).alias("coord"),
+            F.col("n").alias("n_points"),
+        )
+    )
+
+
+@register(
+    "q_kmeans_step",
+    f"""
+    WITH comps AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CC_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed, d AS sd, qx AS qs FROM comps
+      WHERE vec_id < {KMEANS_K}
+    ), assign AS (
+      SELECT comps.vec_id, seeds.seed,
+             CAST(sum((comps.qx - seeds.qs) * (comps.qx - seeds.qs))
+                  AS BIGINT) AS dist2
+      FROM comps JOIN seeds ON comps.d = seeds.sd
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT vec_id, seed AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, seed) AS r
+        FROM assign
+      ) WHERE r = 1
+    )
+    SELECT best.cluster, comps.d,
+           CAST(sum(comps.qx) AS BIGINT)
+             / (count(*) * {CC_SCALE}) AS coord,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM comps JOIN best USING (vec_id)
+    GROUP BY 1, 2
+    """,
+    doc="One exact Lloyd (k-means) iteration from the k lowest vec_ids "
+    "as seeds: all-integer squared-distance argmin (tie-broken on seed "
+    "id), new centroids as integer-fixed means — (cluster, dim, coord, "
+    "n). Seeds broadcast; points never pairwise-join",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_step(load(spark, sf_dir, "embeddings"))
