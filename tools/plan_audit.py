@@ -64,6 +64,8 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_walk_forward",     # ≤N_FOLDS fold rows broadcast into the range join
     "q_referential_integrity",  # 1-row count × 1-row orphan count per FK edge
     "q_degree_hist",      # 1-row node-total broadcast for the share ratio
+    "q_chi_square",       # 1-row (T, |r|, |c|) totals broadcast onto the
+                          # |r|×|c| cell table for expected counts
 }
 
 
