@@ -236,3 +236,43 @@ def test_python_source_zero_rows_is_empty_not_an_error(spark):
         spark.read.format("synthetic_events").option("rows", 0).load()
     )
     assert df.count() == 0
+
+
+def test_python_source_streaming_batches_and_restart(spark, tmp_path):
+    """The Spark-4 simpleStreamReader contract: trigger-once micro-batches
+    advance the committed offset; a restart from the same checkpoint
+    continues at the NEXT row index (no replays, no gaps) and the rows
+    match the deterministic row formula."""
+    from trading_data_pipeline_spark.sources.python_source import (
+        register_python_source,
+        row_at,
+    )
+
+    register_python_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in first) == list(range(50))
+
+    run_once()  # restart from the checkpoint → rows 50..99 appended
+    both = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in both) == list(range(100))
+    by_id = {r.event_id: r for r in both}
+    for i in (0, 49, 50, 99):
+        eid, user, etype, val = row_at(i)
+        r = by_id[i]
+        assert (r.user_id, r.event_type, r.value) == (user, etype, val)

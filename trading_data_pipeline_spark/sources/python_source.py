@@ -19,7 +19,12 @@ different partition counts all yield the same table.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Knuth multiplicative constants — small enough that i * A stays in int64
 # for any row count this source will see (A * 2^40 < 2^63).
@@ -79,7 +84,35 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_python_source(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming form of the same generator (Spark 4
+    ``simpleStreamReader`` contract): the offset is the next row index,
+    each micro-batch emits the next ``rows_per_batch`` rows, and
+    ``readBetweenOffsets`` regenerates any committed range bit-identically
+    (row ``i`` is a pure function of ``i``) — which is exactly the
+    replayability Structured Streaming needs from a source for
+    end-to-end exactly-once.
+    """
+
+    def __init__(self, options: dict):
+        self.per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = lo + self.per_batch
+        return iter([row_at(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_at(i) for i in range(int(start["i"]), int(end["i"]))])
