@@ -1107,3 +1107,59 @@ def test_streaming_obv_equals_batch_for_finalized_days(spark, staged_events):
     )
     got = {tuple(r) for r in got_df.collect()}
     assert got == want and want
+
+
+def _vwap_batch_truth(spark, staged_events):
+    ev = spark.read.parquet(staged_events)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    qty = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    batch = (
+        ev.select("event_type", (cents * qty).alias("pv"), qty.alias("q"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("q").alias("total_vol"),
+            (F.sum("pv") / (F.sum("q") * 100.0)).alias("vwap"),
+        )
+    )
+    return {r.event_type: tuple(r) for r in batch.collect()}
+
+
+def _latest_per_key(rows):
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.n_events > latest[r.event_type].n_events:
+            latest[r.event_type] = r
+    return {k: tuple(v) for k, v in latest.items()}
+
+
+def test_vwap_stream_fallback_equals_batch(spark, staged_events):
+    """applyInPandasWithState path: last-emitted running VWAP per type is
+    bit-identical to the batch integer-sum computation."""
+    from trading_data_pipeline_spark.streaming.stateful import vwap_stream
+
+    want = _vwap_batch_truth(spark, staged_events)
+    got_df = run_to_completion(
+        vwap_stream(stream_events(spark, staged_events), use_tws=False),
+        "t_vwap_fb", "update", spark,
+    )
+    assert _latest_per_key(got_df.collect()) == want and want
+
+
+def test_vwap_stream_tws_equals_batch(spark, staged_events):
+    """transformWithStateInPandas path — runs only where the runtime has
+    google.protobuf (the TWS state-server protocol dependency)."""
+    from trading_data_pipeline_spark.streaming.stateful import (
+        has_tws_support,
+        vwap_stream,
+    )
+
+    if not has_tws_support():
+        pytest.skip("google.protobuf absent — transformWithStateInPandas "
+                    "driver worker cannot start on this runtime")
+    want = _vwap_batch_truth(spark, staged_events)
+    got_df = run_to_completion(
+        vwap_stream(stream_events(spark, staged_events), use_tws=True),
+        "t_vwap_tws", "update", spark,
+    )
+    assert _latest_per_key(got_df.collect()) == want and want
