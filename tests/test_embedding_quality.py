@@ -96,3 +96,44 @@ def test_kmeans_step_equidistant_ties_to_lower_seed(spark):
     out = kmeans_step(spark.createDataFrame(rows, EMB_SCHEMA), k=2).collect()
     sizes = {r.cluster: r.n_points for r in out}
     assert sizes == {0: 2, 1: 1}
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        semantic_dedup,
+    )
+
+    # seeds = ids 0,1 (k=2). id 2 is a near-copy of id 0 (same direction,
+    # scaled) → cosine 1 → dropped; id 3 is orthogonal → kept.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [2.0, 0.0], 0),   # cos(0,2) = 1 → dup of 0
+        (3, [0.0, 3.0], 1),   # cos(1,3) = 1 → dup of 1
+        (4, [1.0, 1.0], 0),   # cos ≈ .707 > .45 vs both... cluster-bound
+    ]
+    out = {r.vec_id: r for r in semantic_dedup(
+        spark.createDataFrame(rows, EMB_SCHEMA), k=2
+    ).collect()}
+    assert len(out) == 5  # one row per vector, kept or not
+    assert out[0].kept == 1 and out[1].kept == 1  # lowest ids survive
+    assert out[2].kept == 0 and out[3].kept == 0
+    # id 4 ties to cluster 0 (equidistant → lower seed); cos(0,4) ≈ .707
+    # ≥ .45 → dropped as well
+    assert out[4].cluster == 0 and out[4].kept == 0
+
+
+def test_semantic_dedup_high_tau_keeps_everything(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [0.8, 0.6], 0),
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, EMB_SCHEMA), k=2, tau_q=999_999
+    ).collect()
+    assert all(r.kept == 1 for r in out)

@@ -772,19 +772,11 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_by_label(load(spark, sf_dir, "embeddings"))
 
 
-def kmeans_step(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
-    """One exact Lloyd iteration from deterministic seeds (the k lowest
-    vec_ids): assign every point to its nearest seed by EXACT integer
-    squared distance (seeds are single vectors, so Σ(qx−qs)² needs no
-    division at all), then emit the new per-cluster centroids as
-    integer-fixed means — (cluster, d, coord, n_points) rows.
-
-    The distributed-iterative-ML shape: seeds broadcast (k·dims rows),
-    points never pairwise-join, one exchange for assignment + one for
-    the re-mean. A full k-means is this step in a driver loop over a
-    cached comps frame.
-    """
-    comps = _comps(emb)
+def assign_clusters(comps: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """(vec_id, cluster): nearest of the k lowest-vec_id seed vectors by
+    EXACT integer squared distance (ties to the lower seed). Shared by
+    kmeans_step and semantic_dedup — seeds broadcast, no pairwise
+    point join."""
     seeds = comps.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("seed"), F.col("d").alias("sd"),
         F.col("qx").alias("qs"),
@@ -801,11 +793,27 @@ def kmeans_step(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("seed"))
-    best = (
+    return (
         assign.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("vec_id", F.col("seed").alias("cluster"))
     )
+
+
+def kmeans_step(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One exact Lloyd iteration from deterministic seeds (the k lowest
+    vec_ids): assign every point to its nearest seed by EXACT integer
+    squared distance (seeds are single vectors, so Σ(qx−qs)² needs no
+    division at all), then emit the new per-cluster centroids as
+    integer-fixed means — (cluster, d, coord, n_points) rows.
+
+    The distributed-iterative-ML shape: seeds broadcast (k·dims rows),
+    points never pairwise-join, one exchange for assignment + one for
+    the re-mean. A full k-means is this step in a driver loop over a
+    cached comps frame.
+    """
+    comps = _comps(emb)
+    best = assign_clusters(comps, k)
     return (
         comps.join(best, "vec_id")
         .groupBy("cluster", "d")
@@ -858,3 +866,146 @@ def kmeans_step(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
 )
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(load(spark, sf_dir, "embeddings"))
+
+
+SEM_TAU_Q = 450_000  # cosine ≥ 0.45 at 1e-6 quantization
+SEM_COS_SCALE = 10**6
+
+
+def semantic_dedup(
+    emb: DataFrame, k: int = KMEANS_K, tau_q: int = SEM_TAU_Q
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then inside each cluster
+    drop every vector that has a LOWER-id neighbour with cosine ≥ τ —
+    the quadratic pairwise step is bounded to Σ|cluster|² instead of n².
+
+    Pipeline: integer-quantized vectors → :func:`assign_clusters`
+    (exact seed distances) → within-cluster (a.id < b.id) self-join with
+    the dot product computed JVM-side via ``zip_with``/``aggregate``
+    over the quantized arrays (exact BIGINT — no per-dimension explode
+    on the pair join) → cosine fixed to 1e-6 before the threshold.
+    Output: one row per vector (vec_id, cluster, kept).
+    """
+    qarr = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * CC_SCALE + F.lit(0.5)).cast("long"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("qa"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = (
+        emb.select("vec_id", qarr.alias("qa"))
+        .withColumn("sxx", sq)
+        .join(assign_clusters(_comps(emb), k), "vec_id")
+    )
+    a = base.select(
+        F.col("vec_id").alias("ia"), F.col("qa").alias("qa_a"),
+        F.col("sxx").alias("sxx_a"), "cluster",
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"), F.col("qa").alias("qa_b"),
+        F.col("sxx").alias("sxx_b"), "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with("qa_a", "qa_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ib",
+            dot.alias("sxy"),
+            F.col("sxx_a"),
+            F.col("sxx_b"),
+        )
+    )
+    cos_q = F.floor(
+        F.col("sxy")
+        / (F.sqrt(F.col("sxx_a").cast("double"))
+           * F.sqrt(F.col("sxx_b").cast("double")))
+        * SEM_COS_SCALE
+        + F.lit(0.5)
+    )
+    dups = (
+        pairs.filter(
+            (F.col("sxx_a") > 0)
+            & (F.col("sxx_b") > 0)
+            & (F.col("sxy") > 0)
+            & (cos_q >= tau_q)
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    # ONE outer join with a flag (an anti+semi union would execute the
+    # whole upstream pipeline twice)
+    return base.join(
+        dups.withColumn("_dup", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    f"""
+    WITH comps AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CC_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed, d AS sd, qx AS qs FROM comps
+      WHERE vec_id < {KMEANS_K}
+    ), assign AS (
+      SELECT comps.vec_id, seeds.seed,
+             CAST(sum((comps.qx - seeds.qs) * (comps.qx - seeds.qs))
+                  AS BIGINT) AS dist2
+      FROM comps JOIN seeds ON comps.d = seeds.sd
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT vec_id, seed AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, seed) AS r
+        FROM assign
+      ) WHERE r = 1
+    ), norms AS (
+      SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS sxx
+      FROM comps GROUP BY vec_id
+    ), pairs AS (
+      SELECT b.vec_id AS ib,
+             CAST(sum(ca.qx * cb.qx) AS BIGINT) AS sxy,
+             min(na.sxx) AS sxx_a, min(nb.sxx) AS sxx_b
+      FROM comps ca
+      JOIN comps cb ON ca.d = cb.d AND ca.vec_id < cb.vec_id
+      JOIN best a ON a.vec_id = ca.vec_id
+      JOIN best b ON b.vec_id = cb.vec_id AND a.cluster = b.cluster
+      JOIN norms na ON na.vec_id = ca.vec_id
+      JOIN norms nb ON nb.vec_id = cb.vec_id
+      GROUP BY 1, ca.vec_id
+    ), dups AS (
+      SELECT DISTINCT ib AS vec_id FROM pairs
+      WHERE sxx_a > 0 AND sxx_b > 0 AND sxy > 0
+        AND floor(sxy / (sqrt(CAST(sxx_a AS DOUBLE))
+                         * sqrt(CAST(sxx_b AS DOUBLE)))
+                  * {SEM_COS_SCALE} + 0.5) >= {SEM_TAU_Q}
+    )
+    SELECT best.vec_id, best.cluster,
+           CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM best LEFT JOIN dups USING (vec_id)
+    """,
+    doc="SemDeDup (arXiv:2303.09540): k-means-cluster the embeddings, "
+    "then drop within-cluster vectors with a lower-id cosine-0.45 "
+    "neighbour — pairwise cost bounded to sum(|cluster|^2), dot "
+    "products exact BIGINT zip_with/aggregate folds (no per-dim "
+    "explode on the pair join), cosine fixed to 1e-6 at the threshold",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
