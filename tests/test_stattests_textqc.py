@@ -207,3 +207,89 @@ def test_ngram_novelty_short_docs_produce_no_grams(spark):
     rows = {r.source: r for r in ngram_novelty(docs).collect()}
     assert "a_src" not in rows  # <8 tokens → no grams at all
     assert rows["b_src"].n_grams == 1
+
+
+def test_encoding_qc_flags_dirty_docs(spark):
+    from trading_data_pipeline_spark.operators.textqc_queries import (
+        encoding_qc,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("s1", "clean ascii text"),
+            ("s1", "bad � decode"),
+            ("s1", "ctrl\x01char"),
+            ("s2", "café naïve"),  # 2 non-ascii chars
+        ],
+    )
+    rows = {r.source: r for r in encoding_qc(docs).collect()}
+    assert rows["s1"].n_docs == 3
+    assert rows["s1"].n_replacement == 1
+    assert rows["s1"].n_control == 1
+    assert rows["s1"].n_non_ascii_chars == 1  # the U+FFFD itself
+    assert rows["s2"].n_non_ascii_chars == 2
+
+
+def test_encoding_qc_tabs_newlines_are_clean(spark):
+    from trading_data_pipeline_spark.operators.textqc_queries import (
+        encoding_qc,
+    )
+
+    docs = _docs(spark, [("s1", "line one\nline\ttwo\r")])
+    [r] = encoding_qc(docs).collect()
+    assert r.n_control == 0 and r.n_replacement == 0
+
+
+def test_readability_hand_computed(spark):
+    import math
+
+    from trading_data_pipeline_spark.operators.textqc_queries import (
+        FLESCH_SCALE,
+        readability,
+    )
+
+    # "the cat sat." → words 3, sentences 1, vowel groups: e, a, a = 3
+    docs = _docs(spark, [("s1", "the cat sat.")])
+    [r] = readability(docs).collect()
+    f = 206.835 - 1.015 * (3 / 1) - 84.6 * (3 / 3)
+    assert r.n_docs == 1 and r.total_words == 3
+    assert r.flesch_mean == math.floor(f * FLESCH_SCALE + 0.5) / FLESCH_SCALE
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    from trading_data_pipeline_spark.operators.retrieval_queries import (
+        RRF_K,
+        hybrid_rrf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "s", 10),
+            (1, "alpha beta gamma delta", "en", "s", 10),  # best text
+            (2, "zz yy xx", "en", "s", 10),                # no overlap
+            (3, "alpha qq rr", "en", "s", 10),
+        ],
+        DOC_SCHEMA,
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),   # orthogonal to query
+            (2, [1.0, 0.1], 0),   # best vector
+            (3, [0.5, 0.5], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.doc_id: r for r in hybrid_rrf(docs, emb, pool=3).collect()}
+    # text arm: 1 (overlap 3) > 3 (overlap 1) > 2 (0)
+    assert out[1].r_text == 1 and out[3].r_text == 2 and out[2].r_text == 3
+    # vector arm: 2 > 3 > 1
+    assert out[2].r_vec == 1 and out[3].r_vec == 2 and out[1].r_vec == 3
+    # 1/(K+r) is convex: the (1st, 3rd) pairs edge out the (2nd, 2nd)
+    # pair — 1/61 + 1/63 > 2/62
+    assert out[1].rrf > out[3].rrf and out[2].rrf > out[3].rrf
+    assert out[1].rrf == out[2].rrf  # symmetric rank pairs tie
+    assert out[1].rrf == math.floor(
+        (1 / (RRF_K + 1) + 1 / (RRF_K + 3)) * 10**9 + 0.5
+    ) / 10**9

@@ -252,3 +252,121 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+FLESCH_SCALE = 10**4
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def encoding_qc(docs: DataFrame) -> DataFrame:
+    """Per-source encoding hygiene: documents containing U+FFFD
+    replacement characters (the scar mojibake leaves after a bad decode),
+    raw C0 control characters (minus \\t\\n\\r), and the total count of
+    non-ASCII characters. Pure narrow string expressions — zero
+    Python, one aggregation exchange."""
+    has_repl = F.contains("text", F.lit("�")).cast("int")
+    has_ctrl = F.col("text").rlike(_CTRL_RE).cast("int")
+    n_non_ascii = F.length(
+        F.regexp_replace("text", r"[\x00-\x7f]", "")
+    )
+    return (
+        docs.select(
+            "source",
+            has_repl.alias("r"),
+            has_ctrl.alias("c"),
+            n_non_ascii.alias("na"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r").alias("n_replacement"),
+            F.sum("c").alias("n_control"),
+            F.sum("na").alias("n_non_ascii_chars"),
+        )
+    )
+
+
+@register(
+    "q_encoding_qc",
+    r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, chr(65533))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+           CAST(sum(CASE WHEN regexp_matches(text,
+                         '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(sum(length(regexp_replace(text, '[\x00-\x7f]', '', 'g')))
+                AS BIGINT) AS n_non_ascii_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source encoding hygiene screen: U+FFFD replacement-char "
+    "docs (mojibake scars), raw C0 control chars, non-ASCII char "
+    "volume — the decode-quality gate before any text op. Narrow "
+    "string expressions, one exchange",
+)
+def q_encoding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encoding_qc(load(spark, sf_dir, "documents"))
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Per-source mean Flesch reading ease with the classic vowel-group
+    syllable heuristic. Per-doc scores are fixed to 1e-4 BIGINTs before
+    the per-source mean (integer sum, one division) — no float
+    accumulation. Counts come from the same RE2/Java-compatible
+    character-class regexes on both engines."""
+    words = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")), F.lit(0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double"))
+    )
+    fq = F.floor(flesch * FLESCH_SCALE + F.lit(0.5)).cast("long")
+    return (
+        docs.filter(words > 0)
+        .select("source", fq.alias("fq"), words.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("total_words"),
+            (
+                F.sum("fq") / (F.count(F.lit(1)) * F.lit(FLESCH_SCALE))
+            ).alias("flesch_mean"),
+        )
+    )
+
+
+@register(
+    "q_readability",
+    f"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+      FROM documents
+    ), f AS (
+      SELECT source, w,
+             CAST(floor((206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                         - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))
+                        * {FLESCH_SCALE} + 0.5) AS BIGINT) AS fq
+      FROM d WHERE w > 0
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(sum(fq) AS BIGINT) / (count(*) * {FLESCH_SCALE})
+             AS flesch_mean
+    FROM f GROUP BY source
+    """,
+    doc="Per-source mean Flesch reading ease (vowel-group syllable "
+    "heuristic; sentence floor 1) — per-doc scores fixed to 1e-4 "
+    "BIGINTs before the mean so nothing float accumulates. The "
+    "complexity-mix gate for corpus curation",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability(load(spark, sf_dir, "documents"))
