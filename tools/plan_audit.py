@@ -66,6 +66,10 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_degree_hist",      # 1-row node-total broadcast for the share ratio
     "q_chi_square",       # 1-row (T, |r|, |c|) totals broadcast onto the
                           # |r|×|c| cell table for expected counts
+    "q_bm25",             # 1-row (N, T) corpus stats broadcast onto the
+                          # query-token hit table
+    "q_retrieval_eval",   # bounded 1/qmod holdout broadcast (the
+                          # q_knn_eval / q_hard_negatives eval-probe shape)
 }
 
 

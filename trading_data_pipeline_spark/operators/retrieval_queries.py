@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..functions.vector import cosine_similarity
 from ..registry import load, register
 
@@ -160,3 +161,291 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(
         load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
     )
+
+
+# ----------------------------------------------------------- BM25 (lexical)
+
+# Rational BM25: the Robertson tf-saturation term with k1 = 6/5 and
+# b = 3/4, paired with the RAW (log-free) RSJ idf (N - df + ½)/(df + ½).
+# Dropping the log keeps every cross-row quantity an exact integer ratio
+# (the q_bigram_lm discipline: ln() is the one libm call whose last-ulp
+# rounding can differ between DuckDB and the JVM; integer division
+# cannot), at the cost of weighting rare terms more steeply than classic
+# BM25 — a documented, monotone-per-term member of the BM25 family.
+#
+# With avgdl = T/N (T = corpus token count) the per-term score
+#     idf_r · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# multiplies out to the single integer ratio
+#     44·T·tf·(2N − 2df + 1)  /  (20·T·tf + 6·T + 18·dl·N)·(2df + 1)
+# fixed to 1e-5 by INTEGER division per term, so the per-doc sum is
+# order-free. BIGINT-safe while 44·T·tf·2N·SCALE < 2^63 (≈ sf 1 for this
+# corpus); past that the numerator needs DECIMAL(38,0) — the formula is
+# unchanged.
+BM25_QUERY = ("spark", "join", "window", "vector", "shuffle")
+BM25_TOP = 15
+BM25_SCALE = 100_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_tokens: tuple[str, ...] = BM25_QUERY,
+    top: int = BM25_TOP,
+) -> DataFrame:
+    """Top-k documents for a fixed token query under rational BM25.
+
+    One exchange on (doc_id, tok) for tf, a query-bounded df aggregate,
+    a 1-row corpus-stats join (broadcast by AQE), and a
+    TakeOrderedAndProject top-k — no global sort, no window over the
+    corpus."""
+    tk = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", F.size(tk).alias("dl"), tk.alias("tk"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+    )
+    hits = (
+        base.select("doc_id", "dl", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(*query_tokens))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    num = (
+        F.lit(44)
+        * F.col("t_tokens")
+        * F.col("tf")
+        * (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+        * F.lit(BM25_SCALE)
+    )
+    den = (
+        F.lit(20) * F.col("t_tokens") * F.col("tf")
+        + F.lit(6) * F.col("t_tokens")
+        + F.lit(18) * F.col("dl") * F.col("n_docs")
+    ) * (F.lit(2) * F.col("df") + F.lit(1))
+    scored = (
+        hits.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", num.alias("_n"), den.alias("_d"))
+        .select("doc_id", F.expr("_n div _d").alias("_p"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.sum("_p") / BM25_SCALE).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
+_BM25_TOKS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "q_bm25",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM base
+    ), hits AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(tk) AS tok FROM base)
+      WHERE tok IN ({_BM25_TOKS_SQL})
+      GROUP BY doc_id, dl, tok
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok
+    ), scored AS (
+      SELECT h.doc_id,
+             (44 * s.t_tokens * h.tf
+              * (2 * s.n_docs - 2 * d.df + 1) * {BM25_SCALE})
+             // ((20 * s.t_tokens * h.tf + 6 * s.t_tokens
+                  + 18 * h.dl * s.n_docs) * (2 * d.df + 1)) AS _p
+      FROM hits h JOIN dfreq d USING (tok), stats s
+    )
+    SELECT doc_id, CAST(sum(_p) AS BIGINT) / {BM25_SCALE}.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    doc="Rational BM25 lexical retrieval (k1=1.2, b=0.75, log-free RSJ "
+    "idf): the per-term score multiplies out to one exact integer ratio "
+    "fixed to 1e-5 by INTEGER division, so the per-doc sum is order-free "
+    "and bit-identical across engines — no ln(), no float accumulation. "
+    "One (doc, tok) exchange for tf, a query-bounded df aggregate, a "
+    "1-row stats cross join, TakeOrderedAndProject top-k",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- retrieval-quality evaluation
+
+# MAP@K / MRR of the cosine arm against same-label relevance — the
+# log-free IR metrics (NDCG's log2 discount would cross the libm
+# boundary; average precision and reciprocal rank are exact rationals).
+EVAL_QMOD = 50   # every 50th vector is a held-out query
+EVAL_K = 10
+EVAL_SCALE = 10**9
+
+
+def retrieval_eval(
+    emb: DataFrame,
+    qmod: int = EVAL_QMOD,
+    k: int = EVAL_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query MAP@k and MRR@k of brute-force cosine retrieval, with
+    relevance = "candidate shares the query's label".
+
+    Same bounded eval-probe shape as ``knn_label_eval``: the 1/qmod
+    holdout broadcasts into a corpus-side scoring pass (the corpus never
+    shuffles); the per-query rank window runs after a rank-limit
+    pushdown on the single qid exchange. Precision@i terms fix to
+    integers (``(hits·S) div i``) before the order-free per-query sum;
+    the one double division per metric happens on exact operands.
+    AP@k normalizes by min(R, k), R = relevant corpus rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    queries = emb.filter(F.col(id_col) % qmod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    corpus = emb.filter(F.col(id_col) % qmod != 0).select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        label_col,
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "qlabel",
+        id_col,
+        label_col,
+        F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
+            "_sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
+    ranked = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .withColumn("rel", (F.col(label_col) == F.col("qlabel")).cast("long"))
+    )
+    wc = (
+        Window.partitionBy("qid")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = ranked.withColumn("hits", F.sum("rel").over(wc)).select(
+        "qid",
+        "qlabel",
+        "_r",
+        "rel",
+        (
+            F.col("rel")
+            * F.expr(f"(hits * CAST({EVAL_SCALE} AS BIGINT)) div _r")
+        ).alias("_ap_term"),
+        F.when(F.col("rel") == 1, F.col("_r")).alias("_hit_rank"),
+    )
+    rel_counts = corpus.groupBy(F.col(label_col).alias("qlabel")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    per_q = terms.groupBy("qid", "qlabel").agg(
+        F.sum("_ap_term").alias("_ap_sum"),
+        F.min("_hit_rank").alias("_first_hit"),
+        F.sum("rel").alias("n_hits"),
+    )
+    return (
+        per_q.join(F.broadcast(rel_counts), "qlabel", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+        .select(
+            "qid",
+            "n_hits",
+            F.least(F.col("n_rel"), F.lit(k)).alias("n_rel_k"),
+            # R = 0 means AP is undefined (no relevant doc exists):
+            # report 0.0, never a 0/0 (NULL-vs-NaN across engines)
+            F.when(
+                F.col("n_rel") == 0, F.lit(0.0)
+            ).otherwise(
+                _q(
+                    F.col("_ap_sum")
+                    / F.least(F.col("n_rel"), F.lit(k))
+                    / EVAL_SCALE,
+                    1_000_000,
+                )
+            ).alias("ap"),
+            _q(
+                F.coalesce(1.0 / F.col("_first_hit"), F.lit(0.0)), 1_000_000
+            ).alias("rr"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "q_retrieval_eval",
+    f"""
+    WITH queries AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id % {EVAL_QMOD} = 0
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec, label
+      FROM embeddings WHERE vec_id % {EVAL_QMOD} <> 0
+    ), ranked AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             round(list_cosine_similarity(c.vec, q.qvec), 4) AS _sim,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 4)
+                          DESC, c.vec_id) AS _r
+      FROM corpus c, queries q
+      QUALIFY _r <= {EVAL_K}
+    ), terms AS (
+      SELECT qid, qlabel, _r,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             CASE WHEN label = qlabel THEN
+               (CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY qid ORDER BY _r
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                * {EVAL_SCALE}) // _r
+             ELSE 0 END AS _ap_term,
+             CASE WHEN label = qlabel THEN _r END AS _hit_rank
+      FROM ranked
+    ), rel_counts AS (
+      SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_rel
+      FROM corpus GROUP BY label
+    ), per_q AS (
+      SELECT qid, qlabel,
+             CAST(sum(_ap_term) AS BIGINT) AS _ap_sum,
+             min(_hit_rank) AS _first_hit,
+             CAST(sum(rel) AS BIGINT) AS n_hits
+      FROM terms GROUP BY qid, qlabel
+    )
+    SELECT p.qid, p.n_hits,
+           CAST(least(coalesce(r.n_rel, 0), {EVAL_K}) AS BIGINT) AS n_rel_k,
+           CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+                ELSE floor(p._ap_sum * 1.0 / least(r.n_rel, {EVAL_K})
+                           / {EVAL_SCALE} * 1000000 + 0.5) / 1000000
+           END AS ap,
+           floor(coalesce(1.0 / p._first_hit, 0.0) * 1000000 + 0.5)
+             / 1000000 AS rr
+    FROM per_q p LEFT JOIN rel_counts r USING (qlabel)
+    ORDER BY p.qid
+    """,
+    doc="Retrieval-quality eval: MAP@10 and MRR@10 of brute-force cosine "
+    "retrieval against same-label relevance — the log-free IR metrics "
+    "(AP and RR are exact rationals; NDCG's log2 discount would cross "
+    "the libm boundary). Broadcast holdout probe (corpus never "
+    "shuffles), rank-limit pushdown on the one qid exchange, "
+    "precision@i fixed to integers before the order-free sum",
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval_eval(load(spark, sf_dir, "embeddings"))
