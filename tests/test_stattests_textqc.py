@@ -293,3 +293,29 @@ def test_hybrid_rrf_fuses_both_arms(spark):
     assert out[1].rrf == math.floor(
         (1 / (RRF_K + 1) + 1 / (RRF_K + 3)) * 10**9 + 0.5
     ) / 10**9
+
+
+def test_tokenizer_fertility_hand_ratios_and_multibyte(spark):
+    """Two sources: plain ASCII vs multibyte — bytes/token must exceed
+    chars/token exactly where non-ASCII text appears."""
+    from trading_data_pipeline_spark.operators.textqc_queries import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab cd", "en", "ascii", 5),       # 2 toks, 5 chars, 5 bytes
+            (1, "abc", "en", "ascii", 3),          # 1 tok, 3 chars
+            (2, "héllo wörld", "de", "mb", 11),    # 2 toks, 11 chars, 13 bytes
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in tokenizer_fertility(docs).collect()}
+    a = out["ascii"]
+    assert a.n_docs == 2 and a.total_tokens == 3
+    assert a.chars_per_token == a.bytes_per_token == round(8 / 3, 4)
+    assert a.tokens_per_doc == 1.5
+    m = out["mb"]
+    assert m.chars_per_token == 5.5          # 11 chars / 2 tokens
+    assert m.bytes_per_token == 6.5          # é/ö are 2 UTF-8 bytes -> 13/2
+    assert m.bytes_per_token > m.chars_per_token

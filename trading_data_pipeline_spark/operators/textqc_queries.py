@@ -370,3 +370,72 @@ def readability(docs: DataFrame) -> DataFrame:
 )
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(load(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------- tokenizer fertility
+
+FERT_SCALE = 10_000  # 1e-4 fixing for the per-source ratios
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-source tokenizer fertility: bytes/token, chars/token and
+    tokens/doc for the whitespace tokenizer — THE table that decides
+    packing budgets and flags sources whose byte-per-token cost blows
+    the training budget (CJK, code, mojibake all surface here before a
+    real BPE run is paid for).
+
+    Zero-shuffle per-doc arithmetic (token count, char/byte lengths are
+    narrow expressions), one exchange on ``source``; the ratios divide
+    exact BIGINT sums and quantize 1e-4 — no float accumulation.
+    """
+    per_doc = docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("toks"),
+        F.length("text").alias("chars"),
+        F.octet_length("text").alias("bytes"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        _q(F.sum("chars") / F.sum("toks"), FERT_SCALE).alias(
+            "chars_per_token"
+        ),
+        _q(F.sum("bytes") / F.sum("toks"), FERT_SCALE).alias(
+            "bytes_per_token"
+        ),
+        _q(F.sum("toks") / F.count(F.lit(1)), FERT_SCALE).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@register(
+    "q_fertility",
+    f"""
+    WITH d AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS toks,
+             length(text) AS chars,
+             strlen(text) AS bytes
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           floor(CAST(sum(chars) AS BIGINT) * 1.0
+                 / CAST(sum(toks) AS BIGINT) * {FERT_SCALE} + 0.5)
+             / {FERT_SCALE} AS chars_per_token,
+           floor(CAST(sum(bytes) AS BIGINT) * 1.0
+                 / CAST(sum(toks) AS BIGINT) * {FERT_SCALE} + 0.5)
+             / {FERT_SCALE} AS bytes_per_token,
+           floor(CAST(sum(toks) AS BIGINT) * 1.0
+                 / count(*) * {FERT_SCALE} + 0.5)
+             / {FERT_SCALE} AS tokens_per_doc
+    FROM d GROUP BY source
+    """,
+    doc="Tokenizer-fertility audit per source: bytes/token, chars/token, "
+    "tokens/doc under the whitespace tokenizer — the packing-budget and "
+    "cost-anomaly table (CJK/code/mojibake sources surface as fertility "
+    "outliers). Exact BIGINT sums, 1e-4-fixed ratios, one exchange",
+)
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load(spark, sf_dir, "documents"))
