@@ -137,3 +137,32 @@ def test_semantic_dedup_high_tau_keeps_everything(spark):
         spark.createDataFrame(rows, EMB_SCHEMA), k=2, tau_q=999_999
     ).collect()
     assert all(r.kept == 1 for r in out)
+
+
+def test_pq_encode_hand_assignment_and_self_zero_error(spark):
+    """4-dim vectors, 2 subspaces of 2 dims, 2 codebook vectors (ids
+    0/1). Codebook members must encode to themselves with zero error;
+    a mixed vector picks the nearer sub-centroid per subspace
+    independently (the whole point of PQ)."""
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        pq_encode,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 1.0, 1.0, 1.0], 0),
+            # first half near code 0, second half near code 1
+            (2, [0.1, 0.0, 0.9, 1.0], 0),
+            # equidistant in subspace 0 -> tie breaks to code 0
+            (3, [0.5, 0.5, 1.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in pq_encode(emb, m=2, sub=2, k=2).collect()}
+    assert (out[0].code_s0, out[0].code_s1, out[0].total_err) == (0, 0, 0)
+    assert (out[1].code_s0, out[1].code_s1, out[1].total_err) == (1, 1, 0)
+    assert (out[2].code_s0, out[2].code_s1) == (0, 1)
+    # err = (0.1e6)^2 + 0 + (0.1e6)^2 + 0 exactly (integer components)
+    assert out[2].total_err == 2 * 100_000**2
+    assert (out[3].code_s0, out[3].code_s1) == (0, 1)

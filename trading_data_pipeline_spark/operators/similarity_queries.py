@@ -1009,3 +1009,114 @@ def semantic_dedup(
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------- product quantization encode
+
+# PQ (Jégou et al., PAMI 2011): split each vector into M contiguous
+# subvectors and replace each with the id of its nearest sub-codebook
+# centroid — 64 float dims become M small ints (here 4 bytes/vector, a
+# 64× compression) while distances stay approximable from tiny lookup
+# tables. This operator is the ENCODE pass; fitting better codebooks is
+# the per-subspace k-means loop that `kmeans_step` (E107) already
+# implements — here the codebook is pinned to the first PQ_K vectors'
+# subvectors so the assignment is deterministic and oracle-checkable.
+PQ_M = 4          # subspaces
+PQ_SUB = 16       # dims per subspace (64-dim corpus)
+PQ_K = 16         # codes per subspace
+PQ_SCALE = 1_000_000  # 1e-6 component fixing (the centroid_classify rule)
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Encode every vector as PQ_M sub-codebook assignments plus the
+    exact integer quantization error.
+
+    Exactness: components fix to 1e-6 integers, sub-distances are exact
+    BIGINT Σ(x−c)² (≤ 4·10¹²·16 per subspace — far under 2⁵³), and the
+    argmin tie-breaks on code — bit-identical on any engine, zero float
+    accumulation. Plan: one 64-way explode (narrow), a broadcast join
+    against the M·K-row codebook, one (vec, subspace, code) aggregate
+    and one per-(vec, subspace) argmin window — the heavy operand never
+    exceeds |corpus|·M·K rows, linear in the corpus at fixed M, K.
+    """
+    comps = emb.select(
+        id_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+    ).select(
+        id_col,
+        ((F.col("i")) / sub).cast("int").alias("s"),
+        F.col("i").alias("d"),
+        F.floor(F.col("v") * PQ_SCALE + 0.5).cast("long").alias("x"),
+    )
+    codebook = comps.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("code"), "d", F.col("x").alias("cx")
+    )
+    scored = (
+        comps.join(F.broadcast(codebook), "d")
+        .groupBy(id_col, "s", "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("dist"), F.asc("code"))
+    picked = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") == 1
+    )
+    agg = [
+        F.max(F.when(F.col("s") == i, F.col("code"))).alias(f"code_s{i}")
+        for i in range(m)
+    ]
+    return picked.groupBy(id_col).agg(
+        *agg, F.sum("dist").alias("total_err")
+    )
+
+
+@register(
+    "q_pq_encode",
+    f"""
+    WITH comps AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PQ_SCALE}
+                        + 0.5) AS BIGINT) AS x
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, CAST(d // {PQ_SUB} AS INT) AS s, d, x FROM comps
+    ), cb AS (
+      SELECT vec_id AS code, d, x AS cx FROM comps WHERE vec_id < {PQ_K}
+    ), scored AS (
+      SELECT t.vec_id, t.s, cb.code,
+             CAST(sum((t.x - cb.cx) * (t.x - cb.cx)) AS BIGINT) AS dist
+      FROM sub t JOIN cb USING (d)
+      GROUP BY 1, 2, 3
+    ), picked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY dist, code) AS r
+      FROM scored
+    )
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN code END) AS code_s0,
+           max(CASE WHEN s = 1 THEN code END) AS code_s1,
+           max(CASE WHEN s = 2 THEN code END) AS code_s2,
+           max(CASE WHEN s = 3 THEN code END) AS code_s3,
+           CAST(sum(dist) AS BIGINT) AS total_err
+    FROM picked WHERE r = 1 GROUP BY vec_id
+    """,
+    doc="Product-quantization encode (PAMI'11): 4 subspaces × 16 codes "
+    "over the 64-dim corpus, codebook pinned to the first 16 vectors "
+    "(fitting = per-subspace kmeans_step loops). 1e-6 integer "
+    "components, exact BIGINT sub-distances, code-tiebroken argmin — "
+    "bit-identical across engines; broadcast M·K-row codebook, cost "
+    "linear in the corpus",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode(load(spark, sf_dir, "embeddings"))
