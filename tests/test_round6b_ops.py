@@ -486,3 +486,29 @@ def test_principal_component_matches_numpy(spark, sf_dir):
     # direction matches up to sign; variance share matches the eigenvalue
     assert abs(abs(float(v @ top)) - 1.0) < 1e-6
     assert abs(share - w[-1] / w.sum()) < 1e-6
+
+
+def test_entity_canonical_star_collapse_and_isolates(spark):
+    """Chain A~B~C in one brand (A min): every member maps to A in one
+    round; an isolate maps to itself with 0 matches; a cross-brand
+    near-name does NOT match (blocking)."""
+    from trading_data_pipeline_spark.operators.dedup_queries import (
+        entity_canonical,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "widget alpha", "B1"),
+            (2, "widget alphb", "B1"),   # 1 edit from both 1 and 3
+            (3, "widget alphc", "B1"),   # 2 edits from 1, 1 from 2
+            (4, "widget alpha", "B2"),   # same name, other brand
+            (5, "completely different", "B1"),
+        ],
+        "p_partkey long, p_name string, p_brand string",
+    )
+    out = {r.key: r for r in entity_canonical(part).collect()}
+    assert out[1].canonical == 1 and out[1].n_matches == 2
+    assert out[2].canonical == 1 and out[2].n_matches == 2
+    assert out[3].canonical == 1 and out[3].n_matches == 2
+    assert out[4].canonical == 4 and out[4].n_matches == 0  # blocked away
+    assert out[5].canonical == 5 and out[5].n_matches == 0

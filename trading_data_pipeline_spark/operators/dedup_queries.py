@@ -317,3 +317,80 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_dedup_pairs(
         corpus, delta, index=idx, corpus_shingles=sh_c
     )
+
+
+# -------------------------------------------- entity canonicalization
+
+def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataFrame:
+    """One-step entity resolution over the fuzzy-match graph: every part
+    maps to ``canonical`` = the smallest key among its verified matches
+    (edit distance ≤ ``max_edits`` within its brand block) and itself —
+    the star-collapse a dedup pipeline applies after pairwise matching.
+
+    This is exactly ROUND 1 of :func:`dedup.dup_clusters`' min-label
+    propagation, kept to one round so the result is a closed-form SQL
+    expression (full transitive closure is the iterative, rows-only
+    ``q_dedup_clusters``); for match graphs that are stars around a
+    survivor — the common shape after blocking — one round IS the fixed
+    point. Plan: the q_fuzzy_join blocked self-join (length pre-filter
+    before the O(len²) DP), symmetrized, then one groupBy(key) min.
+    """
+    keyed = part.select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("blk"),
+    )
+    a = keyed.select(F.col("key").alias("ka"), F.col("name").alias("na"), "blk")
+    b = keyed.select(F.col("key").alias("kb"), F.col("name").alias("nb"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.abs(F.length("na") - F.length("nb")) <= max_edits)
+        .filter(F.levenshtein("na", "nb") <= max_edits)
+        .select("ka", "kb")
+    )
+    edges = (
+        pairs.select(F.col("ka").alias("key"), F.col("kb").alias("nb"))
+        .unionByName(
+            pairs.select(F.col("kb").alias("key"), F.col("ka").alias("nb"))
+        )
+        .unionByName(
+            keyed.select("key", F.col("key").alias("nb"))
+        )
+    )
+    return edges.groupBy("key").agg(
+        F.min("nb").alias("canonical"),
+        F.sum((F.col("nb") != F.col("key")).cast("long")).alias("n_matches"),
+    )
+
+
+@register(
+    "q_entity_canonical",
+    f"""
+    WITH pairs AS (
+      SELECT a.p_partkey AS ka, b.p_partkey AS kb
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_EDITS}
+        AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
+    ), edges AS (
+      SELECT ka AS key, kb AS nb FROM pairs
+      UNION ALL
+      SELECT kb AS key, ka AS nb FROM pairs
+      UNION ALL
+      SELECT p_partkey AS key, p_partkey AS nb FROM part
+    )
+    SELECT key, min(nb) AS canonical,
+           CAST(sum(CASE WHEN nb <> key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches
+    FROM edges GROUP BY key
+    """,
+    doc="Entity canonicalization: one star-collapse round of min-label "
+    "propagation over the brand-blocked levenshtein match graph — every "
+    "part maps to the smallest key among its verified fuzzy matches and "
+    "itself (round 1 of q_dedup_clusters' fixpoint, exact for the "
+    "star-shaped match graphs blocking produces). Integer edit "
+    "distances, one blocked self-join + one groupBy min",
+)
+def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_canonical(load(spark, sf_dir, "part"))
