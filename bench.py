@@ -141,6 +141,33 @@ EXTRAS = [
     "q_tail_tokens",
     "q_embedding_drift",
     "q_principal_component",
+    # round-6 microstructure / stattests / textqc / risk / retrieval
+    "q_realized_vol",
+    "q_roll_spread",
+    "q_kyle_lambda",
+    "q_amihud",
+    "q_weighted_median",
+    "q_ks_test",
+    "q_chi_square",
+    "q_spearman",
+    "q_ttr",
+    "q_token_coverage",
+    "q_ngram_novelty",
+    "q_encoding_qc",
+    "q_readability",
+    "q_silhouette",
+    "q_kmeans_step",
+    "q_var_es",
+    "q_sharpe",
+    "q_event_study",
+    "q_semantic_dedup",
+    "q_hybrid_rrf",
+    # round-6 continuation (this session)
+    "q_bm25",
+    "q_retrieval_eval",
+    "q_fertility",
+    "q_pq_encode",
+    "q_entity_canonical",
 ]
 
 RUNS = 3
