@@ -165,7 +165,11 @@ _PRIORITY_ROUND6: tuple[str, ...] = (
 # Composition: canaries; the 15 queries never driver-verified through
 # round 6; the 23 round-6 session additions (E70–E92); the 5 r5-red
 # HUGEINT-oracle queries whose fix needs a green driver row on record;
-# 5 bench-headline re-verification slots (each 3+ greens in r1–r5).
+# the 5 operators added late in round 6 (E115–E119) — these take the
+# slots originally staged for bench-headline re-verification: the
+# headline five each have 3+ green rows in r1–r5 AND run in every
+# BENCH_rN, while E115–E119 have no driver row at all, so the swap is
+# strictly more verification coverage.
 # At round-7 open, set ``_PRIORITY = _PRIORITY_ROUND7``.
 _PRIORITY_ROUND7: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
@@ -186,9 +190,9 @@ _PRIORITY_ROUND7: tuple[str, ...] = (
     # r5-red HUGEINT-oracle queries: fixed in round 6, need a green row
     "q_tpch_q12", "q_boilerplate", "q_domain_mix", "q_chunk_dedup",
     "q_sessionize",
-    # bench-headline re-verification
-    "q_tpch_q1", "q_join_multi", "q_tumbling_window", "q_asof_join",
-    "q_topk_cosine",
+    # round-6 late additions (E115–E119), never driver-verified
+    "q_bm25", "q_retrieval_eval", "q_fertility", "q_pq_encode",
+    "q_entity_canonical",
 )
 
 # ACTIVE round-6 driver window (applied at round-6 open per the staged
