@@ -147,3 +147,29 @@ def test_pps_sample_certainty_inclusion_hand_built(spark):
     )
     picks = {r.doc_id for r in pps_sample(docs, target=4).collect()}
     assert 99 in picks  # weight >= step → certain inclusion
+
+
+def test_mixture_weights_tau_half_upweights_small_sources(spark):
+    """Sources with 100 vs 10,000 tokens: raw shares 1/101 and 100/101,
+    but sqrt-weights 1/11 and 10/11 — the small source is upsampled
+    (factor > 1), the big one downsampled, and weights sum to 1."""
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 100-token doc and a 10,000-token doc (exact via repeat)
+            (0, " ".join(["w"] * 100), "en", "small", 100),
+            (1, " ".join(["w"] * 10000), "en", "big", 10000),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in mixture_weights(docs).collect()}
+    assert out["small"].toks == 100 and out["big"].toks == 10000
+    assert abs(out["small"].weight - 1 / 11) < 1e-6
+    assert abs(out["big"].weight - 10 / 11) < 1e-6
+    assert abs(out["small"].weight + out["big"].weight - 1.0) < 2e-9
+    assert out["small"].upsample > 1.0 > out["big"].upsample
+    # exact: upsample_small = (1/11)/(100/10100) = 9.1818...
+    assert abs(out["small"].upsample - (1 / 11) / (100 / 10100)) < 2e-6

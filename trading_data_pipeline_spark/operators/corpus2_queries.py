@@ -321,3 +321,87 @@ def tail_token_share(docs: DataFrame) -> DataFrame:
 )
 def q_tail_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tail_token_share(load(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- temperature mixture weights
+
+MIX_SCALE = 1_000_000       # 1e-6 fixing of sqrt(tokens) per source
+MIX_OUT = 10**9             # 1e-9 weight resolution
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-sampled source mixture weights at τ = ½ — the
+    standard up-weighting of small/rare sources when a multi-source
+    corpus is mixed into a training run (multilingual-LM style
+    p_i ∝ c_i^τ): w_i = √c_i / Σ_j √c_j over per-source token counts,
+    plus the raw share and the implied up/down-sampling factor.
+
+    τ is pinned to ½ because ``sqrt`` is the one power IEEE 754
+    requires to be correctly rounded — bit-identical on any engine —
+    while a general ``pow(x, 0.7)`` crosses the libm boundary (the
+    repo-wide no-transcendentals rule). √c fixes to a 1e-6 integer
+    before the order-free sum; each output is then a single exact-
+    operand double division. One exchange on ``source``; the weight
+    table is |sources| rows, broadcast-sized by construction.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    fixed = per_src.select(
+        "source",
+        "toks",
+        F.floor(F.sqrt(F.col("toks")) * MIX_SCALE + 0.5)
+        .cast("long")
+        .alias("_s"),
+    )
+    totals = fixed.agg(
+        F.sum("toks").alias("_t"), F.sum("_s").alias("_ss")
+    )
+    return (
+        fixed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "toks",
+            _q(F.col("toks") / F.col("_t"), MIX_OUT).alias("raw_share"),
+            _q(F.col("_s") / F.col("_ss"), MIX_OUT).alias("weight"),
+            _q(
+                (F.col("_s") / F.col("_ss")) / (F.col("toks") / F.col("_t")),
+                1_000_000,
+            ).alias("upsample"),
+        )
+    )
+
+
+@register(
+    "q_mixture_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), fixed AS (
+      SELECT source, toks,
+             CAST(floor(sqrt(toks) * {MIX_SCALE} + 0.5) AS BIGINT) AS _s
+      FROM per_src
+    ), totals AS (
+      SELECT CAST(sum(toks) AS BIGINT) AS _t,
+             CAST(sum(_s) AS BIGINT) AS _ss
+      FROM fixed
+    )
+    SELECT source, toks,
+           floor(toks * 1.0 / _t * {MIX_OUT} + 0.5) / {MIX_OUT}
+             AS raw_share,
+           floor(_s * 1.0 / _ss * {MIX_OUT} + 0.5) / {MIX_OUT} AS weight,
+           floor((_s * 1.0 / _ss) / (toks * 1.0 / _t) * 1000000 + 0.5)
+             / 1000000 AS upsample
+    FROM fixed, totals
+    """,
+    doc="Temperature-sampled source mixture weights (τ=½): "
+    "w_i = √tokens_i / Σ√tokens_j plus raw share and the implied "
+    "up/down-sampling factor — the multi-source mixing table of a "
+    "training-data pipeline. τ pinned to ½ because IEEE sqrt is "
+    "correctly rounded (bit-identical cross-engine) where pow(x,τ) is "
+    "not; √c fixed to 1e-6 integers before the order-free sum",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load(spark, sf_dir, "documents"))
