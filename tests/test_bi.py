@@ -207,3 +207,33 @@ def test_gini_empty_input_matches_oracle_shape(spark):
     )
     r = gini_concentration(empty).collect()
     assert len(r) == 1 and r[0].n_customers == 0 and r[0].gini is None
+
+
+def test_diff_in_diff_hand_2x2(spark):
+    """Constructed cells: control 10->12 (+2), treated 20->30 (+10);
+    DiD = +8. Means are exact (integer cents)."""
+    from trading_data_pipeline_spark.operators.bi_queries import diff_in_diff
+
+    rows = []
+    eid = 0
+    def add(uid, ts, v):
+        nonlocal eid
+        rows.append((eid, ts, uid, "purchase", v, "{}")); eid += 1
+    # control = even uid, treat = odd uid; split at 2024-01-16
+    for v in (9.0, 11.0):  add(2, "2024-01-10 00:00:00", v)   # ctrl pre mean 10
+    for v in (11.0, 13.0): add(2, "2024-01-20 00:00:00", v)   # ctrl post mean 12
+    for v in (19.0, 21.0): add(3, "2024-01-10 00:00:00", v)   # treat pre mean 20
+    for v in (29.0, 31.0): add(3, "2024-01-20 00:00:00", v)   # treat post mean 30
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    events = events.withColumn("ts", F.to_timestamp("ts"))
+    out = diff_in_diff(events).collect()[0]
+    assert out.ctrl_pre_mean == 10.0 and out.ctrl_post_mean == 12.0
+    assert out.treat_pre_mean == 20.0 and out.treat_post_mean == 30.0
+    assert out.did == 8.0
+    assert out.n_ctrl_pre == out.n_treat_post == 2

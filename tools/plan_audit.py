@@ -70,6 +70,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # query-token hit table
     "q_retrieval_eval",   # bounded 1/qmod holdout broadcast (the
                           # q_knn_eval / q_hard_negatives eval-probe shape)
+    "q_mixture_weights",  # 1-row (T, Σ√c) totals broadcast onto the
+                          # |sources|-row weight table
 }
 
 

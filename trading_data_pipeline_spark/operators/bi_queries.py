@@ -773,3 +773,114 @@ def decile_lift(events: DataFrame) -> DataFrame:
 )
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decile_lift(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- difference-in-differences
+
+DID_SPLIT = "2024-01-16"  # post-period boundary (data spans Jan 2024)
+
+
+def diff_in_diff(events: DataFrame, split: str = DID_SPLIT) -> DataFrame:
+    """2×2 difference-in-differences estimate: treatment = odd user_id,
+    post = events at/after ``split``; outcome = event value in integer
+    cents. DiD = (T_post − T_pre) − (C_post − C_pre) over cell means —
+    the parallel-trends causal readout run next to q_ab_test's
+    proportions z-test when the outcome is continuous.
+
+    All four cell sums are exact BIGINT cents; each mean is ONE double
+    division of exact operands, and the DiD combination is three IEEE
+    subtractions of those quotients — deterministic on any engine.
+    Plan: one map-side-combined 4-group aggregate, then a 1-row fold.
+    """
+    cells = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("treat"),
+            (F.col("ts") >= F.lit(split).cast("timestamp"))
+            .cast("int")
+            .alias("post"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("treat", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    one = cells.agg(
+        *[
+            cell(t, p, c).alias(f"{c}{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("s", "n")
+        ]
+    )
+    m = {
+        (t, p): F.col(f"s{t}{p}") / F.col(f"n{t}{p}")
+        for t in (0, 1)
+        for p in (0, 1)
+    }
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return one.select(
+        F.col("n00").alias("n_ctrl_pre"),
+        F.col("n01").alias("n_ctrl_post"),
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n11").alias("n_treat_post"),
+        _q(m[(0, 0)] / 100, 1_000_000).alias("ctrl_pre_mean"),
+        _q(m[(0, 1)] / 100, 1_000_000).alias("ctrl_post_mean"),
+        _q(m[(1, 0)] / 100, 1_000_000).alias("treat_pre_mean"),
+        _q(m[(1, 1)] / 100, 1_000_000).alias("treat_post_mean"),
+        _q(did / 100, 1_000_000).alias("did"),
+    )
+
+
+@register(
+    "q_diff_in_diff",
+    f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treat,
+             CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), one AS (
+      SELECT
+        CAST(sum(CASE WHEN treat=0 AND post=0 THEN s END) AS BIGINT) AS s00,
+        CAST(sum(CASE WHEN treat=0 AND post=0 THEN n END) AS BIGINT) AS n00,
+        CAST(sum(CASE WHEN treat=0 AND post=1 THEN s END) AS BIGINT) AS s01,
+        CAST(sum(CASE WHEN treat=0 AND post=1 THEN n END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN treat=1 AND post=0 THEN s END) AS BIGINT) AS s10,
+        CAST(sum(CASE WHEN treat=1 AND post=0 THEN n END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN treat=1 AND post=1 THEN s END) AS BIGINT) AS s11,
+        CAST(sum(CASE WHEN treat=1 AND post=1 THEN n END) AS BIGINT) AS n11
+      FROM cells
+    )
+    SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+           n10 AS n_treat_pre, n11 AS n_treat_post,
+           floor(s00 * 1.0 / n00 / 100 * 1000000 + 0.5) / 1000000
+             AS ctrl_pre_mean,
+           floor(s01 * 1.0 / n01 / 100 * 1000000 + 0.5) / 1000000
+             AS ctrl_post_mean,
+           floor(s10 * 1.0 / n10 / 100 * 1000000 + 0.5) / 1000000
+             AS treat_pre_mean,
+           floor(s11 * 1.0 / n11 / 100 * 1000000 + 0.5) / 1000000
+             AS treat_post_mean,
+           floor(((s11 * 1.0 / n11 - s10 * 1.0 / n10)
+                  - (s01 * 1.0 / n01 - s00 * 1.0 / n00))
+                 / 100 * 1000000 + 0.5) / 1000000 AS did
+    FROM one
+    """,
+    doc="2×2 difference-in-differences (treat = odd user_id, post = "
+    "events at/after the split date, outcome in integer cents): the "
+    "four cell sums are exact BIGINTs, each mean one double division "
+    "of exact operands, DiD three IEEE subtractions — deterministic "
+    "cross-engine. One map-side-combined aggregate + a 1-row fold",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diff_in_diff(load(spark, sf_dir, "events"))
