@@ -173,3 +173,54 @@ def test_mixture_weights_tau_half_upweights_small_sources(spark):
     assert out["small"].upsample > 1.0 > out["big"].upsample
     # exact: upsample_small = (1/11)/(100/10100) = 9.1818...
     assert abs(out["small"].upsample - (1 / 11) / (100 / 10100)) < 2e-6
+
+
+def _cdc_doc(n=120, skip=0):
+    # deterministic aperiodic pseudo-text (varied first chars so the
+    # ascii-based fingerprint has entropy; combined period 17·89 >> n
+    # so shifted fixed-size chunks can never coincide)
+    return " ".join(
+        chr(97 + i % 17) + str((i * i) % 89) for i in range(skip, skip + n)
+    )
+
+
+def test_cdc_chunks_reassemble_to_document(spark):
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        cdc_chunks,
+    )
+
+    text = _cdc_doc()
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(cdc_chunks(docs).collect(), key=lambda r: r.chunk)
+    assert len(rows) > 3  # boundaries actually fire on this vocab
+    assert " ".join(r.chunk_text for r in rows) == text
+
+
+def test_cdc_chunking_is_shift_robust_where_fixed_is_not(spark):
+    """Insert ONE token at the head of a 120-token doc: content-defined
+    boundaries re-sync after the edit window, so most chunk texts are
+    shared; fixed-size chunking shifts every chunk and shares (almost)
+    nothing. This is the property that justifies CDC at 100 TB."""
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        cdc_chunks,
+    )
+
+    a, b = _cdc_doc(), "zzz " + _cdc_doc()
+    docs = spark.createDataFrame(
+        [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = cdc_chunks(docs).collect()
+    ca = {r.chunk_text for r in rows if r.doc_id == 0}
+    cb = {r.chunk_text for r in rows if r.doc_id == 1}
+    shared = len(ca & cb) / len(ca)
+    assert shared >= 0.5, f"CDC shared only {shared:.2f}"
+    # fixed 10-token chunking on the same pair shares nothing: every
+    # chunk is offset by the inserted token
+    fixed_a = {a.split(" ")[i:i + 10] and " ".join(a.split(" ")[i:i + 10])
+               for i in range(0, 120, 10)}
+    fixed_b = {" ".join(b.split(" ")[i:i + 10]) for i in range(0, 121, 10)}
+    assert len(fixed_a & fixed_b) == 0

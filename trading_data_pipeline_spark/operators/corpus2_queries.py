@@ -405,3 +405,136 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
 )
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(load(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- content-defined chunking
+
+# FastCDC-style chunking: a boundary opens wherever a rolling window of
+# token fingerprints hits 0 mod CDC_D, so chunk boundaries move WITH the
+# content — inserting one token near the head of a doc re-chunks only
+# the window around the edit, where fixed-size chunking (q_chunk_dedup)
+# shifts every later chunk and loses all dedup hits. The window value
+#   v_i = 7·f(t₋₃) + 31·f(t₋₂) + 131·f(t₋₁) + 997·f(t)  (mod CDC_D)
+# uses the engine-portable token fingerprint f(t) = 1009·ascii(t) +
+# 101·len(t) (DuckDB has no xxhash64, so the oracle could not reproduce
+# hashed boundaries; a production Spark-only variant would swap f for
+# xxhash64 of the token — the operator shape is identical).
+CDC_W = 4    # fingerprint window (tokens)
+CDC_D = 8    # boundary density: ~1/D of positions open a chunk
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk, chunk_text) under content-defined
+    boundaries — the chunk table itself; chunks concatenate back to the
+    original document in order (reassembly asserted in tests).
+
+    Plan: per-doc token explode (narrow), ONE exchange on doc_id for
+    the lag window + running boundary count, an ordered string_agg per
+    chunk. Documents chunk independently, so the doc_id exchange is the
+    only data-dependent shuffle and the plan scales with corpus size,
+    not corpus².
+    """
+    from pyspark.sql import Window
+
+    f = lambda c: F.ascii(c) * 1009 + F.length(c) * 101  # noqa: E731
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).withColumn("f", f(F.col("tok")))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    v = (
+        F.lag("f", 3).over(wd) * 7
+        + F.lag("f", 2).over(wd) * 31
+        + F.lag("f", 1).over(wd) * 131
+        + F.col("f") * 997
+    )
+    flagged = toks.withColumn(
+        "bnd",
+        F.when(
+            (F.col("pos") >= CDC_W) & (v % CDC_D == 0), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "chunk",
+        F.sum("bnd").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "source", "chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+
+
+def cdc_chunk_stats(docs: DataFrame) -> DataFrame:
+    """Per-source content-defined chunk dedup stats: chunk count, exact
+    distinct chunk count (on the chunk TEXT — no hash in the compare)
+    and the duplicated-chunk share."""
+    return (
+        cdc_chunks(docs).groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_text").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            _q(
+                1 - F.col("n_unique") / F.col("n_chunks"), 10000
+            ).alias("dup_share"),
+        )
+    )
+
+
+@register(
+    "q_cdc_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), fp AS (
+      SELECT *, ascii(tok) * 1009 + length(tok) * 101 AS f FROM toks
+    ), flagged AS (
+      SELECT doc_id, source, pos, tok,
+             CASE WHEN pos >= {CDC_W} AND
+                  (lag(f, 3) OVER w * 7 + lag(f, 2) OVER w * 31
+                   + lag(f, 1) OVER w * 131 + f * 997) % {CDC_D} = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM fp
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), chunked AS (
+      SELECT doc_id, source, pos, tok,
+             sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, source, chunk,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM chunked GROUP BY doc_id, source, chunk
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_text) AS BIGINT) AS n_unique,
+           floor((1 - count(DISTINCT chunk_text) * 1.0 / count(*))
+                 * 10000 + 0.5) / 10000 AS dup_share
+    FROM chunks GROUP BY source
+    """,
+    doc="Content-defined (FastCDC-style) chunking + per-source chunk "
+    "dedup stats: boundaries open where a 4-token rolling fingerprint "
+    "hits 0 mod 8, so edits re-chunk only their neighbourhood where "
+    "fixed-size chunks (q_chunk_dedup) shift globally. Engine-portable "
+    "polynomial fingerprint (production swaps in xxhash64 — same "
+    "shape); exact distinct on chunk TEXT, one doc_id exchange",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunk_stats(load(spark, sf_dir, "documents"))
