@@ -168,6 +168,9 @@ EXTRAS = [
     "q_fertility",
     "q_pq_encode",
     "q_entity_canonical",
+    "q_mixture_weights",
+    "q_diff_in_diff",
+    "q_cdc_chunks",
 ]
 
 RUNS = 3

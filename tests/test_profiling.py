@@ -101,3 +101,50 @@ def test_profile_approximate_mode_skips_expand(spark):
         assert r["n_nulls"] == e["n_nulls"]
         assert (r["min_str"], r["max_str"]) == (e["min_str"], e["max_str"])
         assert abs(r["n_distinct"] - e["n_distinct"]) <= max(3, 0.05 * e["n_distinct"])
+
+
+def test_global_running_max_equals_single_partition_window(spark):
+    """The two-pass bucketed prefix max must equal the naive global
+    window on a shuffled integer sequence."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.plans.global_rank import (
+        global_running_max,
+    )
+
+    rows = [(i, ((i * 7919 + 11) % 1009)) for i in range(1, 2000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = global_running_max(df, ["k"], "v", n_buckets=7)
+    naive = df.withColumn(
+        "_exp",
+        F.max("v").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    joined = got.join(naive.select("k", "_exp"), "k")
+    assert joined.filter(F.col("_gmax") != F.col("_exp")).count() == 0
+
+
+def test_lateness_audit_hand_sequence(spark):
+    """Explicit arrival column: arrival order e2(20s), e0(10s), e1(0s)
+    -> e2 on time, e0 10s late, e1 20s late; max 20s, mean 15s."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.profiling_queries import (
+        lateness_audit,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:00:10", 1, "click", 1.0, "{}", 2),
+            (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}", 3),
+            (2, "2024-01-01 00:00:20", 1, "click", 1.0, "{}", 1),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string, arrival long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = lateness_audit(events, arrival_col="arrival").collect()[0]
+    assert out.n == 3 and out.n_late == 2
+    assert out.max_late_s == 20 and out.watermark_s == 20
+    assert out.mean_late_us == 15_000_000

@@ -679,3 +679,111 @@ def q_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = {t for t, _, _ in FD_CANDIDATES}
     tables = {t: load(spark, sf_dir, t) for t in sorted(names)}
     return functional_dependencies(tables)
+
+
+# -------------------------------------------- watermark lateness audit
+
+# The testdata arrives in event-time order (zero lateness), so the audit
+# runs over a DETERMINISTIC synthetic arrival sequence — the Knuth
+# multiplicative permutation (event_id · 2654435761) mod 2³¹ — which
+# stands in for the real ingest-sequence column a production stream
+# would pass. Both engines compute the same pure-integer permutation.
+LATE_PERM_MUL = 2654435761
+LATE_PERM_MOD = 2**31
+
+
+def lateness_audit(
+    events: DataFrame, arrival_col: str | None = None
+) -> DataFrame:
+    """Watermark-sizing audit: for each event, its lateness = (latest
+    event time already seen in arrival order) − (its own event time);
+    per event_type report the late share, max and mean lateness, and
+    the implied watermark (max lateness rounded UP to whole seconds) —
+    THE number ``withWatermark`` needs before a streaming job is sized.
+
+    Arrival order defaults to the synthetic permutation above (the
+    testdata is time-ordered; pass ``arrival_col`` for a real ingest
+    sequence). The global prefix max runs through
+    :func:`plans.global_rank.global_running_max` — two partition-
+    parallel passes, never a SinglePartition window. Everything stays
+    integer µs; the one ratio fixes at 1e-6.
+    """
+    from ..plans.global_rank import global_running_max
+
+    arr = (
+        (F.col("event_id") * LATE_PERM_MUL) % LATE_PERM_MOD
+        if arrival_col is None
+        else F.col(arrival_col)
+    )
+    ev = events.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+        arr.alias("_arr"),
+    )
+    gm = global_running_max(ev, ["_arr", "event_id"], "_tus")
+    late = gm.select(
+        "event_type",
+        (F.col("_gmax") - F.col("_tus")).alias("_late_us"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+            F.max("_late_us").alias("_max_us"),
+            F.sum("_late_us").alias("_sum_us"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_late",
+            _q(F.col("n_late") / F.col("n"), 1_000_000).alias("late_share"),
+            F.expr("_max_us div 1000000").alias("max_late_s"),
+            F.expr(
+                "CASE WHEN n_late > 0 THEN _sum_us div n_late ELSE 0 END"
+            ).alias("mean_late_us"),
+            F.expr("(_max_us + 999999) div 1000000").alias("watermark_s"),
+        )
+    )
+
+
+@register(
+    "q_lateness_audit",
+    f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) AS tus,
+             (event_id * {LATE_PERM_MUL}) % {LATE_PERM_MOD} AS arr
+      FROM events
+    ), gm AS (
+      SELECT event_type,
+             max(tus) OVER (ORDER BY arr, event_id
+                            ROWS UNBOUNDED PRECEDING) - tus AS late_us
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           floor(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 1000000 + 0.5) / 1000000 AS late_share,
+           max(late_us) // 1000000 AS max_late_s,
+           CAST(CASE WHEN sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(late_us) AS BIGINT)
+                     // CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                             AS BIGINT)
+                ELSE 0 END AS BIGINT) AS mean_late_us,
+           (max(late_us) + 999999) // 1000000 AS watermark_s
+    FROM gm GROUP BY event_type
+    """,
+    doc="Watermark-sizing audit: per event_type, the lateness "
+    "distribution of events against the running event-time maximum in "
+    "arrival order (synthetic Knuth permutation on the time-ordered "
+    "testdata; production passes its ingest-sequence column) and the "
+    "implied withWatermark horizon in whole seconds. Global prefix max "
+    "via the two-pass bucketed scan — no SinglePartition window; "
+    "integer-µs arithmetic throughout",
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lateness_audit(load(spark, sf_dir, "events"))

@@ -146,3 +146,55 @@ def global_cumsum(
         local.withColumn("_gcum", cum.cast("long")).drop("_bkt", "_lc", "_v"),
         total,
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact running ``max(value_col) OVER (ORDER BY order_cols)``
+    without a SinglePartition window — the prefix-max sibling of
+    :func:`global_cumsum` (shared ``_bucketize`` machinery): quantile-
+    bucket on ``order_cols[0]``, per-bucket windowed max, then the exact
+    per-bucket maxima folded back as literal strictly-before-bucket
+    prefix maxima combined with ``greatest``. Adds ``_gmax`` (long).
+    ``value_col`` must be integral and non-NULL on rows that should
+    participate; the driver-side state is the <= n_buckets max vector."""
+    bucketed = _bucketize(df, order_cols[0], n_buckets)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("_lm", F.max(value_col).over(w))
+    per_bucket = {
+        r["_bkt"]: r["m"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    }
+    if not per_bucket:
+        return df.withColumn("_gmax", F.lit(None).cast("long"))
+    prefix: dict[int, int | None] = {}
+    best: int | None = None
+    for b in sorted(per_bucket):
+        prefix[b] = best
+        m = per_bucket[b]
+        if m is not None and (best is None or m > best):
+            best = int(m)
+    # buckets with no strictly-before maximum (the first non-empty one)
+    # are simply absent from the map: element_at -> NULL -> coalesce
+    entries = [
+        x
+        for b, m in prefix.items()
+        if m is not None
+        for x in (F.lit(b), F.lit(m).cast("long"))
+    ]
+    if entries:
+        pre = F.element_at(F.create_map(*entries), F.col("_bkt"))
+    else:
+        pre = F.lit(None).cast("long")
+    gmax = F.greatest(F.coalesce(pre, F.col("_lm")), F.col("_lm"))
+    return local.withColumn("_gmax", gmax.cast("long")).drop("_bkt", "_lm")
