@@ -106,3 +106,28 @@ def test_walk_forward_refuses_degenerate_span(spark):
     )
     with _pytest.raises(ValueError, match="date span"):
         walk_forward_folds(short)
+
+
+def test_ldiversity_flags_homogeneous_cells(spark):
+    """A cell with 5 rows but ONE user is at risk (k-anonymity would
+    pass it at K<=5); a 3-user cell is not."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.trainprep_queries import (
+        ldiversity,
+    )
+
+    rows = []
+    for i in range(5):   # same cell, same user -> homogeneous
+        rows.append((i, "2024-01-01 10:00:00", 42, "click", 1.0, "{}"))
+    for i, u in enumerate((1, 2, 3)):  # same cell, 3 users -> diverse
+        rows.append((10 + i, "2024-01-02 11:00:00", u, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.event_type): r for r in ldiversity(events).collect()}
+    assert out["click"].n == 5 and out["click"].n_sensitive == 1
+    assert bool(out["click"].at_risk) is True
+    assert out["view"].n_sensitive == 3 and bool(out["view"].at_risk) is False

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..functions.text import (
     BPE_PATTERN,
     MOD,
@@ -368,4 +369,60 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(tok_hash).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_langid_eval",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en,
+        len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de,
+        len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS fr
+      FROM documents
+    ), d AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN en > 0 AND en >= de AND en >= fr THEN 'en'
+                  WHEN de > 0 AND de >= fr THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS detected_lang
+      FROM s
+    ), tot AS (
+      SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+      FROM d GROUP BY labeled_lang
+    )
+    SELECT d.labeled_lang, d.detected_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(count(*) * 1.0 / min(t.n_labeled) * 10000 + 0.5) / 10000
+             AS share_of_labeled
+    FROM d JOIN tot t USING (labeled_lang)
+    GROUP BY d.labeled_lang, d.detected_lang
+    """,
+    doc="Language-ID confusion matrix: the q_lang_id marker heuristic "
+    "evaluated against the labeled lang column — per (labeled, "
+    "detected) pair, count and share of the labeled class (row-"
+    "normalized recall cells). The eval that decides whether the cheap "
+    "heuristic is good enough before a model-based identifier is paid "
+    "for. Two tiny aggregates over one narrow scan",
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    )
+    tot = d.groupBy("labeled_lang").agg(F.count(F.lit(1)).alias("n_labeled"))
+    return (
+        d.groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "detected_lang",
+            "n",
+            _q(F.col("n") / F.col("n_labeled"), 10000).alias(
+                "share_of_labeled"
+            ),
+        )
     )

@@ -266,3 +266,50 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000))
         .alias("qnorm"),
     )
+
+
+# ---------------------------------------------------------- l-diversity
+
+L_DIV = 3  # minimum distinct sensitive values per quasi-identifier cell
+
+
+def ldiversity(events: DataFrame, l_min: int = L_DIV) -> DataFrame:
+    """l-diversity audit — k-anonymity's sharper sibling: a
+    quasi-identifier cell with many rows can still leak if every row
+    shares one sensitive value, so each (event_type, weekday, hour)
+    cell must see ≥ ``l_min`` DISTINCT sensitive values (user_id here).
+    Exact distinct per cell (one exchange, cell count bounded by
+    |types|·7·24); the at-risk flag is what blocks a release.
+    """
+    return (
+        events.groupBy(
+            "event_type",
+            F.weekday("ts").alias("wd"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < l_min)
+    )
+
+
+@register(
+    "q_ldiversity",
+    f"""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INT) AS wd,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+           count(DISTINCT user_id) < {L_DIV} AS at_risk
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="l-diversity audit over the q_kanonymity quasi-identifier tuple: "
+    "each (event_type, weekday, hour) cell must contain >= 3 distinct "
+    "sensitive values (user_id) — a big-but-homogeneous cell leaks where "
+    "k-anonymity alone passes it. Exact distinct per cell, one exchange",
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ldiversity(load(spark, sf_dir, "events"))
