@@ -334,6 +334,13 @@ def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataF
     survivor — the common shape after blocking — one round IS the fixed
     point. Plan: the q_fuzzy_join blocked self-join (length pre-filter
     before the O(len²) DP), symmetrized, then one groupBy(key) min.
+
+    Cost is Σ|block|² pairs (the q_salted_join-style documented price:
+    ~8M DP verifies at sf0.1, ~13 s on local[32]) — the knob at scale
+    is a finer blocking key; length-band blocking was measured and
+    does NOT help this corpus (p_name lengths cluster in 7–12 chars),
+    so the brand block is kept and the query stays out of the bench
+    extras list.
     """
     keyed = part.select(
         F.col("p_partkey").alias("key"),
