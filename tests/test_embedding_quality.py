@@ -166,3 +166,25 @@ def test_pq_encode_hand_assignment_and_self_zero_error(spark):
     # err = (0.1e6)^2 + 0 + (0.1e6)^2 + 0 exactly (integer components)
     assert out[2].total_err == 2 * 100_000**2
     assert (out[3].code_s0, out[3].code_s1) == (0, 1)
+
+
+def test_ann_recall_curve_is_monotone_and_reaches_09(spark, sf_dir):
+    """Recall@10 must rise with n_probe and reach >= 0.9 mean by
+    n_probe = 6 of 8 cells on the sf0.001 corpus; exact arm == approx
+    arm when every cell is probed."""
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        ann_recall,
+        ann_recall_curve,
+        ivf_index_for,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ivf_index_for(spark, sf_dir)
+    curve = {
+        r.n_probe: r.mean_recall
+        for r in ann_recall_curve(emb, idx, n_probes=(2, 4, 8)).collect()
+    }
+    assert curve[2] <= curve[4] <= curve[8]
+    # probing EVERY cell is exact by construction
+    assert curve[8] == 1.0
