@@ -172,6 +172,9 @@ EXTRAS = [
     "q_mixture_weights",
     "q_diff_in_diff",
     "q_cdc_chunks",
+    "q_ldiversity",
+    "q_langid_eval",
+    "q_lateness_audit",
 ]
 
 RUNS = 3

@@ -72,6 +72,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # q_knn_eval / q_hard_negatives eval-probe shape)
     "q_mixture_weights",  # 1-row (T, Σ√c) totals broadcast onto the
                           # |sources|-row weight table
+    "q_ann_recall",       # bounded 1/qmod holdout broadcast per arm
+                          # (the q_retrieval_eval eval-probe shape)
 }
 
 
