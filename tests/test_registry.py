@@ -154,3 +154,24 @@ def test_round7_window_proposal_is_sound():
     assert _PRIORITY_ROUND7[:2] == ("q_report1", "q_dedup_near")
     overlap = set(_PRIORITY_ROUND7[2:]) & set(_PRIORITY_ROUND6)
     assert not overlap, f"slots wasted on round-6-covered queries: {sorted(overlap)}"
+
+
+def test_round8_window_proposal_is_sound():
+    """_PRIORITY_ROUND8 is the round-8 staged driver window — validated
+    now so renames can't silently break the rotation: every name
+    registered, exactly 50, canaries first, no duplicates, no overlap
+    with the round-7 window, and it must contain every round-6 late
+    registration that round 7's window could not absorb."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND7,
+        _PRIORITY_ROUND8,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND8 if n not in qs]
+    assert not unknown, f"round-8 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND8) == 50, len(_PRIORITY_ROUND8)
+    assert len(set(_PRIORITY_ROUND8)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND8[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND8[2:]) & set(_PRIORITY_ROUND7)
+    assert not overlap, f"slots wasted on round-7-covered queries: {sorted(overlap)}"

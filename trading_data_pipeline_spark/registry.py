@@ -194,6 +194,36 @@ _PRIORITY_ROUND7: tuple[str, ...] = (
     "q_bm25", "q_retrieval_eval", "q_fertility", "q_pq_encode",
     "q_entity_canonical",
 )
+# ROUND-8 WINDOW (apply at the start of round 8 — do NOT apply earlier).
+# Validated NOW by tests/test_registry.py (names exist, exactly 50,
+# canaries first, no overlap with the round-7 window). Composition:
+# canaries; the 28 round-6 operators (E94–E128 + privacy/eval/session
+# additions) that round 7's already-full window could not absorb; then
+# 20 re-verification slots — the 5 bench headliners displaced from the
+# round-7 staging plus the report1 micro-family and io/meta protocol
+# queries whose newest green rows date to r1–r3.
+# At round-8 open, set ``_PRIORITY = _PRIORITY_ROUND8``.
+_PRIORITY_ROUND8: tuple[str, ...] = (
+    "q_report1", "q_dedup_near",
+    # round-6 late registrations, never driver-verified through round 7
+    "q_realized_vol", "q_roll_spread", "q_kyle_lambda", "q_amihud",
+    "q_leadlag_corr", "q_weighted_median", "q_ks_test", "q_chi_square",
+    "q_spearman", "q_ttr", "q_token_coverage", "q_ngram_novelty",
+    "q_encoding_qc", "q_readability", "q_silhouette", "q_kmeans_step",
+    "q_var_es", "q_sharpe", "q_event_study", "q_semantic_dedup",
+    "q_hybrid_rrf", "q_mixture_weights", "q_diff_in_diff",
+    "q_cdc_chunks", "q_ldiversity", "q_langid_eval", "q_lateness_audit",
+    "q_ann_recall",
+    # re-verification: bench headliners displaced from round-7 staging
+    "q_tpch_q1", "q_join_multi", "q_tumbling_window", "q_asof_join",
+    "q_topk_cosine",
+    # re-verification: report1 micro-family + io/meta protocol (newest
+    # green rows r1–r3)
+    "q_project", "q_dropna", "q_rename", "q_round", "q_filter_date",
+    "q_window_first", "q_window_last", "q_groupby_agg", "q_window_lag",
+    "q_date_spine", "q_anti_join_dates", "q_lit_frame",
+    "q_checked_union", "q_scan_csv", "q_sink_parquet",
+)
 
 # ACTIVE round-6 driver window (applied at round-6 open per the staged
 # plan above; the round-5 list is kept for the no-wasted-slot check).
