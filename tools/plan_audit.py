@@ -74,6 +74,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # |sources|-row weight table
     "q_ann_recall",       # bounded 1/qmod holdout broadcast per arm
                           # (the q_retrieval_eval eval-probe shape)
+    "q_simpsons_audit",   # 1-row pooled-sign broadcast onto the
+                          # <=7-row strata table
 }
 
 

@@ -884,3 +884,137 @@ def diff_in_diff(events: DataFrame, split: str = DID_SPLIT) -> DataFrame:
 )
 def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------- Simpson's paradox audit
+
+def simpsons_audit(events: DataFrame) -> DataFrame:
+    """Simpson's-paradox screen on the A/B conversion read (arm = odd
+    user_id, conversion = any purchase, strata = signup weekday): the
+    pooled arm-B-vs-A rate comparison against the same comparison inside
+    every stratum, with a ``paradox`` flag where the stratum sign
+    contradicts the pooled sign — THE audit that catches a confounded
+    pooled lift before it ships a decision.
+
+    All comparisons are integer cross-multiplications
+    (convB·nA − convA·nB), so the signs are EXACT — no rate floats
+    anywhere. Output: one row per stratum plus the pooled row
+    (wd = -1); strata with an empty arm report sign 0 and no flag.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == F.lit(CONVERSION_EVENT)).cast("long")
+        ).alias("conv"),
+        F.weekday(F.min("ts")).alias("wd"),
+    )
+    arms = per_user.select(
+        "wd",
+        (F.col("user_id") % 2).alias("arm"),
+        "conv",
+    )
+
+    def cell(grp_cols):
+        return (
+            arms.groupBy(*grp_cols)
+            .agg(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+                F.sum(
+                    F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)
+                ).alias("conv_a"),
+                F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+                F.sum(
+                    F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)
+                ).alias("conv_b"),
+            )
+        )
+
+    sgn = F.signum(
+        (F.col("conv_b") * F.col("n_a") - F.col("conv_a") * F.col("n_b"))
+        .cast("double")
+    ).cast("int")
+    strata = cell(["wd"]).withColumn(
+        "sign",
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0)).otherwise(
+            sgn
+        ),
+    )
+    pooled = cell([]).select(
+        F.lit(-1).alias("wd"),
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        sgn.alias("sign"),
+    )
+    pooled_sign = pooled.select(F.col("sign").alias("_ps"))
+    return (
+        strata.crossJoin(F.broadcast(pooled_sign))
+        .select(
+            "wd",
+            "n_a",
+            "conv_a",
+            "n_b",
+            "conv_b",
+            "sign",
+            (
+                (F.col("sign") * F.col("_ps") == -1)
+            ).alias("paradox"),
+        )
+        .unionByName(pooled.withColumn("paradox", F.lit(False)))
+        .orderBy("wd")
+    )
+
+
+@register(
+    "q_simpsons_audit",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = '{CONVERSION_EVENT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+             CAST(isodow(min(ts)) - 1 AS INT) AS wd
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT wd, CAST(user_id % 2 AS INT) AS arm, conv FROM per_user
+    ), strata AS (
+      SELECT wd,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM arms GROUP BY wd
+    ), pooled AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+             CAST(sum(conv_a) AS BIGINT) AS conv_a,
+             CAST(sum(n_b) AS BIGINT) AS n_b,
+             CAST(sum(conv_b) AS BIGINT) AS conv_b
+      FROM strata
+    ), ps AS (
+      SELECT CAST(sign(conv_b * n_a - conv_a * n_b) AS INT) AS _ps
+      FROM pooled
+    )
+    SELECT s.wd, s.n_a, s.conv_a, s.n_b, s.conv_b,
+           CAST(CASE WHEN s.n_a = 0 OR s.n_b = 0 THEN 0
+                ELSE CAST(sign(s.conv_b * s.n_a - s.conv_a * s.n_b) AS INT)
+                END AS INT) AS sign,
+           (CASE WHEN s.n_a = 0 OR s.n_b = 0 THEN 0
+                 ELSE CAST(sign(s.conv_b * s.n_a - s.conv_a * s.n_b) AS INT)
+            END) * ps._ps = -1 AS paradox
+    FROM strata s, ps
+    UNION ALL
+    SELECT -1 AS wd, n_a, conv_a, n_b, conv_b,
+           CAST(sign(conv_b * n_a - conv_a * n_b) AS INT) AS sign,
+           FALSE AS paradox
+    FROM pooled
+    ORDER BY wd
+    """,
+    doc="Simpson's-paradox screen: pooled A/B conversion sign vs the "
+    "same sign inside every signup-weekday stratum, paradox-flagged "
+    "where they contradict — the confounding audit run before a pooled "
+    "lift ships a decision. Signs from integer cross-multiplication "
+    "(convB·nA − convA·nB): exact, no rate floats anywhere",
+)
+def q_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simpsons_audit(load(spark, sf_dir, "events"))

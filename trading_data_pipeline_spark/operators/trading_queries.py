@@ -501,3 +501,128 @@ def time_rollup(events: DataFrame) -> DataFrame:
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------ additive seasonal decomposition
+
+DECOMP_MA = 7  # centered trend window (days) — must be odd
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition y = trend + seasonal + residual
+    of the daily per-type value flow — STL's textbook ancestor: trend is
+    a centered 7-day moving average, the weekly seasonal is the mean of
+    the detrended series per weekday, the residual is what's left. The
+    decomposition every forecasting/anomaly pass runs before modeling.
+
+    Exactness discipline: the daily series is an integer cent SUM;
+    detrended values stay integer by working in 1/(7·100) units
+    (``det = 7·y − Σwindow``, never ``y − Σ/7``); the per-weekday
+    seasonal keeps its integer numerator and count so EVERY emitted
+    number is one double division of exact BIGINT operands quantized
+    1e-4 — no float accumulation, no truncate-vs-floor integer-division
+    trap on negative detrended values. Interior days only (full MA
+    window), exactly as classical decomposition defines it.
+
+    Plan: one (type, date) aggregate, one per-type ordered window (the
+    series is |types|·|days| rows — tiny), one weekday aggregate joined
+    back broadcast.
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("y")
+        )
+    )
+    half = DECOMP_MA // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-half, half)
+    )
+    ma = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.sum("y").over(w).alias("_wsum"),
+        F.count(F.lit(1)).over(w).alias("_wn"),
+    ).filter(F.col("_wn") == DECOMP_MA)
+    det = ma.withColumn(
+        "_det", F.lit(DECOMP_MA) * F.col("y") - F.col("_wsum")
+    ).withColumn("wd", F.weekday("d"))
+    seas = det.groupBy("event_type", "wd").agg(
+        F.sum("_det").alias("_snum"), F.count(F.lit(1)).alias("_sn")
+    )
+    out = det.join(F.broadcast(seas), ["event_type", "wd"])
+    c = F.lit(100.0)
+    trend = F.col("_wsum") / F.lit(DECOMP_MA) / c
+    seasonal = F.col("_snum") / (F.lit(DECOMP_MA) * F.col("_sn")) / c
+    resid = (
+        F.col("_det") / F.lit(DECOMP_MA)
+        - F.col("_snum") / (F.lit(DECOMP_MA) * F.col("_sn"))
+    ) / c
+    return out.select(
+        "event_type",
+        "d",
+        _q(F.col("y") / c, 100).alias("y"),
+        _q(trend, 10000).alias("trend"),
+        _q(seasonal, 10000).alias("seasonal"),
+        _q(resid, 10000).alias("residual"),
+    ).orderBy("event_type", "d")
+
+
+@register(
+    "q_seasonal_decompose",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, d, y,
+             CAST(sum(y) OVER w AS BIGINT) AS wsum,
+             count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {DECOMP_MA // 2} PRECEDING
+                   AND {DECOMP_MA // 2} FOLLOWING)
+    ), det AS (
+      SELECT *, {DECOMP_MA} * y - wsum AS det,
+             CAST(isodow(d) - 1 AS INT) AS wd
+      FROM ma WHERE wn = {DECOMP_MA}
+    ), seas AS (
+      SELECT event_type, wd,
+             CAST(sum(det) AS BIGINT) AS snum,
+             CAST(count(*) AS BIGINT) AS sn
+      FROM det GROUP BY 1, 2
+    )
+    SELECT det.event_type, det.d,
+           floor(y / 100.0 * 100 + 0.5) / 100 AS y,
+           floor(wsum * 1.0 / {DECOMP_MA} / 100.0 * 10000 + 0.5) / 10000
+             AS trend,
+           floor(snum * 1.0 / ({DECOMP_MA} * sn) / 100.0 * 10000 + 0.5)
+             / 10000 AS seasonal,
+           floor((det * 1.0 / {DECOMP_MA}
+                  - snum * 1.0 / ({DECOMP_MA} * sn)) / 100.0
+                 * 10000 + 0.5) / 10000 AS residual
+    FROM det JOIN seas USING (event_type, wd)
+    ORDER BY det.event_type, det.d
+    """,
+    doc="Classical additive seasonal decomposition of the daily per-type "
+    "value flow: centered 7-day MA trend, per-weekday seasonal of the "
+    "detrended series, residual — all from integer numerators in "
+    "1/(7·100) units so every output is ONE double division of exact "
+    "BIGINT operands (no float accumulation; sidesteps the "
+    "truncate-vs-floor negative integer-division trap). Interior days "
+    "only, the textbook definition",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose(load(spark, sf_dir, "events"))
