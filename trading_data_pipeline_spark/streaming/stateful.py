@@ -671,3 +671,68 @@ def vwap_stream(events: DataFrame, use_tws: bool | None = None) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ lateness monitor (E132)
+
+LATE_SCHEMA = (
+    "event_type string, seq long, batch_n long, batch_late long, "
+    "batch_max_late_us long, run_max_tus long"
+)
+LATE_STATE = "max_tus long, has long, seq long"
+
+
+def lateness_stream(events: DataFrame) -> DataFrame:
+    """Streaming watermark-lateness monitor — the streaming twin of
+    ``operators.profiling_queries.lateness_audit`` at WATERMARK
+    granularity: Structured Streaming advances the watermark BETWEEN
+    micro-batches, so the operationally honest lateness of an event is
+    its distance behind the maximum event time of the PRECEDING batches
+    (not the per-row running max the batch audit measures). Per
+    event_type and micro-batch this emits how many events arrived late
+    under that definition and the worst lateness — the live dashboard
+    that tells you whether the configured ``withWatermark`` horizon is
+    still sufficient, long before rows silently drop.
+
+    State is O(1) per event_type (the running max event-time in µs,
+    exact integers); emission is one row per (type, batch) with data.
+    Deterministic given the micro-batch sequence (the file/offset order
+    the source replays); equivalence against a pure-Python fold over
+    the same batch boundaries is asserted in tests/test_streaming.py.
+    """
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        max_tus, has, seq = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs))
+        tus = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        if has:
+            late = max_tus - tus
+            n_late = int((late > 0).sum())
+            worst = int(late.max()) if n_late else 0
+            worst = max(worst, 0)
+        else:
+            n_late, worst = 0, 0
+        new_max = max(int(tus.max()), max_tus if has else int(tus.max()))
+        state.update((new_max, 1, seq + 1))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "batch_n": [len(pdf)],
+                "batch_late": [n_late],
+                "batch_max_late_us": [worst],
+                "run_max_tus": [new_max],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=LATE_SCHEMA,
+        stateStructType=LATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
