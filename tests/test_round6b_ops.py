@@ -626,3 +626,32 @@ def test_simpsons_audit_flags_constructed_paradox(spark):
     )
     flagged = [r for r in strata if r.sign * pooled.sign == -1]
     assert flagged and all(r.paradox for r in flagged)
+
+
+def test_churn_flow_hand_counts(spark):
+    """Week 1 actives {1,2,3}; week 2 actives {2,3,4}: retained 2,
+    churned 1, new 1; the last week emits no flow row."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        churn_flow,
+    )
+
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):      # ISO week of 2024-01-08 is week 2
+        rows.append((eid, "2024-01-08 09:00:00", uid, "click", 1.0, "{}"))
+        eid += 1
+    for uid in (2, 3, 4):      # week 3
+        rows.append((eid, "2024-01-15 09:00:00", uid, "click", 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = churn_flow(events).collect()
+    assert len(out) == 1  # only the week with a successor
+    r = out[0]
+    assert (r.active, r.retained, r.churned, r.new_next) == (3, 2, 1, 1)
+    assert r.retention_rate == 0.6667 and r.churn_rate == 0.3333

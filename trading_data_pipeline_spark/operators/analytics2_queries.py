@@ -264,3 +264,108 @@ def burstiness(events: DataFrame, min_days: int = 2) -> DataFrame:
 )
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- weekly churn flow
+
+def churn_flow(events: DataFrame) -> DataFrame:
+    """Week-over-week user flow: of the users active in week w, how many
+    retained into w+1, how many churned, plus w+1's new users — the
+    flow decomposition behind every retention dashboard (q_active_users
+    counts stocks; this measures the flows between them).
+
+    Per (user, week) distinct activity, then a self-join on week+1 —
+    exact set arithmetic, integer counts, one user-week exchange and a
+    tiny week-keyed join; rates are single divisions of exact BIGINTs.
+    """
+    uw = events.select(
+        F.weekofyear("ts").alias("w"), "user_id"
+    ).distinct()
+    cur = uw.alias("cur")
+    nxt = uw.select((F.col("w") - 1).alias("w"), "user_id").alias("nxt")
+    flags = cur.join(
+        nxt,
+        (F.col("cur.w") == F.col("nxt.w"))
+        & (F.col("cur.user_id") == F.col("nxt.user_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cur.w"), F.col("nxt.w")).alias("w"),
+        F.col("cur.user_id").isNotNull().alias("in_cur"),
+        F.col("nxt.user_id").isNotNull().alias("in_nxt"),
+    )
+    weeks = uw.select("w").distinct()
+    agg = flags.groupBy("w").agg(
+        F.sum(F.col("in_cur").cast("long")).alias("active"),
+        F.sum((F.col("in_cur") & F.col("in_nxt")).cast("long")).alias(
+            "retained"
+        ),
+        F.sum((F.col("in_cur") & ~F.col("in_nxt")).cast("long")).alias(
+            "churned"
+        ),
+        F.sum((~F.col("in_cur") & F.col("in_nxt")).cast("long")).alias(
+            "new_next"
+        ),
+    )
+    # only weeks that actually have a successor week produce a flow row
+    has_next = weeks.select((F.col("w") - 1).alias("w")).distinct()
+    return (
+        agg.join(weeks, "w")
+        .join(has_next, "w")
+        .select(
+            "w",
+            "active",
+            "retained",
+            "churned",
+            "new_next",
+            _q(F.col("retained") / F.col("active"), 10000).alias(
+                "retention_rate"
+            ),
+            _q(F.col("churned") / F.col("active"), 10000).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("w")
+    )
+
+
+@register(
+    "q_churn_flow",
+    """
+    WITH uw AS (
+      SELECT DISTINCT CAST(weekofyear(ts) AS INT) AS w, user_id FROM events
+    ), flags AS (
+      SELECT coalesce(c.w, n.w) AS w,
+             c.user_id IS NOT NULL AS in_cur,
+             n.user_id IS NOT NULL AS in_nxt
+      FROM uw c FULL OUTER JOIN
+           (SELECT CAST(w - 1 AS INT) AS w, user_id FROM uw) n
+        ON c.w = n.w AND c.user_id = n.user_id
+    ), agg AS (
+      SELECT w,
+             CAST(sum(CASE WHEN in_cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS active,
+             CAST(sum(CASE WHEN in_cur AND in_nxt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN in_cur AND NOT in_nxt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS churned,
+             CAST(sum(CASE WHEN NOT in_cur AND in_nxt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_next
+      FROM flags GROUP BY w
+    ), weeks AS (SELECT DISTINCT w FROM uw),
+    has_next AS (SELECT DISTINCT CAST(w - 1 AS INT) AS w FROM uw)
+    SELECT a.w, a.active, a.retained, a.churned, a.new_next,
+           floor(a.retained * 1.0 / a.active * 10000 + 0.5) / 10000
+             AS retention_rate,
+           floor(a.churned * 1.0 / a.active * 10000 + 0.5) / 10000
+             AS churn_rate
+    FROM agg a JOIN weeks USING (w) JOIN has_next USING (w)
+    ORDER BY a.w
+    """,
+    doc="Week-over-week churn flow: per week with a successor, the "
+    "active/retained/churned counts and next week's new users, with "
+    "exact-BIGINT retention and churn rates — the flow decomposition "
+    "behind q_active_users' stock counts. Distinct user-weeks, one "
+    "self-join on week+1",
+)
+def q_churn_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return churn_flow(load(spark, sf_dir, "events"))
