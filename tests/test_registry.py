@@ -53,6 +53,9 @@ def test_oracle_coverage_accounting():
         # IVF cell assignment is index-specific; monotone recall curve
         # + all-cells-exact pinned in test_embedding_quality.py
         "q_ann_recall",
+        # minhash permutations are engine-specific; miss-detection +
+        # exhaustive-truth construction pinned in test_round6b_ops.py
+        "q_banding_recall",
     }, sorted(rows_only)
 
 

@@ -655,3 +655,31 @@ def test_churn_flow_hand_counts(spark):
     r = out[0]
     assert (r.active, r.retained, r.churned, r.new_next) == (3, 2, 1, 1)
     assert r.retention_rate == 0.6667 and r.churn_rate == 0.3333
+
+
+def test_banding_recall_detects_missed_pairs(spark):
+    """The eval must actually expose banding misses: on 20 constructed
+    J≈0.5-0.6 pairs, a 1-band×12-row signature (P[catch] ≈ J^12 ≈ 0)
+    scores near-zero recall while the default 9×2 banding scores high —
+    and both runs agree on the exhaustive truth count."""
+    from trading_data_pipeline_spark.operators.dedup_queries import (
+        banding_recall,
+    )
+
+    rows = []
+    vocab = [f"w{i}" for i in range(60)]
+    for p in range(20):
+        base = [vocab[(p * 7 + i) % 60] for i in range(30)]
+        # 24-token overlap of 30 -> shingle Jaccard comfortably >= 0.5
+        var = base[:24] + [vocab[(p * 11 + i) % 60] for i in range(30, 36)]
+        rows.append((2 * p, " ".join(base), "en", "s", 0))
+        rows.append((2 * p + 1, " ".join(var), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    strict = banding_recall(docs, bands=1, rows_per_band=12).collect()[0]
+    loose = banding_recall(docs, bands=9, rows_per_band=2).collect()[0]
+    assert strict.n_truth == loose.n_truth > 0
+    assert strict.recall < 0.5
+    assert loose.recall >= 0.8
+    assert loose.n_hit > strict.n_hit

@@ -76,6 +76,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # (the q_retrieval_eval eval-probe shape)
     "q_simpsons_audit",   # 1-row pooled-sign broadcast onto the
                           # <=7-row strata table
+    "q_banding_recall",   # four 1-row count aggregates folded into the
+                          # single output row
 }
 
 

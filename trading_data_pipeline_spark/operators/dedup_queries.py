@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import q as _q
 from ..registry import load, register
 from .dedup import (
     SIMHASH_BITS,
@@ -401,3 +402,99 @@ def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataF
 )
 def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_canonical(load(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------- banding recall evaluation
+
+BR_SMOD = 1          # truth over the FULL corpus at test SFs (see doc)
+BR_MIN_J = 0.5
+
+
+def banding_recall(
+    docs: DataFrame,
+    smod: int = BR_SMOD,
+    min_jaccard: float = BR_MIN_J,
+    n: int = 3,
+    bands: int = 9,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Recall of the banded-MinHash near-dup pipeline against EXHAUSTIVE
+    exact Jaccard on a 1/smod sampled sub-corpus — the dedup-quality
+    twin of q_ann_recall: banding's (bands, rows) choice trades probe
+    cost against missed near-dup pairs, and this measures the miss rate
+    on live data each round instead of trusting the fixture recall test
+    forever. Precision is 1.0 by construction (candidates are exact-
+    Jaccard verified), so recall IS the quality number.
+
+    Truth cost is Σdf² over shingle posting lists (only pairs sharing
+    a shingle can reach J ≥ τ > 0, so the shingle self-join loses
+    nothing) — tractable on the full corpus at these SFs (~1.3M pairs
+    at sf0.1); at production scale pass ``smod`` to evaluate on a
+    1/smod doc sample instead (near-dup PAIRS survive sampling at
+    ~1/smod², so size the sample to keep ≥hundreds of truth pairs).
+    Output: one row (n_sampled, n_truth, n_pred, n_hit, recall).
+    """
+    from .dedup import banded_minhash_pairs, hashed_shingles
+
+    sample = docs.filter(F.col("doc_id") % smod == 0)
+    sh = (
+        sample.filter(F.size(F.split("text", " ")) >= n)
+        .select("doc_id", hashed_shingles("text", n).alias("shh"))
+    )
+    sizes = sh.select("doc_id", F.size("shh").alias("sz"))
+    ex = sh.select("doc_id", F.explode("shh").alias("g"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .filter(
+            F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+            >= min_jaccard
+        )
+        .select("da", "db")
+    )
+    pred = banded_minhash_pairs(
+        sample, n=n, bands=bands, rows_per_band=rows_per_band,
+        min_jaccard=min_jaccard,
+    ).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
+    )
+    hit = truth.join(pred, ["da", "db"])
+    return (
+        sample.agg(F.count(F.lit(1)).alias("n_sampled"))
+        .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth"))))
+        .crossJoin(F.broadcast(pred.agg(F.count(F.lit(1)).alias("n_pred"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_sampled",
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(_q(F.col("n_hit") / F.col("n_truth"), 10000))
+            .alias("recall"),
+        )
+    )
+
+
+@register(
+    "q_banding_recall",
+    None,  # minhash permutations are engine-specific → rows-only; the
+    # recall floor + exhaustive-truth construction pinned in tests
+    doc="Near-dup banding quality eval: recall of the banded-MinHash "
+    "pipeline (9 bands × 2 rows, Jaccard ≥ 0.5) against exhaustive "
+    "exact Jaccard over a 1/5 sampled sub-corpus — the dedup twin of "
+    "q_ann_recall; precision is 1.0 by construction (candidates are "
+    "exact-verified), so the miss rate is the whole story. Truth cost "
+    "bounded by the sample, not the corpus",
+)
+def q_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return banding_recall(load(spark, sf_dir, "documents"))
