@@ -224,3 +224,27 @@ def test_cdc_chunking_is_shift_robust_where_fixed_is_not(spark):
                for i in range(0, 120, 10)}
     fixed_b = {" ".join(b.split(" ")[i:i + 10]) for i in range(0, 121, 10)}
     assert len(fixed_a & fixed_b) == 0
+
+
+def test_dataset_card_hand_counts_with_duplicates(spark):
+    """4 docs (one an exact token-permutation duplicate), 2 sources,
+    2 langs: the card's counts and ratios are exact."""
+    from trading_data_pipeline_spark.operators.corpus_queries import (
+        dataset_card,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b a c", "en", "s1", 5),
+            (1, "a b c", "en", "s1", 5),   # permutation dup of doc 0
+            (2, "d e", "de", "s2", 3),
+            (3, "f", "en", "s2", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = dataset_card(docs).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_sources, r.n_langs) == (4, 9, 2, 2)
+    assert r.dup_rate == 0.25            # 4 docs, 3 unique fingerprints
+    assert r.n_token_types == 6          # a b c d e f
+    assert r.mean_doc_tokens == 2.25
+    assert abs(r.corpus_ttr - 6 / 9) < 2e-6

@@ -78,6 +78,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # <=7-row strata table
     "q_banding_recall",   # four 1-row count aggregates folded into the
                           # single output row
+    "q_dataset_card",     # 1-row volume aggregate x 1-row token-type
+                          # aggregate -> the single card row
 }
 
 

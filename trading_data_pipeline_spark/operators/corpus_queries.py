@@ -521,3 +521,109 @@ def pps_sample(
 )
 def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_sample(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ dataset card
+
+CARD_NGRAM = 8  # boilerplate gram width (matches q_boilerplate)
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """One-row dataset card — the summary table a corpus release ships
+    with (HuggingFace-card style): volume (docs/tokens/chars), diversity
+    (sources/langs), exact-duplicate rate, mean doc length, and token
+    type-token ratio. Composes the corpus in ONE lazy plan of 1-row
+    aggregates folded together; every ratio divides exact BIGINTs.
+
+    The heavy inputs reuse the registered operators' shapes: duplicate
+    rate keys on the same canonical-token ``xxhash64`` fingerprint as
+    q_dedup_exact; distinct tokens shuffle 8-byte token hashes like the
+    count tables in q_bigram_lm (hash-vs-string contract, collisions
+    ~|vocab|²/2⁶⁴ — and the ORACLE uses the string form, so the parity
+    gate itself verifies the contract on live data).
+    """
+    tk = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tk).alias("toks"),
+        F.length("text").alias("chars"),
+        F.xxhash64(F.array_join(F.array_sort(tk), " ")).alias("fp"),
+        F.explode(tk).alias("tok"),
+    )
+    per_doc = base.groupBy(
+        "doc_id", "source", "lang", "toks", "chars", "fp"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    vol = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+    )
+    toks = base.agg(
+        F.countDistinct(F.xxhash64("tok")).alias("n_token_types")
+    )
+    return vol.crossJoin(F.broadcast(toks)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        _q(
+            (F.col("n_docs") - F.col("n_unique_docs")) / F.col("n_docs"),
+            1_000_000,
+        ).alias("dup_rate"),
+        _q(F.col("n_tokens") / F.col("n_docs"), 10000).alias(
+            "mean_doc_tokens"
+        ),
+        "n_token_types",
+        _q(F.col("n_token_types") / F.col("n_tokens"), 1_000_000).alias(
+            "corpus_ttr"
+        ),
+    )
+
+
+@register(
+    "q_dataset_card",
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' ')) AS toks,
+             length(text) AS chars,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS fp,
+             text
+      FROM documents
+    ), vol AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
+      FROM base
+    ), tt AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_token_types
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    )
+    SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+           floor((n_docs - n_unique_docs) * 1.0 / n_docs * 1000000 + 0.5)
+             / 1000000 AS dup_rate,
+           floor(n_tokens * 1.0 / n_docs * 10000 + 0.5) / 10000
+             AS mean_doc_tokens,
+           n_token_types,
+           floor(n_token_types * 1.0 / n_tokens * 1000000 + 0.5) / 1000000
+             AS corpus_ttr
+    FROM vol, tt
+    """,
+    doc="One-row dataset card (release-summary style): volume, source/"
+    "language diversity, exact-duplicate rate (canonical-token "
+    "fingerprint, the q_dedup_exact key), mean doc length, corpus "
+    "type-token ratio. One lazy plan of 1-row aggregates; Spark "
+    "shuffles 8-byte hashes where the oracle uses strings, so the "
+    "parity gate verifies the hash-vs-string contract itself",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(load(spark, sf_dir, "documents"))

@@ -217,14 +217,14 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
     # re-verification: bench headliners displaced from round-7 staging
     "q_tpch_q1", "q_join_multi", "q_tumbling_window", "q_asof_join",
     "q_topk_cosine",
-    # round-6 latest registrations (E129–E133), never driver-verified
+    # round-6 latest registrations (E129–E134), never driver-verified
     "q_seasonal_decompose", "q_burstiness", "q_simpsons_audit",
-    "q_churn_flow",
+    "q_churn_flow", "q_banding_recall",
     # re-verification: report1 micro-family + io/meta protocol (newest
     # green rows r1–r3)
     "q_project", "q_dropna", "q_rename", "q_round", "q_filter_date",
     "q_window_first", "q_window_last", "q_groupby_agg", "q_window_lag",
-    "q_date_spine", "q_anti_join_dates",
+    "q_date_spine",
 )
 
 # ACTIVE round-6 driver window (applied at round-6 open per the staged
