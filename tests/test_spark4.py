@@ -98,3 +98,21 @@ def test_seasonal_index_mass_balances(spark, sf_dir):
     ).collect()[0]
     assert abs(r.w - 1.0) < 1e-3
     assert prof.count() <= 7 * 24
+
+
+def test_sql_udf_inlines_with_no_python_boundary(spark, sf_dir):
+    """The SQL-language UDF must inline: the physical plan contains no
+    BatchEvalPython/ArrowEvalPython node, and the function is callable
+    from any later SQL in the session."""
+    from trading_data_pipeline_spark.operators.spark4_queries import (
+        q_sql_udf_impl,
+    )
+
+    df = q_sql_udf_impl(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    bands = {r.band for r in df.collect()}
+    assert bands <= {"null", "small", "medium", "large"} and bands
+    # reusable from unrelated SQL after registration
+    one = spark.sql("SELECT value_band(5.0) AS b").collect()[0]
+    assert one.b == "small"

@@ -292,3 +292,55 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON o.event_type = s.event_type AND o.day = s.day
         """
     )
+
+
+# ------------------------------------------------------- SQL UDF (E136)
+
+def q_sql_udf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_sqludf")
+    # CREATE FUNCTION (SQL-language scalar UDF, Spark 4): the body is
+    # pure SQL, so it inlines into the plan and stays inside whole-stage
+    # codegen — a UDF with ZERO Python/JVM-boundary cost.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION value_band(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v IS NULL THEN 'null'
+                    WHEN v < 10 THEN 'small'
+                    WHEN v < 100 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT value_band(value) AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events_sqludf
+        GROUP BY value_band(value)
+        """
+    )
+
+
+register(
+    "q_sql_udf",
+    """
+    SELECT CASE WHEN value IS NULL THEN 'null'
+                WHEN value < 10 THEN 'small'
+                WHEN value < 100 THEN 'medium'
+                ELSE 'large' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY 1
+    """,
+    doc="SQL-language scalar UDF (Spark 4 CREATE FUNCTION ... RETURN): "
+    "the banding logic is declared once as a reusable SQL function and "
+    "INLINES into the calling plan — user extensibility with zero "
+    "Python-boundary cost, unlike a @udf (oracle runs the inlined "
+    "expression; values hash-identical). Plan test pins that no "
+    "BatchEvalPython / ArrowEvalPython node appears",
+)(q_sql_udf_impl)
