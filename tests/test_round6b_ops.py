@@ -683,3 +683,28 @@ def test_banding_recall_detects_missed_pairs(spark):
     assert strict.recall < 0.5
     assert loose.recall >= 0.8
     assert loose.n_hit > strict.n_hit
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    """A perfect slope-2 daily series with ONE wild outlier day: the
+    pairwise-slope median stays 2.0 (OLS would not)."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        theil_sen,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 10):
+        v = 2.0 * day if day != 5 else 1000.0  # outlier on day 5
+        rows.append((eid, f"2024-01-{day:02d} 09:00:00", 1, "click", v, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = theil_sen(events).collect()[0]
+    assert r.n_pairs == 36
+    assert r.theil_sen_slope == 2.0

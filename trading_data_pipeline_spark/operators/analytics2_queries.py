@@ -369,3 +369,82 @@ def churn_flow(events: DataFrame) -> DataFrame:
 )
 def q_churn_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churn_flow(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------- Theil–Sen robust trend
+
+def theil_sen(events: DataFrame) -> DataFrame:
+    """Per-type Theil–Sen trend: the MEDIAN of all pairwise slopes
+    (Δvalue/Δday) of the daily cent-sum series — the robust regression
+    line OLS users switch to when a handful of outlier days would drag
+    the least-squares slope (breakdown point 29%, vs 0 for q_regr's
+    OLS).
+
+    The daily series is |types|·|days| rows, so the pairwise self-join
+    is (days choose 2) per type — bounded by the CALENDAR, not the
+    event count (≈435 pairs/type on a 30-day corpus at ANY data scale);
+    the event-level work is one map-side-combined daily aggregate. Each
+    slope is one double division of exact BIGINT operands (cent diff /
+    day diff); the median of an even count averages two exact quotients
+    — the same single-IEEE-op contract both engines share.
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("y")
+        )
+        .select(
+            "event_type", F.datediff("d", F.lit("2024-01-01")).alias("x"), "y"
+        )
+    )
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya"))
+                / (F.col("xb") - F.col("xa"))
+                / F.lit(100.0)
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _q(F.median("slope"), 10000).alias("theil_sen_slope"),
+    )
+
+
+@register(
+    "q_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1.0 / (b.x - a.x) / 100.0 AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(median(slope) * 10000 + 0.5) / 10000 AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+    doc="Theil–Sen robust trend per event_type: median of all pairwise "
+    "daily slopes (29% breakdown vs OLS's 0) — each slope ONE double "
+    "division of exact BIGINT cent/day diffs; the pairwise join is "
+    "bounded by the CALENDAR (days², not events²), so the cost is "
+    "constant in data volume at fixed history length",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen(load(spark, sf_dir, "events"))
