@@ -171,3 +171,25 @@ def test_market_beta_absent_day_counts_as_zero(spark):
     assert out["B"].n == 2
     # market x = [3,4]; B y = [1,0] → slope = (2*3 - 7*1)/(2*25-49) = -1
     assert out["B"].beta == -1.0
+
+
+def test_twap_weights_by_prevailing_span(spark):
+    """Price 10 prevails 3s, then price 20 prevails 1s, then a terminal
+    print at 99 (no span -> no weight): TWAP = (10*3 + 20*1)/4 = 12.5;
+    a plain mean would say 43."""
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.trading_queries import twap
+
+    events = spark.createDataFrame(
+        [
+            (0, "2024-01-01 09:00:00", 1, "click", 10.0, "{}"),
+            (1, "2024-01-01 09:00:03", 1, "click", 20.0, "{}"),
+            (2, "2024-01-01 09:00:04", 1, "click", 99.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = twap(events).collect()[0]
+    assert r.n_spans == 2
+    assert r.twap == 12.5

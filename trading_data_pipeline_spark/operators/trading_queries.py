@@ -626,3 +626,82 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
 )
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------------------------- TWAP
+
+def twap(events: DataFrame) -> DataFrame:
+    """Per-(type, day) time-weighted average price — VWAP's duration-
+    weighted twin (the benchmark for execution quality when volume is
+    unreliable or absent): each observation is weighted by how long it
+    REMAINED the prevailing price, i.e. the µs gap to the next same-day
+    event; the day's last observation carries no weight (its prevailing
+    span is unknown at day close — the standard left-Riemann TWAP).
+
+    Exactness: cents × µs products are exact BIGINTs (≤ ~6·10⁴ cents ×
+    8.64·10¹⁰ µs ≈ 5·10¹⁵ per term, summed well under 2⁶³ at these
+    densities — document the DECIMAL(38,0) lift for denser tapes), so
+    TWAP is ONE double division of exact operands, quantized 1e-4.
+    Plan: one (type, day)-partitioned lead window + one aggregate — the
+    q_vwap_bars exchange shape.
+    """
+    from pyspark.sql import Window
+
+    ev = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("tus", "event_id")
+    spans = ev.withColumn(
+        "dt", F.lead("tus").over(w) - F.col("tus")
+    ).filter(F.col("dt").isNotNull())
+    return (
+        spans.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("cents") * F.col("dt")).alias("_num"),
+            F.sum("dt").alias("_den"),
+        )
+        .select(
+            "event_type",
+            "d",
+            "n_spans",
+            _q(F.col("_num") / F.col("_den") / 100.0, 10000).alias("twap"),
+        )
+    )
+
+
+@register(
+    "q_twap",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             epoch_us(ts) AS tus, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), spans AS (
+      SELECT event_type, d, cents,
+             lead(tus) OVER (PARTITION BY event_type, d
+                             ORDER BY tus, event_id) - tus AS dt
+      FROM ev
+    )
+    SELECT event_type, d,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           floor(CAST(sum(cents * dt) AS BIGINT) * 1.0
+                 / CAST(sum(dt) AS BIGINT) / 100.0 * 10000 + 0.5) / 10000
+             AS twap
+    FROM spans WHERE dt IS NOT NULL
+    GROUP BY event_type, d
+    """,
+    doc="Per-(type, day) time-weighted average price: each observation "
+    "weighted by its prevailing µs span (gap to the next same-day "
+    "event, left-Riemann; the day's last carries none) — the "
+    "execution-quality benchmark when volume is unreliable. Exact "
+    "BIGINT cent×µs sums, one double division, 1e-4 fixed; one "
+    "(type, day) lead window + aggregate",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twap(load(spark, sf_dir, "events"))
