@@ -248,3 +248,27 @@ def test_dataset_card_hand_counts_with_duplicates(spark):
     assert r.n_token_types == 6          # a b c d e f
     assert r.mean_doc_tokens == 2.25
     assert abs(r.corpus_ttr - 6 / 9) < 2e-6
+
+
+def test_mixture_sample_quota_and_determinism(spark):
+    """Two sources 100 vs 10,000 tokens, target 22: sqrt weights 1/11
+    and 10/11 -> quotas 2 and 20; picks per source equal min(quota, n)
+    and the draw is deterministic."""
+    from trading_data_pipeline_spark.operators.corpus2_queries import (
+        mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), "en", "small", 10) for i in range(10)]
+        + [(100 + i, " ".join(["w"] * 1000), "en", "big", 1000) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out1 = mixture_sample(docs, target=22).collect()
+    out2 = mixture_sample(docs, target=22).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["small"]) == 2 and len(by_src["big"]) == 10
+    # big's quota (20) exceeds its 10 docs -> all picked, quota reported
+    assert {r.quota for r in out1 if r.source == "big"} == {20}

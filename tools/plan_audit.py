@@ -80,6 +80,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # single output row
     "q_dataset_card",     # 1-row volume aggregate x 1-row token-type
                           # aggregate -> the single card row
+    "q_mixture_sample",   # 1-row weight-total broadcast onto the
+                          # |sources|-row quota table
 }
 
 

@@ -538,3 +538,97 @@ def cdc_chunk_stats(docs: DataFrame) -> DataFrame:
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_stats(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- mixture materialization
+
+MIXS_TARGET = 200  # total docs the materialized mixture draws
+
+
+def mixture_sample(docs: DataFrame, target: int = MIXS_TARGET) -> DataFrame:
+    """Materialize the τ=½ mixture (:func:`mixture_weights`) as an
+    actual document draw: each source gets ⌊target·wᵢ + ½⌉ slots filled
+    by a deterministic systematic walk over its docs in doc_id order —
+    the epoch-construction step that turns mixing WEIGHTS into a
+    training FILE list, reproducible bit-for-bit with no RNG (the
+    q_pps_sample discipline applied per source).
+
+    Integer-exact throughout: the per-source quota is the exact
+    rational rounding ⌊(2·target·sᵢ + S) / (2·S)⌋ (all positive, so
+    floor-div agrees across engines), and the walk keeps row r iff
+    ⌊r·q/n⌋ > ⌊(r−1)·q/n⌋ — exactly q picks per source (capped at n;
+    a quota above n means the source needs REPETITION, reported via
+    ``quota`` > ``picked`` downstream). One exchange for the weights,
+    one per-source window for the walk.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    fixed = per_src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("toks")) * MIX_SCALE + 0.5)
+        .cast("long")
+        .alias("_s"),
+    )
+    tot = fixed.agg(F.sum("_s").alias("_ss"))
+    quota = fixed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"(2 * CAST({target} AS BIGINT) * _s + _ss) div (2 * _ss)"
+        ).alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select("doc_id", "source").withColumn(
+        "_r", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(
+            F.expr("(_r * quota) div n_docs") > F.expr("((_r - 1) * quota) div n_docs")
+        )
+        .select("source", "doc_id", "quota")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "q_mixture_sample",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), fixed AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(toks) * {MIX_SCALE} + 0.5) AS BIGINT) AS s
+      FROM per_src
+    ), tot AS (SELECT CAST(sum(s) AS BIGINT) AS ss FROM fixed),
+    quota AS (
+      SELECT source, n_docs,
+             (2 * {MIXS_TARGET} * s + ss) // (2 * ss) AS quota
+      FROM fixed, tot
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      FROM documents
+    )
+    SELECT ranked.source, ranked.doc_id, CAST(quota AS BIGINT) AS quota
+    FROM ranked JOIN quota USING (source)
+    WHERE (r * quota) // n_docs > ((r - 1) * quota) // n_docs
+    ORDER BY ranked.source, ranked.doc_id
+    """,
+    doc="Materialized τ=½ mixture: each source's ⌊target·w+½⌉ quota "
+    "filled by a deterministic systematic walk over its docs in id "
+    "order — mixing weights turned into an actual reproducible "
+    "training draw with no RNG. Exact rational quota rounding and "
+    "integer walk arithmetic (all positive — floor-div agrees across "
+    "engines); one weight exchange + one per-source window",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(load(spark, sf_dir, "documents"))
