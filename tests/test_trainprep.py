@@ -131,3 +131,27 @@ def test_ldiversity_flags_homogeneous_cells(spark):
     assert out["click"].n == 5 and out["click"].n_sensitive == 1
     assert bool(out["click"].at_risk) is True
     assert out["view"].n_sensitive == 3 and bool(out["view"].at_risk) is False
+
+
+def test_minmax_scale_hand_values_and_constant_group(spark):
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.operators.trainprep_queries import (
+        minmax_scale,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (0, "2024-01-01 09:00:00", 1, "click", 10.0, "{}"),
+            (1, "2024-01-01 09:00:01", 1, "click", 15.0, "{}"),
+            (2, "2024-01-01 09:00:02", 1, "click", 30.0, "{}"),
+            (3, "2024-01-01 09:00:03", 1, "view", 7.0, "{}"),   # constant
+            (4, "2024-01-01 09:00:04", 1, "view", 7.0, "{}"),   # group
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r.scaled for r in minmax_scale(events).collect()}
+    assert out[0] == 0.0 and out[2] == 1.0
+    assert out[1] == 0.25  # (15-10)/(30-10)
+    assert out[3] == out[4] == 0.0  # constant group pins 0, no 0/0

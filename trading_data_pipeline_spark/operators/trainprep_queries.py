@@ -313,3 +313,69 @@ def ldiversity(events: DataFrame, l_min: int = L_DIV) -> DataFrame:
 )
 def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldiversity(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- min-max scaling
+
+def minmax_scale(events: DataFrame) -> DataFrame:
+    """Within-group min-max feature scaling: value → (v − min)/(max − min)
+    inside its event_type — the bounded-range transform that completes
+    the scaling family next to q_zscore_outliers (unbounded, outlier-
+    sensitive), q_quantile_normalize (rank-based) and q_winsorize
+    (clipping). Integer cents make min/max/diffs exact; each output is
+    one double division of exact operands quantized 1e-6; constant
+    groups (max = min) pin 0.0 on both engines instead of a 0/0
+    NULL-vs-NaN divergence (the q_quantile_normalize guard).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", cents.alias("_c"))
+        .withColumn("_mn", F.min("_c").over(w))
+        .withColumn("_mx", F.max("_c").over(w))
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0))
+            .otherwise(
+                _q(
+                    (F.col("_c") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn")),
+                    1_000_000,
+                )
+            )
+            .alias("scaled"),
+        )
+    )
+
+
+@register(
+    "q_minmax_scale",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT *, min(c) OVER (PARTITION BY event_type) AS mn,
+                max(c) OVER (PARTITION BY event_type) AS mx
+      FROM c
+    )
+    SELECT event_id, event_type,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE floor((c - mn) * 1.0 / (mx - mn) * 1000000 + 0.5)
+                     / 1000000
+           END AS scaled
+    FROM m
+    """,
+    doc="Within-group min-max scaling to [0,1] on integer cents — the "
+    "bounded-range member of the scaling family (z-score / quantile / "
+    "winsorize siblings). Exact integer min/max/diffs, one double "
+    "division per row, constant groups pin 0.0 on both engines; one "
+    "exchange on the group key",
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minmax_scale(load(spark, sf_dir, "events"))

@@ -220,9 +220,9 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
     # round-6 latest registrations (E129–E134), never driver-verified
     "q_seasonal_decompose", "q_burstiness", "q_simpsons_audit",
     "q_churn_flow", "q_banding_recall", "q_dataset_card", "q_sql_udf",
-    "q_theil_sen", "q_twap", "q_mixture_sample",
+    "q_theil_sen", "q_twap", "q_mixture_sample", "q_minmax_scale",
     # re-verification: report1 micro-family (newest green rows r1–r3)
-    "q_project", "q_dropna", "q_rename", "q_round", "q_filter_date",
+    "q_project", "q_dropna", "q_rename", "q_round",
 )
 
 # ACTIVE round-6 driver window (applied at round-6 open per the staged
