@@ -1,0 +1,88 @@
+"""Round-7 exactness guards: the de-quadratified IVF routings of
+q_retrieval_eval and q_hard_negatives must be byte-identical to their
+brute-force twins (the EXACTNESS claim of knn_join_exact extended to
+max_sim / exclude_self pruning)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from trading_data_pipeline_spark.operators.retrieval_queries import (
+    retrieval_eval,
+)
+from trading_data_pipeline_spark.operators.similarity import (
+    build_ivf_index,
+    hard_negatives,
+)
+from trading_data_pipeline_spark.registry import load
+
+
+def test_retrieval_eval_index_path_equals_brute_force(spark, sf_dir):
+    """The registered q_retrieval_eval routes through knn_join_exact —
+    exactness means identical MAP/MRR rows to the brute-force broadcast
+    path, including rank tiebreaks (sim DESC, id ASC)."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, n_cells=8)
+    brute = sorted(map(tuple, retrieval_eval(emb).collect()))
+    pruned = sorted(
+        map(tuple, retrieval_eval(emb, index=idx, n_probe=2).collect())
+    )
+    assert brute == pruned
+
+
+def test_hard_negatives_index_path_equals_brute_force(spark, sf_dir):
+    """The registered q_hard_negatives routes through knn_join_exact with
+    exclude_self + max_sim — exactness means identical (qid, id, cosine)
+    rows to the brute-force nested-loop path."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute = sorted(
+        map(tuple, hard_negatives(emb, queries, k=5, max_cos=0.95).collect())
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            hard_negatives(
+                emb, queries, k=5, max_cos=0.95, index=idx, n_probe=2
+            ).collect(),
+        )
+    )
+    assert brute == pruned
+
+
+def test_knn_join_exact_max_sim_bound_stays_exact_on_ring(spark):
+    """Adversarial bound check for the max_sim extension: a ring of unit
+    vectors where each query's nearest neighbours are ABOVE the max_sim
+    threshold, so the true qualifying top-k live further around the ring
+    — often in unprobed cells. If t_q were bounded on non-qualifying
+    candidates (or pruning ignored the filter), pruned cells would
+    swallow true qualifying neighbours and this comparison would fail."""
+    rows = []
+    for i in range(72):
+        a = 2 * math.pi * i / 72
+        rows.append((i, [math.cos(a), math.sin(a)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_index(emb, n_cells=6)
+    queries = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # max_cos=0.9 disqualifies each query's ~4 nearest ring neighbours
+    # (and itself via exclude_self), pushing the qualifying top-k into
+    # neighbouring arcs/cells with n_probe=1.
+    got = sorted(
+        map(
+            tuple,
+            hard_negatives(
+                emb, queries, k=5, max_cos=0.9, index=idx, n_probe=1
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, hard_negatives(emb, queries, k=5, max_cos=0.9).collect())
+    )
+    assert got == want and len(want) == 8 * 5

@@ -40,7 +40,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # broadcast side under a non-equi condition).
 PRODUCT_JOIN_ALLOWLIST = {
     "q_cross_join",       # the cartesian demo itself (two tiny dims)
-    "q_hard_negatives",   # bounded query set, doc'd broadcast NLJ
     "q_market_beta",      # 1-row market aggregate joined back
     "q_theta_overlap",    # 1-row sketch vs 1-row sketch
     "q_semijoin_selectivity",  # 1-row denominators joined back
@@ -68,8 +67,6 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # |r|×|c| cell table for expected counts
     "q_bm25",             # 1-row (N, T) corpus stats broadcast onto the
                           # query-token hit table
-    "q_retrieval_eval",   # bounded 1/qmod holdout broadcast (the
-                          # q_knn_eval / q_hard_negatives eval-probe shape)
     "q_mixture_weights",  # 1-row (T, Σ√c) totals broadcast onto the
                           # |sources|-row weight table
     "q_ann_recall",       # bounded 1/qmod holdout broadcast per arm

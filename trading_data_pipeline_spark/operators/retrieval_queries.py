@@ -298,17 +298,29 @@ def retrieval_eval(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    index=None,
+    n_probe: int = 2,
 ) -> DataFrame:
-    """Per-query MAP@k and MRR@k of brute-force cosine retrieval, with
-    relevance = "candidate shares the query's label".
+    """Per-query MAP@k and MRR@k of cosine retrieval, with relevance =
+    "candidate shares the query's label".
 
-    Same bounded eval-probe shape as ``knn_label_eval``: the 1/qmod
-    holdout broadcasts into a corpus-side scoring pass (the corpus never
-    shuffles); the per-query rank window runs after a rank-limit
-    pushdown on the single qid exchange. Precision@i terms fix to
-    integers (``(hits·S) div i``) before the order-free per-query sum;
-    the one double division per metric happens on exact operands.
-    AP@k normalizes by min(R, k), R = relevant corpus rows.
+    Plan (index given — the 100 TB path and the registered default): the
+    1/qmod holdout routes through :meth:`IvfIndex.knn_join_exact` —
+    radius-bounded candidate equi-joins on ``__cell`` replace the
+    corpus × holdout product; EXACT by construction, so the metric (and
+    hash) is identical to the brute-force form. Ranking is on the raw
+    cosine (desc, id asc) on both engines — the same tie discipline
+    ``q_knn_eval`` proved cross-engine-stable.
+
+    Plan (index=None, small-corpus / oracle-twin fallback): broadcast the
+    holdout into a corpus-side scoring pass (the corpus never shuffles);
+    the per-query rank window runs after a rank-limit pushdown on the
+    single qid exchange.
+
+    Precision@i terms fix to integers (``(hits·S) div i``) before the
+    order-free per-query sum; the one double division per metric happens
+    on exact operands. AP@k normalizes by min(R, k), R = relevant corpus
+    rows.
     """
     from pyspark.sql import Window
 
@@ -324,21 +336,39 @@ def retrieval_eval(
         F.col(vec_col).cast("array<double>").alias("vec"),
         label_col,
     )
-    pairs = corpus.crossJoin(F.broadcast(queries)).select(
-        "qid",
-        "qlabel",
-        id_col,
-        label_col,
-        F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 4).alias(
-            "_sim"
-        ),
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
-    ranked = (
-        pairs.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .withColumn("rel", (F.col(label_col) == F.col("qlabel")).cast("long"))
-    )
+    if index is not None:
+        topk = index.knn_join_exact(
+            queries.select("qid", "qvec"),
+            k=k,
+            n_probe=n_probe,
+            corpus_filter=F.col(id_col) % qmod != 0,
+            keep_cols=(label_col,),
+        )
+        ranked = (
+            topk.join(
+                F.broadcast(queries.select("qid", "qlabel")), "qid"
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .withColumn(
+                "rel", (F.col(label_col) == F.col("qlabel")).cast("long")
+            )
+        )
+    else:
+        pairs = corpus.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "qlabel",
+            id_col,
+            label_col,
+            cosine_similarity(F.col("vec"), F.col("qvec")).alias("_sim"),
+        )
+        ranked = (
+            pairs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .withColumn(
+                "rel", (F.col(label_col) == F.col("qlabel")).cast("long")
+            )
+        )
     wc = (
         Window.partitionBy("qid")
         .orderBy("_r")
@@ -401,10 +431,9 @@ def retrieval_eval(
       FROM embeddings WHERE vec_id % {EVAL_QMOD} <> 0
     ), ranked AS (
       SELECT q.qid, q.qlabel, c.vec_id, c.label,
-             round(list_cosine_similarity(c.vec, q.qvec), 4) AS _sim,
              row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 4)
+               ORDER BY list_cosine_similarity(c.vec, q.qvec)
                           DESC, c.vec_id) AS _r
       FROM corpus c, queries q
       QUALIFY _r <= {EVAL_K}
@@ -440,12 +469,20 @@ def retrieval_eval(
     FROM per_q p LEFT JOIN rel_counts r USING (qlabel)
     ORDER BY p.qid
     """,
-    doc="Retrieval-quality eval: MAP@10 and MRR@10 of brute-force cosine "
-    "retrieval against same-label relevance — the log-free IR metrics "
-    "(AP and RR are exact rationals; NDCG's log2 discount would cross "
-    "the libm boundary). Broadcast holdout probe (corpus never "
-    "shuffles), rank-limit pushdown on the one qid exchange, "
-    "precision@i fixed to integers before the order-free sum",
+    doc="Retrieval-quality eval: MAP@10 and MRR@10 of cosine retrieval "
+    "against same-label relevance — the log-free IR metrics (AP and RR "
+    "are exact rationals; NDCG's log2 discount would cross the libm "
+    "boundary). Registered as the EXACT cell-pruned IVF path "
+    "(IvfIndex.knn_join_exact: radius-bounded candidate equi-joins on "
+    "__cell — no corpus×holdout product); result identical to brute "
+    "force by construction; precision@i fixed to integers before the "
+    "order-free sum",
 )
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return retrieval_eval(load(spark, sf_dir, "embeddings"))
+    from .similarity_queries import ivf_index_for
+
+    return retrieval_eval(
+        load(spark, sf_dir, "embeddings"),
+        index=ivf_index_for(spark, sf_dir),
+        n_probe=2,
+    )

@@ -298,6 +298,8 @@ class IvfIndex:
         qvec_col: str = "qvec",
         corpus_filter: Column | None = None,
         keep_cols: tuple[str, ...] = (),
+        exclude_self: bool = False,
+        max_sim: float | None = None,
     ) -> DataFrame:
         """EXACT per-query cosine top-k as a cell-pruned two-phase join —
         the scale path that replaces an unconditional corpus × queries
@@ -312,6 +314,16 @@ class IvfIndex:
         strictly below the current top-k. A query whose phase-1 cells
         yield fewer than ``k`` candidates falls back to bounding with
         t_q = -1 (all cells qualify) — still exact, never silently short.
+
+        ``exclude_self`` drops pairs where the corpus id equals the query
+        id (hard-negative mining keeps query vectors IN the corpus but
+        never pairs a vector with itself). ``max_sim`` keeps only
+        candidates with ``_sim < max_sim`` (strict) BEFORE ranking — t_q
+        is then the k-th best *qualifying* similarity, and phase-2
+        pruning stays exact: a pruned cell's upper bound is below t_q, so
+        it cannot hold a qualifying candidate that beats the current
+        top-k (dropping super-threshold rows only ever removes
+        non-qualifying candidates, never changes the bound's validity).
 
         Returns (qid, id, _sim [, keep_cols...]) rows, exactly the top-k
         per query, ties broken (sim DESC, id ASC).
@@ -358,17 +370,22 @@ class IvfIndex:
         ).withColumn("__qn", l2_norm(F.col("__qv")))
 
         def scored(joined: DataFrame) -> DataFrame:
+            if exclude_self:
+                joined = joined.filter(F.col(self.id_col) != F.col("__qid"))
             sim = F.aggregate(
                 F.zip_with(F.col("__cv"), F.col("__qv"), lambda x, y: x * y),
                 F.lit(0.0),
                 lambda a, x: a + x,
             ) / (F.col("__cn") * F.col("__qn"))
-            return joined.select(
+            out = joined.select(
                 "__qid",
                 F.col(self.id_col),
                 sim.alias("_sim"),
                 *[F.col(c) for c in keep_cols],
             )
+            if max_sim is not None:
+                out = out.filter(F.col("_sim") < max_sim)
+            return out
 
         w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc(self.id_col))
 
@@ -542,22 +559,47 @@ def hard_negatives(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
+    index: "IvfIndex | None" = None,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Contrastive-training hard negatives: for each query vector, the
     top-k most similar corpus vectors that are NOT near-duplicates
     (cosine < ``max_cos``) and not the query itself.
 
-    Plan: broadcast the (small) query set into a nested-loop join — each
-    corpus partition scores all queries locally, so the corpus never
-    shuffles for scoring; the per-query top-k window then benefits from
-    rank-limit pushdown (partial top-k before the single exchange on
-    qid). This exact form doubles as the oracle; at web scale the
-    candidate-generation step is IVF ``probe_batch`` and this ranking
-    runs over candidates only.
+    Plan (index given — the 100 TB path and the registered default):
+    :meth:`IvfIndex.knn_join_exact` with ``exclude_self`` +
+    ``max_sim=max_cos`` — two ``__cell`` equi-joins with radius-bound
+    pruning replace the corpus × queries product; EXACT by construction
+    (t_q bounds on the k-th best *qualifying* similarity), so the result
+    and hash are identical to the brute-force form and the unchanged
+    DuckDB oracle still verifies it.
+
+    Plan (index=None, the small-corpus / oracle-twin fallback): broadcast
+    the query set into a nested-loop join — each corpus partition scores
+    all queries locally, so the corpus never shuffles for scoring; the
+    per-query top-k window then benefits from rank-limit pushdown
+    (partial top-k before the single exchange on qid).
     """
     from pyspark.sql import Window
 
     from ..functions.vector import dot_product, l2_norm
+
+    if index is not None:
+        topk = index.knn_join_exact(
+            queries.select(
+                F.col(query_id_col).alias("qid"),
+                F.col(query_vec_col).alias("qvec"),
+            ),
+            k=k,
+            n_probe=n_probe,
+            exclude_self=True,
+            max_sim=max_cos,
+        )
+        return topk.select(
+            F.col("qid").alias(query_id_col),
+            id_col,
+            F.round("_sim", 4).alias("cosine"),
+        )
 
     # Norms are per-ROW projections computed before the pairwise join:
     # per pair only the dot-product fold remains (~3x less arithmetic

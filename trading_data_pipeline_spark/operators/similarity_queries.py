@@ -182,9 +182,11 @@ HN_MAX_COS = 0.95
     """,
     doc="Hard-negative mining for contrastive training: per query vector "
     "the top-5 most-similar corpus vectors BELOW the near-dup threshold "
-    "(similar but not the same content). Broadcast query set -> corpus "
-    "scores locally with no corpus shuffle; per-query top-k via "
-    "rank-limit-pushdown window. Cosine fold bit-identical to DuckDB",
+    "(similar but not the same content). Registered as the EXACT "
+    "cell-pruned IVF path (IvfIndex.knn_join_exact with exclude_self + "
+    "max_sim: radius-bounded candidate equi-joins on __cell — no "
+    "corpus×queries product); result identical to brute force by "
+    "construction. Cosine fold bit-identical to DuckDB",
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import hard_negatives
@@ -193,7 +195,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return hard_negatives(emb, queries, k=HN_K, max_cos=HN_MAX_COS)
+    return hard_negatives(
+        emb,
+        queries,
+        k=HN_K,
+        max_cos=HN_MAX_COS,
+        index=ivf_index_for(spark, sf_dir),
+        n_probe=2,
+    )
 
 
 # ------------------------------------------------------- random projection

@@ -225,9 +225,9 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
     "q_project", "q_dropna", "q_rename", "q_round",
 )
 
-# ACTIVE round-6 driver window (applied at round-6 open per the staged
-# plan above; the round-5 list is kept for the no-wasted-slot check).
-_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND6
+# ACTIVE round-7 driver window (applied at round-7 open per the staged
+# plan above; the round-6 list is kept for the no-wasted-slot check).
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND7
 
 
 def all_queries() -> dict[str, QuerySpec]:
