@@ -86,3 +86,59 @@ def test_knn_join_exact_max_sim_bound_stays_exact_on_ring(spark):
         map(tuple, hard_negatives(emb, queries, k=5, max_cos=0.9).collect())
     )
     assert got == want and len(want) == 8 * 5
+
+
+def test_entity_canonical_group_level_equals_row_level_reference(spark):
+    """entity_canonical verifies at distinct (brand, name) granularity —
+    exactness vs a row-level Python reference on data crafted to exercise
+    every shape: repeated names across keys, cross-name fuzzy matches,
+    chains collapsing to one canonical, singleton brands, and a name
+    pair just OVER the edit budget."""
+    rows = [
+        # brand A: "red bolt" x3 keys, "red bol" (dist 1), "red volt"
+        # (dist 1 from bolt), "green gear" (no match)
+        (10, "red bolt", "A"),
+        (11, "red bolt", "A"),
+        (15, "red bolt", "A"),
+        (12, "red bol", "A"),
+        (13, "red volt", "A"),
+        (14, "green gear", "A"),
+        # brand B: same names must NOT match across brands
+        (20, "red bolt", "B"),
+        (21, "red bolts!", "B"),  # dist 2 from "red bolt" -> match
+        (22, "crimson bolt", "B"),  # dist > 2 -> no match
+        # brand C: singleton
+        (30, "lone part", "C"),
+    ]
+    part = spark.createDataFrame(
+        [(k, n, b) for k, n, b in rows],
+        "p_partkey long, p_name string, p_brand string",
+    )
+    from trading_data_pipeline_spark.operators.dedup_queries import (
+        entity_canonical,
+    )
+
+    got = {
+        r.key: (r.canonical, r.n_matches)
+        for r in entity_canonical(part, max_edits=2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    want = {}
+    for k, n, b in rows:
+        matches = [
+            k2
+            for k2, n2, b2 in rows
+            if k2 != k and b2 == b and lev(n, n2) <= 2
+        ]
+        want[k] = (min(matches + [k]), len(matches))
+    assert got == want

@@ -333,42 +333,55 @@ def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataF
     expression (full transitive closure is the iterative, rows-only
     ``q_dedup_clusters``); for match graphs that are stars around a
     survivor — the common shape after blocking — one round IS the fixed
-    point. Plan: the q_fuzzy_join blocked self-join (length pre-filter
-    before the O(len²) DP), symmetrized, then one groupBy(key) min.
+    point.
 
-    Cost is Σ|block|² pairs (the q_salted_join-style documented price:
-    ~8M DP verifies at sf0.1, ~13 s on local[32]) — the knob at scale
-    is a finer blocking key; length-band blocking was measured and
-    does NOT help this corpus (p_name lengths cluster in 7–12 chars),
-    so the brand block is kept and the query stays out of the bench
-    extras list.
+    Plan — value-level verification (EXACT, replaces the former
+    row-level Σ|block|² self-join): the match predicate depends only on
+    (brand, name), so every key sharing a (brand, name) group matches
+    the same name set. Aggregate to distinct groups first (min key +
+    key count per group), run the levenshtein self-join at GROUP
+    granularity, then broadcast the per-group (canonical, total) back
+    onto the keyed rows:
+
+    - canonical(key) = min over matched groups of the group-min key
+      (the identity pair — distance 0 — keeps the own group in, so this
+      equals min(matches ∪ {key}) for every key in the group);
+    - n_matches(key) = Σ matched-group key counts − 1 (minus self).
+
+    Cost: the quadratic piece is Σ|distinct names per block|² — bounded
+    by the name VOCABULARY (64 distinct p_names here → ~50k DPs at any
+    SF, vs ~8M row-level DPs at sf0.1 and growing quadratically), while
+    the corpus-sized work is two linear passes (one distinct-group
+    exchange + one broadcast join back). Worst case (all-unique names)
+    degrades to the old row-level bound; the next knob for near-unique
+    corpora is a q_dedup_near-style signature block.
     """
     keyed = part.select(
         F.col("p_partkey").alias("key"),
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("blk"),
     )
-    a = keyed.select(F.col("key").alias("ka"), F.col("name").alias("na"), "blk")
-    b = keyed.select(F.col("key").alias("kb"), F.col("name").alias("nb"), "blk")
-    pairs = (
-        a.join(b, "blk")
-        .filter(F.col("ka") < F.col("kb"))
+    groups = keyed.groupBy("blk", "name").agg(
+        F.min("key").alias("gmin"), F.count(F.lit(1)).alias("gcnt")
+    )
+    ga = groups.select("blk", F.col("name").alias("na"))
+    gb = groups.select(
+        "blk",
+        F.col("name").alias("nb"),
+        F.col("gmin").alias("minb"),
+        F.col("gcnt").alias("cntb"),
+    )
+    matched = (
+        ga.join(gb, "blk")
         .filter(F.abs(F.length("na") - F.length("nb")) <= max_edits)
         .filter(F.levenshtein("na", "nb") <= max_edits)
-        .select("ka", "kb")
+        .groupBy("blk", F.col("na").alias("name"))
+        .agg(F.min("minb").alias("_canon"), F.sum("cntb").alias("_total"))
     )
-    edges = (
-        pairs.select(F.col("ka").alias("key"), F.col("kb").alias("nb"))
-        .unionByName(
-            pairs.select(F.col("kb").alias("key"), F.col("ka").alias("nb"))
-        )
-        .unionByName(
-            keyed.select("key", F.col("key").alias("nb"))
-        )
-    )
-    return edges.groupBy("key").agg(
-        F.min("nb").alias("canonical"),
-        F.sum((F.col("nb") != F.col("key")).cast("long")).alias("n_matches"),
+    return keyed.join(F.broadcast(matched), ["blk", "name"]).select(
+        "key",
+        F.col("_canon").alias("canonical"),
+        (F.col("_total") - 1).alias("n_matches"),
     )
 
 
@@ -397,8 +410,9 @@ def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataF
     "propagation over the brand-blocked levenshtein match graph — every "
     "part maps to the smallest key among its verified fuzzy matches and "
     "itself (round 1 of q_dedup_clusters' fixpoint, exact for the "
-    "star-shaped match graphs blocking produces). Integer edit "
-    "distances, one blocked self-join + one groupBy min",
+    "star-shaped match graphs blocking produces). Verified at distinct "
+    "(brand, name) granularity — the quadratic piece is vocabulary-"
+    "bounded, not corpus-bounded — then broadcast back onto the keys",
 )
 def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_canonical(load(spark, sf_dir, "part"))
