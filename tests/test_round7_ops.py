@@ -142,3 +142,35 @@ def test_entity_canonical_group_level_equals_row_level_reference(spark):
         ]
         want[k] = (min(matches + [k]), len(matches))
     assert got == want
+
+
+def test_band_index_probe_recovers_after_cache_invalidation(spark, sf_dir):
+    """The delta-dedup probe artifacts are parquet-backed: killing the
+    session cache entry (the executor-loss / new-session analogue) must
+    leave a later probe fully functional with identical pairs — the
+    fault-tolerance contract the former localCheckpoint blocks broke."""
+    from trading_data_pipeline_spark.operators import dedup_queries as dq
+    from trading_data_pipeline_spark.registry import all_queries
+
+    fn = all_queries()["q_dedup_delta"].fn
+    warm = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    # invalidate: drop every cached entry for this app, as if the session
+    # state (or the executors holding checkpoint blocks) was lost
+    dq._BAND_INDEX_CACHE.clear()
+    recovered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert recovered == warm
+
+
+def test_band_index_artifacts_are_file_scans_not_checkpoint_blocks(spark, sf_dir):
+    """The cached probe artifacts must be parquet scans (re-readable after
+    any executor loss), never lineage-free checkpoint RDDs (which are
+    not)."""
+    from trading_data_pipeline_spark.operators.dedup_queries import (
+        band_index_for,
+    )
+
+    postings, shingles = band_index_for(spark, sf_dir)
+    for df in (postings, shingles):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan, plan.splitlines()[:5]
+        assert "ExistingRDD" not in plan and "LogicalRDD" not in plan

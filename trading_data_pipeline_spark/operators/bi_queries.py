@@ -601,9 +601,11 @@ def auc_exact(events: DataFrame) -> DataFrame:
     g + 1) accumulates in DECIMAL(38,0). The single lossy step is the
     final ``rs2 :: DOUBLE`` before dividing (both engines do the same),
     so bit-identity across engines holds while 2·ranksum fits a double
-    mantissa — i.e. rs2 < 2^53, roughly 10^8–10^9 rows with ties;
-    beyond that both engines degrade identically on identical data, but
-    the quotient is no longer exact in the mathematical sense.
+    mantissa — i.e. rs2 < 2^53, roughly 10^8–10^9 rows with ties.
+    Beyond that the cast must round, and although both engines are
+    expected to round-to-nearest the same exact integer, that is an
+    implementation property, not a contract — treat cross-engine
+    comparison above 2^53 as float-close, not bit-exact.
     """
     s = events.filter(F.col("value").isNotNull()).select(
         F.col("value").alias("v"),

@@ -543,10 +543,12 @@ def containment_pairs(
     ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
     # The shingle table feeds THREE branches (inverted index + both verify
     # sides); without materialization each branch re-tokenizes and re-hashes
-    # the corpus. localCheckpoint computes it once (same pattern as the
-    # graph edge cache); the checkpointed payload is |docs| × ~|shingles|
-    # int64s, executor-resident.
-    sh = sh.localCheckpoint(eager=True)
+    # the corpus. persist() computes each partition once and — unlike the
+    # former localCheckpoint, whose lineage-free blocks die with their
+    # executor — keeps the (shallow: scan + project) lineage, so a lost
+    # block recomputes instead of failing the query. Payload is
+    # |docs| × ~|shingles| int64s, memory-and-disk.
+    sh = sh.persist()
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
     posting = (
         inv.groupBy("g")
