@@ -167,8 +167,10 @@ EXTRAS = [
     "q_retrieval_eval",
     "q_fertility",
     "q_pq_encode",
-    # q_entity_canonical stays out: Σ|block|² DP verify (~13 s at
-    # sf0.1) is its documented cost — parity-gated at sf0.01 instead
+    # round 7 brought q_entity_canonical in: the former row-level
+    # Σ|block|² DP verify (~13 s at sf0.1) now runs at distinct
+    # (brand, name) granularity — vocabulary-bounded, sub-second
+    "q_entity_canonical",
     "q_mixture_weights",
     "q_diff_in_diff",
     "q_cdc_chunks",
