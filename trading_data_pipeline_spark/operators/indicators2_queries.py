@@ -1,0 +1,398 @@
+"""Technical-indicator operators, round-7 batch — the oscillator /
+flow-indicator layer next to round 6's trend indicators
+(``indicators_queries``), over the same daily bars the reference's
+report1 produces (xetra_transformer.py:126-208):
+
+- **q_stochastic**: %K/%D stochastic oscillator — today's close located
+  inside the rolling 14-day high-low range (%K), smoothed over 3 days
+  (%D). Range arithmetic is exact integer cents; each day's raw ratio
+  is ONE double division, and %D sums three such ratios in frame order
+  (identical sequence both engines). Flat 14-day range pins %K to 50.
+- **q_mfi**: Money Flow Index — volume-weighted RSI over the typical
+  price. Typical price stays the INTEGER h+l+c sum (MFI is
+  scale-invariant, so the /3 is dropped rather than rounded); money
+  flow tp·vol is a BIGINT product; positive/negative flows are exact
+  integer frame sums; one final division, flat-flow window pinned 50.
+- **q_dollar_bars**: event-driven bars that close every ``DB_THRESHOLD``
+  cents of traded dollar value (López de Prado's dollar bars — the
+  information-clock alternative to time bars). Bar assignment is an
+  exact integer running dollar sum, OHLC per bar in cents.
+- **q_sortino** (in this module for the shared bar chain): Sortino
+  ratio per type — mean daily move over DOWNSIDE deviation, the
+  Sharpe variant that doesn't punish upside. BIGINT power sums of
+  min(dc, 0), one float chain, quantized.
+
+Scale design: stochastic/MFI/sortino run per-type windows over the
+(type, day) bar table (calendar-bounded rows per type; one exchange
+carries the chain — the q_bollinger shape). Dollar bars avoid the
+per-type SinglePartition scan over raw EVENTS with a two-pass cumsum:
+within-day running sums use the (type, day) partition (day-bounded
+state), and the cross-day offset joins in from a calendar-sized per-day
+totals table — the same decomposition ``plans/global_rank`` uses,
+keyed by trading day instead of quantile buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.quantize import q as _q
+from ..registry import load, register
+from .microstructure_queries import _CENTS
+
+STOCH_N = 14   # %K lookback (days)
+STOCH_D = 3    # %D smoothing (days)
+MFI_N = 14
+DB_THRESHOLD = 10_000_000  # dollar-bar size: cents of traded value
+SORTINO_SCALE = 10**8
+
+# Daily OHLC bars in integer cents + volume — the full-bar twin of
+# microstructure_queries._BARS_SQL (which only carries the close).
+_OHLC_SQL = f"""
+    e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             {_CENTS} AS cents,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+    ), w AS (
+      SELECT *,
+             first_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id) AS o,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day,
+             min(o) AS o_c, max(cents) AS h_c,
+             min(cents) AS l_c, min(c) AS c_c,
+             CAST(sum(q) AS BIGINT) AS vol
+      FROM w GROUP BY event_type, day
+    )
+"""
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """(event_type, day, o_c, h_c, l_c, c_c, vol): integer-cent daily
+    OHLC + volume — one (event_type, day) exchange."""
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    wd = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wdf = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            cents.alias("cents"),
+            qty.alias("q"),
+        )
+        .withColumn("o", F.first("cents").over(wd))
+        .withColumn("c", F.last("cents").over(wdf))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min("o").alias("o_c"),
+            F.max("cents").alias("h_c"),
+            F.min("cents").alias("l_c"),
+            F.min("c").alias("c_c"),
+            F.sum("q").alias("vol"),
+        )
+    )
+
+
+# ------------------------------------------------- stochastic oscillator
+
+def stochastic(
+    events: DataFrame, n: int = STOCH_N, d: int = STOCH_D
+) -> DataFrame:
+    """%K = 100·(close − lowest low) / (highest high − lowest low) over
+    the trailing ``n``-day frame (current day included); %D = ``d``-day
+    SMA of the raw ratio. Integer numerator/denominator per day; a flat
+    range (den = 0) pins the ratio to 1/2 on both engines. Rows without
+    a full %D history (rn < n + d − 1) are dropped."""
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(n - 1), 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wd = wr.rowsBetween(-(d - 1), 0)
+    bars = (
+        ohlc_bars(events)
+        .withColumn("ll", F.min("l_c").over(wf))
+        .withColumn("hh", F.max("h_c").over(wf))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    k_raw = F.when(
+        F.col("hh") == F.col("ll"), F.lit(0.5)
+    ).otherwise(
+        (F.col("c_c") - F.col("ll")) / (F.col("hh") - F.col("ll"))
+    )
+    return (
+        bars.withColumn("_k", k_raw)
+        .withColumn("_dsum", F.sum("_k").over(wd))
+        .filter(F.col("rn") >= n + d - 1)
+        .select(
+            "event_type",
+            "day",
+            (F.col("c_c") / 100.0).alias("close"),
+            _q(F.col("_k") * 100, 10000).alias("pct_k"),
+            _q(F.col("_dsum") * 100 / d, 10000).alias("pct_d"),
+        )
+    )
+
+
+@register(
+    "q_stochastic",
+    f"""
+    WITH {_OHLC_SQL}, r AS (
+      SELECT event_type, day, c_c,
+             min(l_c) OVER f AS ll, max(h_c) OVER f AS hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM bars
+      WINDOW f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {STOCH_N - 1} PRECEDING AND CURRENT ROW)
+    ), k AS (
+      SELECT event_type, day, c_c, rn,
+             CASE WHEN hh = ll THEN 0.5
+                  ELSE (c_c - ll) * 1.0 / (hh - ll) END AS k_raw
+      FROM r
+    )
+    SELECT event_type, day, c_c / 100.0 AS close,
+           floor(k_raw * 100 * 10000 + 0.5) / 10000 AS pct_k,
+           floor(sum(k_raw) OVER df * 100 / {STOCH_D} * 10000 + 0.5)
+             / 10000 AS pct_d
+    FROM k
+    WINDOW df AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN {STOCH_D - 1} PRECEDING AND CURRENT ROW)
+    QUALIFY rn >= {STOCH_N + STOCH_D - 1}
+    """,
+    doc=f"Stochastic oscillator (%K-{STOCH_N} / %D-{STOCH_D}): close "
+    "position inside the rolling high-low range from exact integer-cent "
+    "extremes, one double division per day, %D summing the three raw "
+    "ratios in identical frame order on both engines. One bar exchange "
+    "carries the whole chain",
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stochastic(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------- money flow index
+
+def mfi(events: DataFrame, n: int = MFI_N) -> DataFrame:
+    """Money Flow Index: RSI over tp·vol money flow where tp is the
+    INTEGER h+l+c sum (the /3 cancels in the ratio). Flow is positive
+    on tp up-days, negative on down-days, excluded on flat days; a
+    window with zero total flow pins to 50. Drops rows until the
+    ``n``-day flow frame is full (first move is at rn = 2)."""
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wf = wr.rowsBetween(-(n - 1), 0)
+    bars = (
+        ohlc_bars(events)
+        .withColumn("tp", F.col("h_c") + F.col("l_c") + F.col("c_c"))
+        .withColumn("flow", F.col("tp") * F.col("vol"))
+        .withColumn("dtp", F.col("tp") - F.lag("tp").over(wr))
+        .filter(F.col("dtp").isNotNull())
+        .withColumn(
+            "pos", F.when(F.col("dtp") > 0, F.col("flow")).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "neg", F.when(F.col("dtp") < 0, F.col("flow")).otherwise(F.lit(0))
+        )
+        .withColumn("ps", F.sum("pos").over(wf))
+        .withColumn("ns", F.sum("neg").over(wf))
+        .withColumn("k", F.count(F.lit(1)).over(wf))
+        .filter(F.col("k") == n)
+    )
+    ratio = F.when(
+        F.col("ps") + F.col("ns") == 0, F.lit(50.0)
+    ).otherwise(F.col("ps") * 100.0 / (F.col("ps") + F.col("ns")))
+    return bars.select(
+        "event_type",
+        "day",
+        F.col("ps").alias("pos_flow"),
+        F.col("ns").alias("neg_flow"),
+        _q(ratio, 10000).alias("mfi"),
+    )
+
+
+@register(
+    "q_mfi",
+    f"""
+    WITH {_OHLC_SQL}, tp AS (
+      SELECT event_type, day, h_c + l_c + c_c AS tp,
+             (h_c + l_c + c_c) * vol AS flow
+      FROM bars
+    ), d AS (
+      SELECT event_type, day, flow,
+             tp - lag(tp) OVER (PARTITION BY event_type ORDER BY day)
+               AS dtp
+      FROM tp
+    ), s AS (
+      SELECT event_type, day,
+             CAST(sum(CASE WHEN dtp > 0 THEN flow ELSE 0 END) OVER f
+                  AS BIGINT) AS ps,
+             CAST(sum(CASE WHEN dtp < 0 THEN flow ELSE 0 END) OVER f
+                  AS BIGINT) AS ns,
+             count(*) OVER f AS k
+      FROM d WHERE dtp IS NOT NULL
+      WINDOW f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {MFI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, ps AS pos_flow, ns AS neg_flow,
+           floor(CASE WHEN ps + ns = 0 THEN 50.0
+                      ELSE ps * 100.0 / (ps + ns) END * 10000 + 0.5)
+             / 10000 AS mfi
+    FROM s WHERE k = {MFI_N}
+    """,
+    doc=f"Money Flow Index (MFI-{MFI_N}): volume-weighted RSI over the "
+    "integer typical-price·volume flow — BIGINT frame sums of signed "
+    "flows, one final division, zero-flow window pinned to 50. Same "
+    "one-exchange bar chain as q_stochastic",
+)
+def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mfi(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------------- dollar bars
+
+def dollar_bars(
+    events: DataFrame, threshold: int = DB_THRESHOLD
+) -> DataFrame:
+    """Dollar bars: per type, a bar closes every ``threshold`` cents of
+    cumulative traded value (price·size), so bar arrival follows the
+    information clock — volatile high-volume periods produce MORE bars
+    — instead of the wall clock (López de Prado, "Advances in Financial
+    Machine Learning" ch. 2, standard public formulation).
+
+    Two-pass running sum, never a per-type SinglePartition window over
+    raw events: (1) within-day cumulative dollars under the
+    (event_type, day) partition — state bounded by one day's events;
+    (2) per-(type, day) totals (calendar-sized) get a per-type running
+    offset and join back, making the running sum global. bar_id =
+    floor((offset + within-day cum − this trade) / threshold): a bar
+    is identified by the dollars accumulated BEFORE the trade, so the
+    trade that crosses the threshold still belongs to the bar it
+    closes. OHLC per bar in exact integer cents."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    base = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+        (cents * qty).alias("dollars"),
+    )
+    wday = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = base.withColumn("dcum", F.sum("dollars").over(wday))
+    day_tot = base.groupBy("event_type", "day").agg(
+        F.sum("dollars").alias("dtot")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("dtot").over(woff), F.lit(0)).alias("off"),
+    )
+    cum = within.join(offsets, ["event_type", "day"]).withColumn(
+        "gcum", F.col("off") + F.col("dcum")
+    )
+    bar = F.floor(
+        (F.col("gcum") - F.col("dollars")) / F.lit(float(threshold))
+    ).cast("long")
+    wbar = Window.partitionBy("event_type", "bar_id").orderBy(
+        "ts", "event_id"
+    )
+    wbarf = wbar.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cum.withColumn("bar_id", bar)
+        .withColumn("o", F.first("cents").over(wbar))
+        .withColumn("c", F.last("cents").over(wbarf))
+        .groupBy("event_type", "bar_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.min("o").alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.min("c").alias("close_c"),
+            F.sum("dollars").alias("bar_dollars"),
+        )
+        .select(
+            "event_type",
+            "bar_id",
+            "n_trades",
+            (F.col("open_c") / 100.0).alias("open"),
+            (F.col("high_c") / 100.0).alias("high"),
+            (F.col("low_c") / 100.0).alias("low"),
+            (F.col("close_c") / 100.0).alias("close"),
+            "bar_dollars",
+        )
+    )
+
+
+@register(
+    "q_dollar_bars",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             {_CENTS} AS cents,
+             {_CENTS} * coalesce(json_extract_string(props, '$.k')::BIGINT, 0)
+               AS dollars
+      FROM events
+    ), g AS (
+      SELECT event_type, ts, event_id, cents, dollars,
+             CAST(sum(dollars) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS gcum
+      FROM e
+    ), b AS (
+      SELECT *,
+             CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0) AS BIGINT)
+               AS bar_id,
+             first_value(cents) OVER wb AS o,
+             last_value(cents) OVER
+               (PARTITION BY event_type,
+                  CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0) AS BIGINT)
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM g
+      WINDOW wb AS (PARTITION BY event_type,
+                      CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0)
+                           AS BIGINT)
+                    ORDER BY ts, event_id)
+    )
+    SELECT event_type, bar_id,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           min(o) / 100.0 AS open, max(cents) / 100.0 AS high,
+           min(cents) / 100.0 AS low, min(c) / 100.0 AS close,
+           CAST(sum(dollars) AS BIGINT) AS bar_dollars
+    FROM b GROUP BY event_type, bar_id
+    """,
+    doc=f"Dollar bars: per type a bar closes every {DB_THRESHOLD} cents "
+    "of cumulative traded value — the information-clock bar that "
+    "samples volatile periods more densely than time bars. Exact "
+    "integer running dollars via a two-pass (within-day + calendar-"
+    "offset) cumsum — no per-type single-partition scan of raw events",
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dollar_bars(load(spark, sf_dir, "events"))

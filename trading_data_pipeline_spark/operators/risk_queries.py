@@ -233,3 +233,58 @@ def event_study(
 )
 def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_study(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------- sortino
+
+def sortino(events: DataFrame) -> DataFrame:
+    """Sortino ratio per type: mean daily cent move over DOWNSIDE
+    deviation sqrt(Σ min(dc,0)² / n) — the Sharpe variant that only
+    penalizes losses, so an asymmetric (up-skewed) book isn't punished
+    for its upside. BIGINT power sums over the bar table; undefined when
+    no losing day exists (NULL, never an ANSI 0-division)."""
+    moves = daily_bars(events).filter(F.col("dc").isNotNull())
+    dn = F.when(F.col("dc") < 0, F.col("dc")).otherwise(F.lit(0))
+    agg = moves.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dc").alias("sx"),
+        F.sum(dn * dn).alias("sdd"),
+        F.sum((F.col("dc") < 0).cast("long")).alias("n_down"),
+    )
+    n, sx, sdd = F.col("n"), F.col("sx"), F.col("sdd")
+    dd = F.sqrt(sdd.cast("double") / n.cast("double"))
+    ratio = F.when(sdd > 0, (sx / n.cast("double")) / dd)
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("n_down").alias("n_down_days"),
+        _q(ratio, SHARPE_SCALE).alias("sortino"),
+    )
+
+
+@register(
+    "q_sortino",
+    f"""
+    WITH {{bars}}, agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dc) AS BIGINT) AS sx,
+             CAST(sum(CASE WHEN dc < 0 THEN dc * dc ELSE 0 END)
+                  AS BIGINT) AS sdd,
+             CAST(sum(CASE WHEN dc < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+      FROM moves WHERE dc IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, n_down AS n_down_days,
+           floor(CASE WHEN sdd > 0
+                 THEN (sx / CAST(n AS DOUBLE))
+                      / sqrt(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE))
+                 END * {{scale}} + 0.5) / {{scale}} AS sortino
+    FROM agg
+    """.format(bars=_BARS_SQL, scale=SHARPE_SCALE),
+    doc="Sortino ratio per type: mean daily move over downside "
+    "deviation (losses only) — BIGINT power sums of clipped moves, one "
+    "deterministic float chain, NULL when no losing day. Same bar "
+    "exchange as q_sharpe",
+)
+def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sortino(load(spark, sf_dir, "events"))

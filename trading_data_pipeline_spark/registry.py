@@ -241,6 +241,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_queries,
         dedup_queries,
         graph_queries,
+        indicators2_queries,
         indicators_queries,
         io_queries,
         lake_queries,
