@@ -439,3 +439,147 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
 )
 def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------- within-doc repetition
+
+REP_N = 3           # n-gram order for the repetition screen
+REP_FLAG = 0.2      # dup-gram fraction above which a doc is flagged
+
+
+def repetition(docs: DataFrame, n: int = REP_N, flag: float = REP_FLAG) -> DataFrame:
+    """Within-document repetition screen (the Gopher-rules "repeated
+    n-gram fraction"): per doc, the share of word ``n``-grams that are
+    duplicates of an earlier gram in the SAME doc — template spam, keyword
+    stuffing, and decode loops score high while natural prose stays low.
+
+    Zero shuffle: grams are per-row 64-bit hash arrays (token hashes
+    folded with xxhash64, no string building — the hashed_shingles trick
+    WITHOUT its distinct), and dup_frac = 1 − |distinct|/|total| is pure
+    array arithmetic. The oracle counts distinct gram STRINGS; counts
+    agree unless xxhash64 collides within one doc's gram set (~|g|²/2⁶⁴).
+    Docs shorter than ``n`` tokens carry no gram evidence and are
+    excluded on both engines.
+    """
+    toks = F.split(F.col("text"), " ")
+    tokh = F.transform(toks, lambda w: F.xxhash64(w))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+
+    def _g(t):
+        return lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(n)])
+
+    grams = F.transform(idx, _g(tokh))
+    out = docs.filter(F.size(toks) >= n).select(
+        "doc_id",
+        "source",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_unique"),
+    )
+    dup = (F.col("n_grams") - F.col("n_unique")) / F.col("n_grams")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "n_unique",
+        _q(dup, TTR_SCALE).alias("dup_frac"),
+        (dup >= flag).cast("int").alias("flagged"),
+    )
+
+
+@register(
+    "q_repetition",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_filter(
+               list_transform(
+                 list_zip(t, t[2:], t[3:]),
+                 z -> z[1] || chr(31) || z[2] || chr(31) || z[3]),
+               x -> x IS NOT NULL) AS grams
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents)
+      WHERE len(t) >= {REP_N}
+    )
+    SELECT doc_id, source,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_unique,
+           floor((len(grams) - len(list_distinct(grams))) * 1.0
+                 / len(grams) * {TTR_SCALE} + 0.5) / {TTR_SCALE}
+             AS dup_frac,
+           CAST((len(grams) - len(list_distinct(grams))) * 1.0
+                / len(grams) >= {REP_FLAG} AS INT) AS flagged
+    FROM g
+    """,
+    doc=f"Within-doc repetition screen: duplicate word {REP_N}-gram "
+    "fraction per document (Gopher repetition rule) — template spam and "
+    "stuffing score high. Per-row hashed-gram array arithmetic, zero "
+    f"shuffle; docs with dup_frac ≥ {REP_FLAG} flagged",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- Simpson lexical diversity
+
+SIMPSON_SCALE = 10**6
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Per-source Gini–Simpson lexical diversity: 1 − Σ c(c−1)/(T(T−1)),
+    the probability two tokens drawn WITHOUT replacement differ — the
+    log-free entropy alternative (Shannon would cross the libm boundary;
+    this stays an exact integer rational until one final division).
+    Low diversity = boilerplate-heavy source. Token-keyed partial-agg
+    shuffle then a per-source rollup — the q_token_coverage shape.
+    """
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    div = F.when(
+        F.col("t") > 1,
+        1 - F.col("coll") / (F.col("t") * (F.col("t") - 1)),
+    )
+    return agg.select(
+        F.col("source"),
+        F.col("t").alias("n_tokens"),
+        "n_types",
+        _q(div, SIMPSON_SCALE).alias("simpson_diversity"),
+    )
+
+
+@register(
+    "q_simpson_diversity",
+    f"""
+    WITH c AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ), a AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+      FROM c GROUP BY source
+    )
+    SELECT source, t AS n_tokens, n_types,
+           floor(CASE WHEN t > 1
+                 THEN 1 - coll * 1.0 / (t * (t - 1)) END
+                 * {SIMPSON_SCALE} + 0.5) / {SIMPSON_SCALE}
+             AS simpson_diversity
+    FROM a
+    """,
+    doc="Per-source Gini–Simpson lexical diversity (probability two "
+    "tokens drawn without replacement differ) — the log-free entropy "
+    "stand-in, exact integer collision sums with one final division; "
+    "boilerplate-heavy sources score low. One token-keyed exchange",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simpson_diversity(load(spark, sf_dir, "documents"))
