@@ -139,3 +139,73 @@ def test_sortino_hand_computed_and_no_loss_null(spark):
     rows_up = [(1, 1, 10.0, 1), (2, 2, 11.0, 1), (3, 3, 12.0, 1)]
     r2 = sortino(_ev(spark, rows_up)).collect()[0]
     assert r2.sortino is None and r2.n_down_days == 0
+
+
+def test_rolling_beta_identity_on_single_type(spark):
+    # one instrument -> index == its own moves -> beta == 1 exactly
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        rolling_beta,
+    )
+
+    rows = [(i, i, float(10 + ((i * 7) % 5)), 1) for i in range(1, 16)]
+    out = rolling_beta(_ev(spark, rows), n=5).collect()
+    assert out and all(r.beta == 1.0 for r in out)
+    # 14 moves, full frames from the 5th move
+    assert len(out) == 10
+
+
+def test_rolling_beta_inverse_type_scores_minus_share(spark):
+    # two instruments with exactly opposite moves -> index m = 0 each day
+    # -> flat index -> den = 0 -> NULL beta (documented degenerate case)
+    import datetime as dt
+    import json
+
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        rolling_beta,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 13):
+        px = 10 + (day % 3)
+        for t, p in (("a", px), ("b", 20 - px)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, day, 12),
+                    1,
+                    t,
+                    float(p),
+                    json.dumps({"k": 1}),
+                )
+            )
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = rolling_beta(ev, n=5).collect()
+    assert out and all(r.beta is None for r in out)
+
+
+def test_vpin_hand_computed(spark):
+    """Tick rule + equal-volume buckets on a crafted tape: prices
+    10,11,11,9,12 with volumes 3,4,2,5,6 — signs +,+(carried),-,+;
+    first trade unclassified. Bucket size 6: classified stream (4,+)
+    (2,+) (5,-) (6,+) cuts at cum-before 0,4,6,11 -> buckets 0,0,1,1."""
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        vpin,
+    )
+
+    rows = [
+        (1, 1, 10.0, 3),
+        (2, 1, 11.0, 4),
+        (3, 1, 11.0, 2),
+        (4, 1, 9.0, 5),
+        (5, 1, 12.0, 6),
+    ]
+    out = {
+        r.bucket_id: r for r in vpin(_ev(spark, rows), v=6, k=1).collect()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0].buy, out[0].sell, out[0].imb) == (6, 0, 6)
+    assert (out[1].buy, out[1].sell, out[1].imb) == (6, 5, 1)
+    assert out[0].vpin == 1.0
+    assert abs(out[1].vpin - 1 / 11) < 1e-6

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.quantize import q as _q
 from ..registry import load, register
-from .microstructure_queries import _CENTS
+from .microstructure_queries import _BARS_SQL, _CENTS, daily_bars
 
 STOCH_N = 14   # %K lookback (days)
 STOCH_D = 3    # %D smoothing (days)
@@ -396,3 +396,89 @@ def dollar_bars(
 )
 def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dollar_bars(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------------- rolling beta
+
+BETA_N = 10  # rolling regression window (days)
+BETA_SCALE = 10**6
+
+def rolling_beta(events: DataFrame, n: int = BETA_N) -> DataFrame:
+    """Rolling ``n``-day OLS beta of each type's daily cent move against
+    the EQUAL-WEIGHT market index (the SUM of all types' same-day moves
+    — beta against the sum equals beta against the mean times the
+    constant type count, and the sum keeps every rolling statistic a
+    BIGINT). The hedge-ratio feed of a pairs/market-neutral book.
+
+    beta = (k·Σxy − Σx·Σy) / (k·Σy² − (Σy)²) over the trailing frame —
+    all five rolling sums are exact integers; one final division,
+    degenerate (flat-index) windows NULL. The per-day index is a
+    calendar-sized aggregate broadcast back onto the bar table; the
+    rolling frame runs under the per-type exchange. The index INCLUDES
+    the type itself (document, don't subtract: self-exclusion just
+    rescales covariance on a k-asset index and keeps sums integral
+    either way; the inclusive form is the published equal-weight
+    convention).
+    """
+    bars = daily_bars(events).filter(F.col("dc").isNotNull())
+    idx = bars.groupBy("day").agg(F.sum("dc").alias("m"))
+    joined = bars.join(F.broadcast(idx), "day").select(
+        "event_type", "day", "dc", "m"
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    wf = wr.rowsBetween(-(n - 1), 0)
+    s = (
+        joined.withColumn("k", F.count(F.lit(1)).over(wf))
+        .withColumn("sx", F.sum("dc").over(wf))
+        .withColumn("sy", F.sum("m").over(wf))
+        .withColumn("sxy", F.sum(F.col("dc") * F.col("m")).over(wf))
+        .withColumn("syy", F.sum(F.col("m") * F.col("m")).over(wf))
+        .filter(F.col("k") == n)
+    )
+    den = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        "day",
+        _q(
+            F.when(den > 0, num.cast("double") / den.cast("double")),
+            BETA_SCALE,
+        ).alias("beta"),
+    )
+
+
+@register(
+    "q_rolling_beta",
+    f"""
+    WITH {_BARS_SQL}, mv AS (
+      SELECT event_type, day, dc FROM moves WHERE dc IS NOT NULL
+    ), idx AS (
+      SELECT day, CAST(sum(dc) AS BIGINT) AS m FROM mv GROUP BY day
+    ), j AS (
+      SELECT mv.event_type, mv.day, mv.dc, idx.m
+      FROM mv JOIN idx USING (day)
+    ), s AS (
+      SELECT event_type, day,
+             count(*) OVER f AS k,
+             CAST(sum(dc) OVER f AS BIGINT) AS sx,
+             CAST(sum(m) OVER f AS BIGINT) AS sy,
+             CAST(sum(dc * m) OVER f AS BIGINT) AS sxy,
+             CAST(sum(m * m) OVER f AS BIGINT) AS syy
+      FROM j
+      WINDOW f AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {BETA_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           floor(CASE WHEN k * syy - sy * sy > 0
+                 THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                      / CAST(k * syy - sy * sy AS DOUBLE) END
+                 * {BETA_SCALE} + 0.5) / {BETA_SCALE} AS beta
+    FROM s WHERE k = {BETA_N}
+    """,
+    doc=f"Rolling {BETA_N}-day beta of each type's daily move vs the "
+    "equal-weight (sum) market index — five exact BIGINT rolling sums, "
+    "one final division, flat-index windows NULL. Calendar-sized index "
+    "broadcast + per-type frame under one bar exchange",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_beta(load(spark, sf_dir, "events"))

@@ -482,3 +482,136 @@ def weighted_median(events: DataFrame) -> DataFrame:
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------- VPIN
+
+VPIN_V = 5000   # volume-bucket size (classified shares per bucket)
+VPIN_K = 5      # rolling buckets in the VPIN average
+
+
+def vpin(
+    events: DataFrame, v: int = VPIN_V, k: int = VPIN_K
+) -> DataFrame:
+    """Volume-synchronized probability of informed trading (VPIN,
+    Easley / López de Prado — public formulation): classify each trade's
+    volume buy/sell by the TICK RULE (sign of the last nonzero price
+    change), cut the classified flow into equal-volume buckets, and
+    average |buy − sell| imbalance over the trailing ``k`` buckets —
+    toxicity of order flow rises before liquidity events.
+
+    Exactness: tick signs are integer comparisons with the carried-
+    forward sign via ``last_value(... IGNORE NULLS)`` (rows before the
+    first price change carry no evidence and are excluded on both
+    engines); bucket assignment is floor(integer running volume / v);
+    buy/sell/imbalance are BIGINT sums; VPIN divides two k-frame BIGINT
+    sums once. Per-type ordered windows over raw events — the
+    q_window_lag / q_event_study shape (per-instrument parallelism; the
+    bucket table after the rollup is volume-bounded, |corpus|/v rows).
+    """
+    from pyspark.sql import Window
+
+    cents = _cents()
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = events.select(
+        "event_type", "ts", "event_id", cents.alias("c"), qty.alias("q")
+    )
+    dc = F.col("c") - F.lag("c").over(w)
+    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
+    signed = (
+        base.withColumn("_s0", s0)
+        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
+        .filter(F.col("s").isNotNull())
+    )
+    wq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum_before = F.coalesce(
+        F.sum("q").over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    bucketed = signed.withColumn(
+        "bucket_id", F.floor(cum_before / F.lit(float(v))).cast("long")
+    )
+    buckets = bucketed.groupBy("event_type", "bucket_id").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.when(F.col("s") > 0, F.col("q")).otherwise(0)).alias("buy"),
+        F.sum(F.when(F.col("s") < 0, F.col("q")).otherwise(0)).alias("sell"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket_id")
+    wk = wb.rowsBetween(-(k - 1), 0)
+    out = (
+        buckets.withColumn("vol", F.col("buy") + F.col("sell"))
+        .withColumn("imb", F.abs(F.col("buy") - F.col("sell")))
+        .withColumn("_si", F.sum("imb").over(wk))
+        .withColumn("_sv", F.sum("vol").over(wk))
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter((F.col("_rn") >= k) & (F.col("_sv") > 0))
+    )
+    return out.select(
+        "event_type",
+        "bucket_id",
+        "n_trades",
+        "buy",
+        "sell",
+        "imb",
+        _q(F.col("_si") / F.col("_sv"), 1_000_000).alias("vpin"),
+    )
+
+
+@register(
+    "q_vpin",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id, {_CENTS} AS c,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+    ), d AS (
+      SELECT *,
+             CASE WHEN c - lag(c) OVER w > 0 THEN 1
+                  WHEN c - lag(c) OVER w < 0 THEN -1 END AS s0
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_type, ts, event_id, q,
+             last_value(s0 IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d
+    ), b AS (
+      SELECT event_type, q, s,
+             CAST(floor(coalesce(sum(q) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {VPIN_V}.0) AS BIGINT) AS bucket_id
+      FROM s WHERE s IS NOT NULL
+    ), agg AS (
+      SELECT event_type, bucket_id,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN s > 0 THEN q ELSE 0 END) AS BIGINT) AS buy,
+             CAST(sum(CASE WHEN s < 0 THEN q ELSE 0 END) AS BIGINT) AS sell
+      FROM b GROUP BY event_type, bucket_id
+    ), r AS (
+      SELECT *, buy + sell AS vol, abs(buy - sell) AS imb,
+             CAST(sum(abs(buy - sell)) OVER f AS BIGINT) AS si,
+             CAST(sum(buy + sell) OVER f AS BIGINT) AS sv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_id) AS rn
+      FROM agg
+      WINDOW f AS (PARTITION BY event_type ORDER BY bucket_id
+                   ROWS BETWEEN {VPIN_K - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket_id, n_trades, buy, sell, imb,
+           floor(si * 1.0 / sv * 1000000 + 0.5) / 1000000 AS vpin
+    FROM r WHERE rn >= {VPIN_K} AND sv > 0
+    """,
+    doc=f"VPIN order-flow toxicity: tick-rule classified volume cut into "
+    f"{VPIN_V}-share buckets, |buy−sell| imbalance averaged over the "
+    f"trailing {VPIN_K} buckets as one BIGINT-sum ratio. Carried tick "
+    "sign via IGNORE-NULLS last_value on both engines; bucket table is "
+    "volume-bounded (|flow|/V rows)",
+)
+def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vpin(load(spark, sf_dir, "events"))
