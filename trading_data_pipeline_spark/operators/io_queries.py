@@ -273,3 +273,24 @@ def q_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         _q(F.sum(v).cast("double"), 100).alias("total"),
     )
+
+
+@register(
+    "q_sink_xml",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="XML sink + scan round-trip (Spark 4 native XML source — the "
+    "spark-xml donation; engine extension beyond the reference's "
+    "csv/parquet allowlist, same WrongFormatException contract): "
+    "integer/string columns only so the text round-trip is exact by "
+    "construction. rowTag-schema'd scan, no inference pass",
+)
+def q_sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conn = _conn(spark)
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    conn.write(nation, "sink_xml/nation", "xml")
+    return conn.read_xml(
+        "sink_xml/nation",
+        schema="n_nationkey long, n_name string, n_regionkey long",
+    )

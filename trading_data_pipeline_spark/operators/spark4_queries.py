@@ -344,3 +344,64 @@ register(
     "expression; values hash-identical). Plan test pins that no "
     "BatchEvalPython / ArrowEvalPython node appears",
 )(q_sql_udf_impl)
+
+
+# -------------------------------------------------- XML ingest (Spark 4)
+
+def xml_ingest(events: DataFrame) -> DataFrame:
+    """Spark-4 native XML path (``to_xml``/``from_xml`` became built-ins
+    with the spark-xml donation): serialize each event's typed payload
+    to an XML fragment, parse it back with an explicit schema, and
+    aggregate FROM THE PARSED fields — the shape of ingesting a
+    B2B/regulatory XML feed (FIXML, ISO 20022-style) without a
+    row-Python parser. The oracle computes the same aggregate from the
+    original columns, so the hash check proves the XML round trip is
+    lossless for every row (integer-typed payload — no float-format
+    ambiguity in the serialized text).
+
+    Scale: both directions are JVM expressions inside whole-stage
+    codegen over the row — zero shuffle until the final aggregate's
+    exchange; no Python boundary anywhere.
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    payload = F.to_xml(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            cents.alias("cents"),
+        )
+    )
+    parsed = events.select(payload.alias("xml")).select(
+        F.from_xml(
+            "xml", "event_id BIGINT, event_type STRING, cents BIGINT"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r.cents").alias("total_cents"),
+            F.max("r.event_id").alias("max_event_id"),
+        )
+        .select("event_type", "n", "total_cents", "max_event_id")
+    )
+
+
+@register(
+    "q_xml_ingest",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark-4 native XML ingest: each event serialized to an XML "
+    "fragment (to_xml) and parsed back with a typed schema (from_xml), "
+    "aggregating from the PARSED fields — the oracle aggregates the "
+    "original columns, so a hash match proves the XML round trip is "
+    "lossless row-by-row. Pure JVM expressions, zero Python boundary, "
+    "one aggregate exchange",
+)
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return xml_ingest(load(spark, sf_dir, "events"))

@@ -27,7 +27,7 @@ from pyspark.sql.types import StructType
 
 from ..exceptions import WrongFormatException
 
-SUPPORTED_FORMATS = ("csv", "parquet", "json", "orc")  # json/orc: engine extensions
+SUPPORTED_FORMATS = ("csv", "parquet", "json", "orc", "xml")  # json/orc/xml: extensions
 # (the reference supports only csv/parquet — s3.py:96-103; anything else
 # still raises WrongFormatException, same contract, wider allowlist)
 
@@ -141,6 +141,19 @@ class FileSystemConnector:
             paths = [paths]
         return reader.json([self._abs(p) for p in paths])
 
+    def read_xml(
+        self, paths: str | list[str], schema: StructType | str | None = None
+    ) -> DataFrame:
+        """XML scan (engine extension — native in Spark 4 after the
+        spark-xml donation; rowTag must match the writer's). Explicit
+        schema avoids the inference pass, same as read_csv/read_json."""
+        reader = self.spark.read.format("xml").option("rowTag", "row")
+        if schema is not None:
+            reader = reader.schema(schema)
+        if isinstance(paths, str):
+            paths = [paths]
+        return reader.load([self._abs(p) for p in paths])
+
     def read_orc(self, paths: str | list[str]) -> DataFrame:
         """ORC scan (engine extension — bundled with Spark, columnar with
         the same predicate-pushdown/column-pruning properties as parquet;
@@ -194,6 +207,10 @@ class FileSystemConnector:
             writer.json(target)
         elif file_format == "orc":
             writer.orc(target)
+        elif file_format == "xml":
+            writer.format("xml").option("rowTag", "row").option(
+                "rootTag", "rows"
+            ).save(target)
         else:
             writer.parquet(target)
         return True
