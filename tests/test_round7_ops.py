@@ -174,3 +174,58 @@ def test_band_index_artifacts_are_file_scans_not_checkpoint_blocks(spark, sf_dir
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Scan parquet" in plan, plan.splitlines()[:5]
         assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
+
+
+def test_fixed_effects_residuals_hand_computed(spark):
+    """2x2 balanced panel: residuals of the within transform must match
+    the closed form v - u_mean - d_mean + grand, and a perfectly
+    additive panel (v = user effect + day effect) demeans to zero."""
+    import datetime as dt
+
+    rows = []
+    eff_u = {1: 10.0, 2: 20.0}
+    eff_d = {1: 1.0, 2: 5.0}
+    eid = 0
+    for u in (1, 2):
+        for d in (1, 2):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, d, 9), u, "x",
+                 eff_u[u] + eff_d[d], "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from trading_data_pipeline_spark.operators.trainprep_queries import (
+        fixed_effects_demean,
+    )
+
+    out = fixed_effects_demean(ev).collect()
+    assert len(out) == 4 and all(r.resid == 0.0 for r in out)
+
+
+def test_variance_ratio_hand_computed(spark):
+    import datetime as dt
+
+    rows = []
+    # type a: values 1,3 (var 2 cents^2 scale: 10000*2); b: 1,5 (var 8*)
+    for i, (t, v) in enumerate(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 5.0)], 1
+    ):
+        rows.append((i, dt.datetime(2024, 1, 1, 9), 1, t, v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from trading_data_pipeline_spark.operators.stattests_queries import (
+        variance_ratio,
+    )
+
+    out = variance_ratio(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert r.f_stat == 0.25  # var_a/var_b = 20000/80000

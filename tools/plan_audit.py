@@ -79,6 +79,10 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # aggregate -> the single card row
     "q_mixture_sample",   # 1-row weight-total broadcast onto the
                           # |sources|-row quota table
+    "q_fixed_effects",    # 1-row grand-mean scalar broadcast onto the
+                          # stream (the q_seasonal_profile shape)
+    "q_variance_ratio",   # |types|-row variance table self-paired under
+                          # a non-equi (a < b) condition
 }
 
 

@@ -267,3 +267,90 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     qty = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
     return spearman(load(spark, sf_dir, "events"), "event_type", cents, qty)
+
+
+# ---------------------------------------------------- variance-ratio F
+
+VR_SCALE = 10**6
+
+
+def variance_ratio(events: DataFrame) -> DataFrame:
+    """Pairwise variance-ratio (F) statistic between event types'
+    values: F = s²_a / s²_b over ordered type pairs (a < b
+    lexicographically), sample variances from exact BIGINT power sums
+    on integer cents — the homoscedasticity screen run before pooling
+    groups into one model (the KS test's variance-focused sibling; both
+    engines share the single final division). Variances first reduce to
+    the |types|-row aggregate, so the pair join is vocabulary-bounded.
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        events.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    a = agg.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = agg.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    va = (F.col("na") * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast(
+        "double"
+    ) / (F.col("na") * (F.col("na") - 1)).cast("double")
+    vb = (F.col("nb") * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast(
+        "double"
+    ) / (F.col("nb") * (F.col("nb") - 1)).cast("double")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            _q(F.when(vb > 0, va / vb), VR_SCALE).alias("f_stat"),
+        )
+    )
+
+
+@register(
+    "q_variance_ratio",
+    f"""
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             CAST(sum(c * c) AS BIGINT) AS sxx
+      FROM (SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events)
+      GROUP BY event_type HAVING count(*) > 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           floor(CASE WHEN (b.n * b.sxx - b.sx * b.sx) > 0 THEN
+             (CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                / CAST(a.n * (a.n - 1) AS DOUBLE))
+             / (CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+                / CAST(b.n * (b.n - 1) AS DOUBLE)) END
+             * {VR_SCALE} + 0.5) / {VR_SCALE} AS f_stat
+    FROM agg a JOIN agg b ON a.event_type < b.event_type
+    """,
+    doc="Pairwise variance-ratio (F) statistic between event types from "
+    "BIGINT power sums on integer cents — the homoscedasticity screen "
+    "before pooling groups. One |types|-row aggregate; the pair join is "
+    "vocabulary-bounded, one final division per pair",
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return variance_ratio(load(spark, sf_dir, "events"))

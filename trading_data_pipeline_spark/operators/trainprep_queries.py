@@ -379,3 +379,95 @@ def minmax_scale(events: DataFrame) -> DataFrame:
 )
 def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minmax_scale(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- two-way fixed effects
+
+FE_SCALE = 10**4
+
+
+def fixed_effects_demean(events: DataFrame) -> DataFrame:
+    """Two-way fixed-effects (within) transformation: residual =
+    value − user mean − day mean + grand mean, on integer cents — the
+    demeaning step of a panel regression (user and calendar effects
+    swept out before fitting), and the feature transform that removes
+    entity/time leakage from a panel model's inputs.
+
+    Exactness: the three means are BIGINT-sum / BIGINT-count rationals;
+    the residual is one fixed four-term double chain evaluated in the
+    same order on both engines, quantized 1e-4. Plan: two partial-agg
+    exchanges (user, day) broadcast back onto the stream plus the 1-row
+    grand-mean scalar — the q_seasonal_profile shape; the event stream
+    itself never shuffles.
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        cents.alias("c"),
+    )
+    by_user = base.groupBy("user_id").agg(
+        F.sum("c").alias("su"), F.count(F.lit(1)).alias("nu")
+    )
+    by_day = base.groupBy("day").agg(
+        F.sum("c").alias("sd"), F.count(F.lit(1)).alias("nd")
+    )
+    grand = base.agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    resid = (
+        F.col("c")
+        - F.col("su") / F.col("nu")
+        - F.col("sd") / F.col("nd")
+        + F.col("s") / F.col("n")
+    )
+    return (
+        base.join(F.broadcast(by_user), "user_id")
+        .join(F.broadcast(by_day), "day")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_id",
+            "user_id",
+            "day",
+            _q(resid / 100.0, FE_SCALE).alias("resid"),
+        )
+    )
+
+
+@register(
+    "q_fixed_effects",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), by_user AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS su,
+             CAST(count(*) AS BIGINT) AS nu
+      FROM base GROUP BY user_id
+    ), by_day AS (
+      SELECT day, CAST(sum(c) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM base GROUP BY day
+    ), grand AS (
+      SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM base
+    )
+    SELECT b.event_id, b.user_id, b.day,
+           floor((b.c - u.su * 1.0 / u.nu - d.sd * 1.0 / d.nd
+                  + g.s * 1.0 / g.n) / 100.0 * {FE_SCALE} + 0.5)
+             / {FE_SCALE} AS resid
+    FROM base b
+    JOIN by_user u USING (user_id)
+    JOIN by_day d USING (day)
+    CROSS JOIN grand g
+    """,
+    doc="Two-way fixed-effects demeaning (panel within transform): "
+    "value minus user mean minus day mean plus grand mean on integer "
+    "cents — BIGINT-rational means, one fixed four-term double chain. "
+    "Two broadcast aggregates + a 1-row scalar; the stream never "
+    "shuffles",
+)
+def q_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixed_effects_demean(load(spark, sf_dir, "events"))
