@@ -1230,3 +1230,32 @@ def test_lateness_stream_matches_python_fold_over_batches(spark, sf_dir, tmp_pat
     assert got == expect
     # the permutation must actually produce lateness, or the test is vacuous
     assert any(v[1] > 0 for v in expect.values())
+
+
+def test_streaming_dollar_bars_equal_batch_for_finalized_bars(spark, staged_events):
+    """Streaming dollar bars emit a bar when the next bar's first trade
+    arrives; every finalized bar must be bit-identical to the batch
+    q_dollar_bars row. The per-type LAST bar never finalizes (pending)."""
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        dollar_bars,
+    )
+    from trading_data_pipeline_spark.streaming.jobs import stream_events
+    from trading_data_pipeline_spark.streaming.stateful import (
+        dollar_bars_stream,
+    )
+
+    batch_df = dollar_bars(spark.read.parquet(staged_events))
+    w = Window.partitionBy("event_type")
+    finalized = batch_df.withColumn(
+        "_mx", F.max("bar_id").over(w)
+    ).filter(F.col("bar_id") < F.col("_mx"))
+    want = {tuple(r) for r in finalized.drop("_mx").collect()}
+
+    got_df = run_to_completion(
+        dollar_bars_stream(stream_events(spark, staged_events)),
+        "t_dbars", "append", spark,
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want and want

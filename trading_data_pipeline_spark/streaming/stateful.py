@@ -736,3 +736,86 @@ def lateness_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------- dollar bars
+
+DBAR_SCHEMA = (
+    "event_type string, bar_id long, n_trades long, open double, "
+    "high double, low double, close double, bar_dollars long"
+)
+DBAR_STATE = (
+    "gcum long, bar_id long, o long, h long, l long, c long, "
+    "n long, dollars long"
+)
+
+
+def dollar_bars_stream(events: DataFrame, threshold: int = 10_000_000) -> DataFrame:
+    """Streaming dollar bars — the stateful form of
+    ``operators.indicators2_queries.dollar_bars``: O(1) state per event
+    type (running dollar total + the in-progress bar's OHLC/volume, all
+    exact integers), emitting a bar the moment the first trade of the
+    NEXT bar arrives (outputMode('append'); the in-progress bar stays
+    pending — identical finality contract to obv_stream's day bars).
+
+    A bar is identified by the dollars accumulated BEFORE each trade
+    (floor(gcum/threshold)), the same convention as the batch two-pass
+    cumsum, so every finalized bar is bit-identical to the batch row
+    (asserted in tests/test_streaming.py). Ordering contract as
+    drawdown_stream: (ts, event_id)-sorted within a micro-batch,
+    per-key event-time order across batches."""
+    import json
+    import math
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        gcum, bar_id, o, h, l, c, n, dollars = (
+            state.get if state.exists else (0, -1, 0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: dict[str, list] = {
+            "event_type": [], "bar_id": [], "n_trades": [], "open": [],
+            "high": [], "low": [], "close": [], "bar_dollars": [],
+        }
+
+        def emit():
+            out["event_type"].append(key[0])
+            out["bar_id"].append(bar_id)
+            out["n_trades"].append(n)
+            out["open"].append(o / 100.0)
+            out["high"].append(h / 100.0)
+            out["low"].append(l / 100.0)
+            out["close"].append(c / 100.0)
+            out["bar_dollars"].append(dollars)
+
+        for val, props in zip(pdf["value"], pdf["props"]):
+            cents = int(math.floor(float(val) * 100 + 0.5))
+            try:
+                q = int(json.loads(props).get("k", 0) or 0)
+            except (TypeError, ValueError):
+                q = 0
+            d = cents * q
+            b = gcum // threshold
+            if b != bar_id:
+                if bar_id != -1:
+                    emit()
+                bar_id, o, h, l, n, dollars = b, cents, cents, cents, 0, 0
+            h = max(h, cents)
+            l = min(l, cents)
+            c = cents
+            n += 1
+            dollars += d
+            gcum += d
+        state.update((gcum, bar_id, o, h, l, c, n, dollars))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=DBAR_SCHEMA,
+        stateStructType=DBAR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
