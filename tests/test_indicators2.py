@@ -209,3 +209,40 @@ def test_vpin_hand_computed(spark):
     assert (out[1].buy, out[1].sell, out[1].imb) == (6, 5, 1)
     assert out[0].vpin == 1.0
     assert abs(out[1].vpin - 1 / 11) < 1e-6
+
+
+def test_macd_constant_series_is_zero(spark):
+    from trading_data_pipeline_spark.operators.indicators2_queries import macd
+
+    rows = [(i, i, 25.0, 1) for i in range(1, 25)]
+    out = macd(_ev(spark, rows)).collect()
+    assert out and all(
+        r.macd == 0.0 and r.signal == 0.0 and r.hist == 0.0 for r in out
+    )
+
+
+def test_macd_weights_have_no_engine_pow(spark):
+    """The EMA weights must be plan literals — neither plan may contain
+    a POWER/pow call (libm pow is not correctly rounded)."""
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        _ema_weights,
+        q_macd,
+    )
+    from trading_data_pipeline_spark.registry import all_queries
+
+    w = _ema_weights(6)
+    assert w[0] == 1.0 and all(b < a for a, b in zip(w, w[1:]))
+    oracle = all_queries()["q_macd"].oracle
+    assert "pow" not in oracle.lower()
+
+
+def test_ewma_vol_constant_magnitude_moves(spark):
+    # closes alternate +1/-1 dollars -> every dc^2 = 10000 cents^2
+    # -> weighted mean = 10000 -> vol = 1.0 exactly
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        ewma_vol,
+    )
+
+    rows = [(i, i, 10.0 + (i % 2), 1) for i in range(1, 28)]
+    out = ewma_vol(_ev(spark, rows), L=10).collect()
+    assert out and all(r.ewma_vol == 1.0 for r in out)

@@ -482,3 +482,208 @@ def rolling_beta(events: DataFrame, n: int = BETA_N) -> DataFrame:
 )
 def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_beta(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------- truncated EMA (MACD, EWMA)
+
+MACD_FAST = 6    # spans adapted to the 30-day test calendar (classic
+MACD_SLOW = 13   # 12/26/9 needs a 34-day history; the ratios are kept)
+MACD_SIG = 5
+EWMA_LAM = 0.94  # RiskMetrics decay for the volatility variant
+EWMA_L = 20
+IND_SCALE = 10**6
+
+
+def _ema_weights(span: int) -> list[float]:
+    """Truncated-EMA weights (1−α)^i, α = 2/(span+1), for i = 0..span−1,
+    computed ONCE in Python and injected as identical double literals
+    into BOTH plans — no pow() inside either engine (libm pow is not
+    correctly rounded and may differ across runtimes; a Python-computed
+    literal round-trips exactly through Spark lit() and SQL parsing)."""
+    a = 2.0 / (span + 1)
+    out, w = [], 1.0
+    for _ in range(span):
+        out.append(w)
+        w *= 1.0 - a
+    return out
+
+
+def _ema_col(col: str, w: Window, weights: list[float]):
+    """Literal-weight dot product over the trailing lags, left-to-right
+    (both engines parse a+b+c left-associative, so the fold order is
+    identical). Caller must restrict to rows with a full history."""
+    num = F.lag(col, 0).over(w) * F.lit(weights[0])
+    for i, wi in enumerate(weights[1:], 1):
+        num = num + F.lag(col, i).over(w) * F.lit(wi)
+    return num / F.lit(sum_left(weights))
+
+
+def sum_left(xs: list[float]) -> float:
+    """Left-to-right Python fold — matches the SQL literal sum below."""
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+def _ema_sql(col: str, weights: list[float]) -> str:
+    terms = " + ".join(
+        f"lag({col}, {i}) OVER w * {wi!r}" for i, wi in enumerate(weights)
+    )
+    return f"({terms}) / {sum_left(weights)!r}"
+
+
+def macd(
+    events: DataFrame,
+    fast: int = MACD_FAST,
+    slow: int = MACD_SLOW,
+    sig: int = MACD_SIG,
+) -> DataFrame:
+    """MACD on daily closes with TRUNCATED exponential moving averages:
+    each EMA is the weighted mean of the trailing ``span`` closes under
+    weights (1−α)^i — the infinite tail is cut at the span (≤ 13% of
+    total weight for the classic α), which keeps every value an exact
+    finite dot product instead of a recursive state no SQL window can
+    express. macd = ema_fast − ema_slow; signal = truncated EMA of the
+    macd line; hist = macd − signal. All weights are Python-computed
+    double literals shared by both engines (no pow in either plan);
+    rows without a full slow+signal history are dropped.
+    """
+    from .microstructure_queries import daily_bars
+
+    bars = daily_bars(events).select(
+        "event_type", "day", (F.col("c_c") / 100.0).alias("close")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf, ws, wg = _ema_weights(fast), _ema_weights(slow), _ema_weights(sig)
+    line = (
+        bars.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "macd", _ema_col("close", w, wf) - _ema_col("close", w, ws)
+        )
+        .filter(F.col("rn") >= slow)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    out = (
+        line.withColumn("rn2", F.row_number().over(w2))
+        .withColumn("signal", _ema_col("macd", w2, wg))
+        .filter(F.col("rn2") >= sig)
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "close",
+        _q(F.col("macd"), IND_SCALE).alias("macd"),
+        _q(F.col("signal"), IND_SCALE).alias("signal"),
+        _q(F.col("macd") - F.col("signal"), IND_SCALE).alias("hist"),
+    )
+
+
+def _macd_oracle() -> str:
+    from .microstructure_queries import _BARS_SQL
+
+    wf, ws, wg = (
+        _ema_weights(MACD_FAST),
+        _ema_weights(MACD_SLOW),
+        _ema_weights(MACD_SIG),
+    )
+    return f"""
+    WITH {_BARS_SQL}, c AS (
+      SELECT event_type, day, c_c / 100.0 AS close FROM bars
+    ), l AS (
+      SELECT event_type, day, close,
+             {_ema_sql('close', wf)} - {_ema_sql('close', ws)} AS macd,
+             row_number() OVER w AS rn
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), s AS (
+      SELECT event_type, day, close, macd,
+             {_ema_sql('macd', wg)} AS signal,
+             row_number() OVER w AS rn2
+      FROM l WHERE rn >= {MACD_SLOW}
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, close,
+           floor(macd * {IND_SCALE} + 0.5) / {IND_SCALE} AS macd,
+           floor(signal * {IND_SCALE} + 0.5) / {IND_SCALE} AS signal,
+           floor((macd - signal) * {IND_SCALE} + 0.5) / {IND_SCALE} AS hist
+    FROM s WHERE rn2 >= {MACD_SIG}
+    """
+
+
+@register(
+    "q_macd",
+    _macd_oracle(),
+    doc=f"MACD ({MACD_FAST}/{MACD_SLOW}/{MACD_SIG}, spans adapted to the "
+    "30-day test calendar): truncated-EMA dot products with Python-"
+    "computed double-literal weights shared by both engines — no pow() "
+    "in either plan, left-associative folds, exact finite windows. Two "
+    "chained per-type frames under one bar exchange",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return macd(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ EWMA volatility
+
+def ewma_vol(
+    events: DataFrame, lam: float = EWMA_LAM, L: int = EWMA_L
+) -> DataFrame:
+    """RiskMetrics EWMA volatility on daily cent moves: sigma²_t =
+    (1−λ) Σ λ^i · dc²_{t−i} over the trailing ``L`` moves (truncated —
+    λ^20 ≈ 0.29 of the tail is cut and the weights are renormalized, so
+    the estimate is the weighted mean of the retained window). Weights
+    are Python-computed double literals shared by both plans (no pow);
+    dc² is an exact BIGINT before the literal dot product; one final
+    sqrt. Rows without a full L-move history are dropped."""
+    from .microstructure_queries import daily_bars
+
+    weights = [lam**i for i in range(L)]
+    moves = daily_bars(events).filter(F.col("dc").isNotNull()).select(
+        "event_type", "day", (F.col("dc") * F.col("dc")).alias("dc2")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    out = (
+        moves.withColumn("rn", F.row_number().over(w))
+        .withColumn("var_c", _ema_col("dc2", w, weights))
+        .filter(F.col("rn") >= L)
+    )
+    return out.select(
+        "event_type",
+        "day",
+        _q(F.sqrt(F.col("var_c")) / 100.0, IND_SCALE).alias("ewma_vol"),
+    )
+
+
+def _ewma_oracle() -> str:
+    from .microstructure_queries import _BARS_SQL
+
+    weights = [EWMA_LAM**i for i in range(EWMA_L)]
+    return f"""
+    WITH {_BARS_SQL}, m AS (
+      SELECT event_type, day, dc * dc AS dc2
+      FROM moves WHERE dc IS NOT NULL
+    ), s AS (
+      SELECT event_type, day,
+             {_ema_sql('dc2', weights)} AS var_c,
+             row_number() OVER w AS rn
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           floor(sqrt(var_c) / 100.0 * {IND_SCALE} + 0.5) / {IND_SCALE}
+             AS ewma_vol
+    FROM s WHERE rn >= {EWMA_L}
+    """
+
+
+@register(
+    "q_ewma_vol",
+    _ewma_oracle(),
+    doc=f"RiskMetrics EWMA volatility (λ={EWMA_LAM}, {EWMA_L}-move "
+    "truncated, renormalized): literal-weight dot product over exact "
+    "BIGINT squared moves, one sqrt — the decay-weighted risk estimate "
+    "a margin engine recomputes daily. No pow() in either plan",
+)
+def q_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_vol(load(spark, sf_dir, "events"))
