@@ -177,6 +177,20 @@ EXTRAS = [
     "q_ldiversity",
     "q_langid_eval",
     "q_lateness_audit",
+    # round-7 session additions
+    "q_stochastic",
+    "q_mfi",
+    "q_dollar_bars",
+    "q_sortino",
+    "q_vpin",
+    "q_rolling_beta",
+    "q_repetition",
+    "q_simpson_diversity",
+    "q_xml_ingest",
+    "q_fixed_effects",
+    "q_variance_ratio",
+    "q_macd",
+    "q_ewma_vol",
 ]
 
 RUNS = 3

@@ -157,3 +157,32 @@ def test_round8_window_proposal_is_sound():
     assert _PRIORITY_ROUND8[:2] == ("q_report1", "q_dedup_near")
     overlap = set(_PRIORITY_ROUND8[2:]) & set(_PRIORITY_ROUND7)
     assert not overlap, f"slots wasted on round-7-covered queries: {sorted(overlap)}"
+
+
+def test_round9_window_proposal_is_sound():
+    """_PRIORITY_ROUND9 is the round-9 staged driver window — validated
+    now so renames can't silently break the rotation: every name
+    registered, exactly 50, canaries first, no duplicates, no overlap
+    with the round-8 window, and it must contain every round-7 session
+    addition (none has a driver row before round 9)."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND8,
+        _PRIORITY_ROUND9,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND9 if n not in qs]
+    assert not unknown, f"round-9 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND9) == 50, len(_PRIORITY_ROUND9)
+    assert len(set(_PRIORITY_ROUND9)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND9[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND9[2:]) & set(_PRIORITY_ROUND8)
+    assert not overlap, f"slots wasted on round-8-covered queries: {sorted(overlap)}"
+    new_ops = {
+        "q_stochastic", "q_mfi", "q_dollar_bars", "q_sortino", "q_vpin",
+        "q_rolling_beta", "q_repetition", "q_simpson_diversity",
+        "q_xml_ingest", "q_sink_xml", "q_fixed_effects",
+        "q_variance_ratio", "q_macd", "q_ewma_vol",
+    }
+    missing = new_ops - set(_PRIORITY_ROUND9)
+    assert not missing, f"round-7 additions missing from round-9 window: {sorted(missing)}"
