@@ -229,3 +229,93 @@ def test_variance_ratio_hand_computed(spark):
     r = out[0]
     assert (r.type_a, r.type_b) == ("a", "b")
     assert r.f_stat == 0.25  # var_a/var_b = 20000/80000
+
+
+def test_flow_persistence_alternating_and_trending(spark):
+    """A strictly alternating tape has sign autocorr -1; a strictly
+    trending tape is all-same-sign (degenerate -> NULL)."""
+    import datetime as dt
+    import json
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        flow_persistence,
+    )
+
+    def ev(prices, t):
+        return [
+            (i, dt.datetime(2024, 1, 1, 9, 0, i), 1, t, float(p),
+             json.dumps({"k": 1}))
+            for i, p in enumerate(prices, 1)
+        ]
+
+    # alternating: 10,11,10,11,... -> signs +,-,+,- from trade 2
+    # trending: 10,11,12,... -> all +
+    rows = ev([10, 11, 10, 11, 10, 11, 10], "alt") + ev(
+        [10, 11, 12, 13, 14, 15], "up"
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in flow_persistence(df).collect()}
+    assert out["alt"].flow_autocorr == -1.0
+    assert out["up"].flow_autocorr is None
+
+
+def test_tcloseness_identical_cells_have_zero_tvd(spark):
+    """If every cell's user distribution equals the global marginal,
+    TVD is exactly 0; a cell owned by one user scores the max."""
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.trainprep_queries import (
+        tcloseness,
+    )
+
+    rows, eid = [], 0
+    # Mon + Tue (Jan 1/2 2024): both cells see users 1 and 2 equally
+    for day in (1, 2):
+        for u in (1, 2):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 9), u, "x", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tcloseness(ev).collect()
+    assert len(out) == 2 and all(r.tvd == 0.0 and r.at_risk == 0 for r in out)
+
+    # now one cell entirely user 3: its distribution is a point mass
+    rows2 = rows + [
+        (9, dt.datetime(2024, 1, 3, 9), 3, "x", 1.0, "{}"),
+        (10, dt.datetime(2024, 1, 3, 10), 3, "x", 1.0, "{}"),
+    ]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out2 = {r.wd: r for r in tcloseness(ev2).collect()}
+    # Wednesday cell: cell dist = {3: 1.0}; global = {1:1/3, 2:1/3, 3:1/3}
+    # TVD = 2/3
+    assert abs(out2[2].tvd - 2 / 3) < 1e-6 and out2[2].at_risk == 1
+
+
+def test_cosine_calibration_separable_labels_gap(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        cosine_calibration,
+    )
+
+    rows = []
+    for i in range(20):
+        lab = i % 2
+        vec = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        rows.append((i, vec, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.same_label: r for r in cosine_calibration(emb).collect()}
+    # consecutive ids always alternate labels here -> only False group
+    assert set(out) == {False}
+    assert out[False].mean_cosine == 0.0 and out[False].n_pairs == 19

@@ -83,6 +83,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # stream (the q_seasonal_profile shape)
     "q_variance_ratio",   # |types|-row variance table self-paired under
                           # a non-equi (a < b) condition
+    "q_tcloseness",       # 1-row corpus-total scalar broadcast onto the
+                          # (cell, user) counts
 }
 
 

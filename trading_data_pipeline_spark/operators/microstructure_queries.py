@@ -615,3 +615,96 @@ def vpin(
 )
 def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vpin(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- order-flow persistence
+
+FLOW_SCALE = 10**6
+
+
+def flow_persistence(events: DataFrame) -> DataFrame:
+    """Order-flow persistence per type: lag-1 autocorrelation of the
+    tick-rule trade sign — the canonical microstructure fact that order
+    flow is positively autocorrelated (order splitting / herding), and
+    the input to optimal-execution schedules. Signs are the same
+    carried tick rule as q_vpin; the correlation of a ±1 series reduces
+    to pure BIGINT sums (s² = 1, so Σx² = n): φ = (n·Σxy − Σx·Σy) /
+    sqrt((n² − Σx²ₛᵤₘ)·(n² − Σy²ₛᵤₘ)) with ONE sqrt on exact integer
+    operands. Degenerate (all-same-sign) series → NULL.
+    """
+    from pyspark.sql import Window
+
+    cents = _cents()
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    dc = F.col("c") - F.lag("c").over(w)
+    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
+    signed = (
+        events.select("event_type", "ts", "event_id", cents.alias("c"))
+        .withColumn("_s0", s0)
+        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
+        .filter(F.col("s").isNotNull())
+    )
+    paired = signed.withColumn("sp", F.lag("s").over(w)).filter(
+        F.col("sp").isNotNull()
+    )
+    agg = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("sy"),
+        F.sum("sp").alias("sx"),
+        F.sum(F.col("s") * F.col("sp")).alias("sxy"),
+    )
+    n, sx, sy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxy"))
+    den2 = (n * n - sx * sx) * (n * n - sy * sy)
+    phi = F.when(
+        den2 > 0,
+        (n * sxy - sx * sy).cast("double") / F.sqrt(den2.cast("double")),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        _q(phi, FLOW_SCALE).alias("flow_autocorr"),
+    )
+
+
+@register(
+    "q_flow_persistence",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id, {_CENTS} AS c FROM events
+    ), d AS (
+      SELECT *, CASE WHEN c - lag(c) OVER w > 0 THEN 1
+                     WHEN c - lag(c) OVER w < 0 THEN -1 END AS s0
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_type, ts, event_id,
+             last_value(s0 IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d
+    ), p AS (
+      SELECT event_type, s,
+             lag(s) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS sp
+      FROM s WHERE s IS NOT NULL
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sp) AS BIGINT) AS sx,
+             CAST(sum(s) AS BIGINT) AS sy,
+             CAST(sum(s * sp) AS BIGINT) AS sxy
+      FROM p WHERE sp IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           floor(CASE WHEN (n*n - sx*sx) * (n*n - sy*sy) > 0
+                 THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                      / sqrt(CAST((n*n - sx*sx) * (n*n - sy*sy) AS DOUBLE))
+                 END * {FLOW_SCALE} + 0.5) / {FLOW_SCALE} AS flow_autocorr
+    FROM agg
+    """,
+    doc="Order-flow persistence: lag-1 autocorrelation of the carried "
+    "tick-rule trade sign per type — BIGINT sums only (a ±1 series "
+    "needs no power sums), one sqrt, all-same-sign series NULL. Same "
+    "per-type ordered pass as q_vpin",
+)
+def q_flow_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flow_persistence(load(spark, sf_dir, "events"))

@@ -1256,3 +1256,78 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_curve(
         load(spark, sf_dir, "embeddings"), ivf_index_for(spark, sf_dir)
     )
+
+
+# --------------------------------------------------- cosine calibration
+
+CAL_SCALE = 10**6
+
+
+def cosine_calibration(emb: DataFrame) -> DataFrame:
+    """Threshold-calibration diagnostic for the similarity family: the
+    mean cosine of same-label vs different-label vector pairs, sampled
+    DETERMINISTICALLY as consecutive ids (vec_id, vec_id+1) — one
+    equi-join, |corpus|−1 pairs, no quadratic product and no RNG (every
+    rerun sees the same pairs). The gap between the two means is the
+    headroom available to q_dedup_embed / q_semantic_dedup thresholds;
+    a collapsed gap means the embeddings can't separate labels at all.
+
+    Exactness: each pair's cosine is fixed to an integer
+    (floor(cos·1e6 + ½)) BEFORE summation, so the per-group mean is an
+    exact BIGINT ratio — never an order-dependent float accumulation.
+    """
+    from ..functions.vector import cosine_similarity
+
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ida"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    fixed = F.floor(
+        cosine_similarity(F.col("va"), F.col("vb")) * CAL_SCALE + 0.5
+    ).cast("long")
+    pairs = a.join(b, "ida").select(
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        fixed.alias("q"),
+    )
+    return (
+        pairs.groupBy("same_label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("q").alias("_s"))
+        .select(
+            "same_label",
+            "n_pairs",
+            _q(F.col("_s") / F.col("n_pairs") / CAL_SCALE, CAL_SCALE).alias(
+                "mean_cosine"
+            ),
+        )
+    )
+
+
+@register(
+    "q_cosine_calibration",
+    f"""
+    WITH p AS (
+      SELECT a.label = b.label AS same_label,
+             CAST(floor(list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    * {CAL_SCALE} + 0.5) AS BIGINT) AS q
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(q) AS BIGINT) * 1.0 / count(*) / {CAL_SCALE}
+                 * {CAL_SCALE} + 0.5) / {CAL_SCALE} AS mean_cosine
+    FROM p GROUP BY same_label
+    """,
+    doc="Cosine threshold calibration: mean cosine of same-label vs "
+    "different-label pairs over the deterministic consecutive-id "
+    "sample — one equi-join, |corpus|−1 pairs, per-pair integer fixing "
+    "before the BIGINT mean (no float accumulation). The gap is the "
+    "headroom for semantic-dedup thresholds",
+)
+def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_calibration(load(spark, sf_dir, "embeddings"))

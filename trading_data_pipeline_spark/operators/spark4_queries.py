@@ -405,3 +405,51 @@ def xml_ingest(events: DataFrame) -> DataFrame:
 )
 def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xml_ingest(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------ SQL pipe syntax (4.1)
+
+PIPE_SQL = """
+FROM events
+|> WHERE value IS NOT NULL
+|> EXTEND CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents
+   GROUP BY event_type, user_id % 10 AS user_band
+|> WHERE n > 0
+|> ORDER BY event_type, user_band
+"""
+
+
+@register(
+    "q_pipe_sql",
+    """
+    SELECT event_type, user_id % 10 AS user_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, user_id % 10
+    ORDER BY event_type, user_band
+    """,
+    doc="SQL pipe syntax (Spark 4.1 `|>` operators): the linear "
+    "FROM → WHERE → EXTEND → AGGREGATE → ORDER pipeline form — each "
+    "stage reads top-to-bottom in execution order instead of SQL's "
+    "inside-out nesting. Parses to the identical logical plan as the "
+    "nested form (the oracle), so Catalyst optimization is unchanged",
+)
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = spark.sql(PIPE_SQL)
+    # column order/names already match the oracle; user_band must be
+    # BIGINT on both engines (DuckDB % yields BIGINT)
+    return out.select(
+        "event_type",
+        F.col("user_band").cast("long").alias("user_band"),
+        "n",
+        "total_cents",
+        "max_cents",
+    )

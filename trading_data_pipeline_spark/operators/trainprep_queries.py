@@ -471,3 +471,110 @@ def fixed_effects_demean(events: DataFrame) -> DataFrame:
 )
 def q_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_effects_demean(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------ t-closeness
+
+T_CLOSE = 0.5       # max TVD between cell and global sensitive marginal
+TC_SCALE = 10**6
+
+
+def tcloseness(events: DataFrame, t_max: float = T_CLOSE) -> DataFrame:
+    """t-closeness audit — the distributional member of the privacy
+    family (k-anonymity counts rows, l-diversity counts distinct
+    values; t-closeness bounds how far a quasi-identifier cell's
+    SENSITIVE-value distribution drifts from the global marginal):
+    per (event_type, weekday) cell, the total variation distance between
+    the cell's user_id distribution and the corpus-wide one. A cell
+    whose flow concentrates on few users leaks attribution even when k
+    and l pass.
+
+    Exact rational TVD in ONE division: with per-cell-user counts c_u,
+    cell size N_c, global counts g_u, total N,
+    TVD = (Σ_u∈cell |c_u·N − g_u·N_c| + (N − S_c)·N_c) / (2·N_c·N),
+    S_c = Σ_u∈cell g_u (absent-user mass folds into the closed-form
+    correction — no full user×cell grid is ever built). All numerators
+    BIGINT (exact while c_u·N < 2^63; at larger scale lift to
+    DECIMAL(38,0)). Plan: one (cell, user) exchange, a broadcast global
+    user table + 1-row total, a cell-partitioned window for N_c (cell
+    count bounded by |types|·7), one rollup.
+    """
+    from pyspark.sql import Window
+
+    cells = events.select(
+        "event_type", F.weekday("ts").alias("wd"), "user_id"
+    )
+    per_cu = cells.groupBy("event_type", "wd", "user_id").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    per_u = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("gu"))
+    tot = cells.agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type", "wd")
+    scored = (
+        per_cu.join(F.broadcast(per_u), "user_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nc", F.sum("cu").over(wc))
+        .withColumn(
+            "term", F.abs(F.col("cu") * F.col("n") - F.col("gu") * F.col("nc"))
+        )
+    )
+    agg = scored.groupBy("event_type", "wd").agg(
+        F.max("nc").alias("nc"),
+        F.max("n").alias("n"),
+        F.sum("term").alias("a"),
+        F.sum("gu").alias("sc"),
+    )
+    tvd = (
+        F.col("a") + (F.col("n") - F.col("sc")) * F.col("nc")
+    ).cast("double") / (2.0 * (F.col("nc") * F.col("n")).cast("double"))
+    return agg.select(
+        "event_type",
+        "wd",
+        F.col("nc").alias("n_rows"),
+        _q(tvd, TC_SCALE).alias("tvd"),
+        (tvd > t_max).cast("int").alias("at_risk"),
+    )
+
+
+@register(
+    "q_tcloseness",
+    f"""
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS wd,
+             user_id
+      FROM events
+    ), per_cu AS (
+      SELECT event_type, wd, user_id, CAST(count(*) AS BIGINT) AS cu
+      FROM cells GROUP BY event_type, wd, user_id
+    ), per_u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS gu
+      FROM cells GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM cells
+    ), scored AS (
+      SELECT p.event_type, p.wd, p.cu, u.gu, t.n,
+             CAST(sum(p.cu) OVER (PARTITION BY p.event_type, p.wd)
+                  AS BIGINT) AS nc
+      FROM per_cu p JOIN per_u u USING (user_id) CROSS JOIN tot t
+    ), agg AS (
+      SELECT event_type, wd,
+             CAST(max(nc) AS BIGINT) AS nc, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(abs(cu * n - gu * nc)) AS BIGINT) AS a,
+             CAST(sum(gu) AS BIGINT) AS sc
+      FROM scored GROUP BY event_type, wd
+    )
+    SELECT event_type, wd, nc AS n_rows,
+           floor((a + (n - sc) * nc) / (2.0 * nc * n)
+                 * {TC_SCALE} + 0.5) / {TC_SCALE} AS tvd,
+           CAST((a + (n - sc) * nc) / (2.0 * nc * n) > {T_CLOSE}
+                AS INT) AS at_risk
+    FROM agg
+    """,
+    doc="t-closeness audit per (event_type, weekday) cell: exact "
+    "rational TVD between the cell's user distribution and the global "
+    "marginal, one division per cell (absent-user mass via a closed-"
+    "form correction, never a user×cell grid). The distributional "
+    "sibling of q_kanonymity / q_ldiversity",
+)
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tcloseness(load(spark, sf_dir, "events"))
