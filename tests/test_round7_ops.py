@@ -319,3 +319,26 @@ def test_cosine_calibration_separable_labels_gap(spark):
     # consecutive ids always alternate labels here -> only False group
     assert set(out) == {False}
     assert out[False].mean_cosine == 0.0 and out[False].n_pairs == 19
+
+
+def test_centroid_similarity_orthogonal_and_parallel(spark):
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        label_centroid_similarity,
+    )
+
+    rows = []
+    # label 0 along e1, label 1 along e2 (orthogonal), label 2 along e1
+    # (parallel to 0)
+    for i in range(30):
+        lab = i % 3
+        vec = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [2.0, 0.0]}[lab]
+        rows.append((i, vec, lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.label_a, r.label_b): r.centroid_cosine
+        for r in label_centroid_similarity(emb).collect()
+    }
+    assert out[(0, 1)] == 0.0 and out[(1, 2)] == 0.0
+    assert out[(0, 2)] == 1.0

@@ -1331,3 +1331,114 @@ def cosine_calibration(emb: DataFrame) -> DataFrame:
 )
 def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_calibration(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------- centroid similarity
+
+CS_SCALE = 10_000
+
+
+def label_centroid_similarity(
+    emb: DataFrame, scale: int = CS_SCALE
+) -> DataFrame:
+    """Dataset-similarity map: cosine between every pair of LABEL
+    centroids — the coarse geometry a mixture designer reads before
+    weighting sources (two labels whose centroids are near-parallel add
+    little diversity; near-orthogonal ones add a lot).
+
+    Exactness without float accumulation: components fix to integers
+    (floor(x·s+½)); per-(label, dim) centroid SUMS stay BIGINT, and the
+    mean-divisions cancel inside the cosine, so
+    cos(a, b) = Σ_d Sa_d·Sb_d / sqrt(Σ Sa² · Σ Sb²) is computed
+    entirely on exact integers with ONE final sqrt+division (the
+    integer→double casts of identical values round identically on any
+    engine). Cost: one (label, dim) exchange (labels × dims rows), a
+    dim-keyed pair join bounded by labels² × dims — never corpus².
+    """
+    comps = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x") * scale + F.lit(0.5)).cast("long").alias("qx"),
+    )
+    cents = comps.groupBy("label", "d").agg(F.sum("qx").alias("s"))
+    norms = cents.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("nrm2")
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"), "d", F.col("s").alias("sa")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), "d", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "d")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nrm2").alias("n2a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nrm2").alias("n2b")
+    )
+    # each norm² stays a BIGINT (< 2^53 while |label|·scale·Σ|x| per dim
+    # < ~9e15 — holds with margin at the gate SFs; raise via `scale` knob
+    # beyond that), but their PRODUCT would overflow int64 — cast each
+    # factor to double first (exact casts of exact integers)
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            _q(cos, 1_000_000).alias("centroid_cosine"),
+        )
+    )
+
+
+@register(
+    "q_centroid_similarity",
+    f"""
+    WITH comps AS (
+      SELECT label, generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CS_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), cents AS (
+      SELECT label, d, CAST(sum(qx) AS BIGINT) AS s
+      FROM comps GROUP BY label, d
+    ), norms AS (
+      SELECT label, CAST(sum(s * s) AS BIGINT) AS nrm2
+      FROM cents GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.s * b.s) AS BIGINT) AS dot
+      FROM cents a JOIN cents b
+        ON a.d = b.d AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           floor(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.nrm2 AS DOUBLE) * CAST(nb.nrm2 AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+    doc="Label-centroid cosine matrix (dataset-similarity map for "
+    "mixture design): per-(label, dim) BIGINT centroid sums — the mean "
+    "divisions cancel in the cosine — dim-keyed pair join bounded by "
+    "labels² × dims, one final sqrt+division per pair. Zero float "
+    "accumulation",
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
