@@ -184,7 +184,7 @@ def test_round9_window_proposal_is_sound():
         "q_xml_ingest", "q_sink_xml", "q_fixed_effects",
         "q_variance_ratio", "q_macd", "q_ewma_vol", "q_pipe_sql",
         "q_flow_persistence", "q_tcloseness", "q_cosine_calibration",
-        "q_centroid_similarity",
+        "q_centroid_similarity", "q_audience_overlap", "q_round_lots",
     }
     missing = new_ops - set(_PRIORITY_ROUND9)
     assert not missing, f"round-7 additions missing from round-9 window: {sorted(missing)}"

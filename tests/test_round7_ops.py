@@ -342,3 +342,58 @@ def test_centroid_similarity_orthogonal_and_parallel(spark):
     }
     assert out[(0, 1)] == 0.0 and out[(1, 2)] == 0.0
     assert out[(0, 2)] == 1.0
+
+
+def test_audience_overlap_hand_computed(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        audience_overlap,
+    )
+
+    rows = []
+    eid = 0
+    # type a: users {1,2,3}; type b: users {2,3,4}; type c: users {9}
+    for t, users in (("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [9])):
+        for u in users:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, 9), u, t, 1.0, "{}"))
+            eid += 1  # duplicate event, same user: distinct must dedupe
+            rows.append((eid, dt.datetime(2024, 1, 1, 10), u, t, 2.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.type_a, r.type_b): r for r in audience_overlap(ev).collect()
+    }
+    assert out[("a", "b")].n_common == 2
+    assert out[("a", "b")].jaccard == 0.5  # 2 / (3+3-2)
+    assert ("a", "c") not in out  # zero intersection -> no row
+    assert out[("a", "b")].n_users_a == 3 and out[("a", "b")].n_users_b == 3
+
+
+def test_round_lots_hand_computed(spark):
+    import datetime as dt
+    import json
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        round_lot_bias,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 9, 0, i), 1, "x", 10.0,
+         json.dumps({"k": q}))
+        for i, q in enumerate([10, 20, 7, 3, 50], 1)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = round_lot_bias(ev).collect()[0]
+    assert (r.n_trades, r.n_round) == (5, 3)
+    assert r.trade_share == 0.6
+    assert abs(r.vol_share - 80 / 90) < 1e-6
+    assert abs(r.excess_vs_uniform - 0.5) < 1e-9

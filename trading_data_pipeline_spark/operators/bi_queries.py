@@ -1020,3 +1020,86 @@ def simpsons_audit(events: DataFrame) -> DataFrame:
 )
 def q_simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpsons_audit(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ audience overlap
+
+AO_SCALE = 10**6
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER sets
+    behind every pair of event types — the segmentation readout that
+    says whether two product surfaces share an audience or split it
+    (and, in the trading read, whether two instruments share a
+    participant base). Exact integer Jaccard: |A∩B| from one co-keyed
+    self-join of the distinct (type, user) table on user_id (cost
+    Σ_u deg(u)² — bounded by |types|² per user, never |users|²),
+    |A|,|B| from a |types|-row aggregate, one division per pair.
+    """
+    tu = events.select("event_type", "user_id").distinct()
+    per_type = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("nu").alias("na")
+    )
+    nb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("nu").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_users_a"),
+            F.col("nb").alias("n_users_b"),
+            "n_common",
+            _q(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                AO_SCALE,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_audience_overlap",
+    f"""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), per_type AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+      FROM tu GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           na.nu AS n_users_a, nb.nu AS n_users_b, i.n_common,
+           floor(i.n_common * 1.0 / (na.nu + nb.nu - i.n_common)
+                 * {AO_SCALE} + 0.5) / {AO_SCALE} AS jaccard
+    FROM inter i
+    JOIN per_type na ON na.event_type = i.type_a
+    JOIN per_type nb ON nb.event_type = i.type_b
+    """,
+    doc="Audience-overlap matrix: exact Jaccard of user sets per event-"
+    "type pair — one distinct (type, user) exchange, a user-keyed self-"
+    "join bounded by |types|² per user, integer intersection counts, "
+    "one division per pair",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audience_overlap(load(spark, sf_dir, "events"))

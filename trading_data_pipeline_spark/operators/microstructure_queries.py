@@ -708,3 +708,76 @@ def flow_persistence(events: DataFrame) -> DataFrame:
 )
 def q_flow_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_persistence(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ round-lot bias
+
+RL_SCALE = 10**6
+
+
+def round_lot_bias(events: DataFrame) -> DataFrame:
+    """Round-lot clustering screen: the share of trades (and of volume)
+    whose size is a multiple of 10 versus the ~10% a size-indifferent
+    flow would show — retail flow and wash-trading programs both
+    over-index on round lots, so the EXCESS over the uniform baseline
+    is the anomaly signal. All-integer counts/sums, two divisions per
+    type, one partial-agged exchange."""
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    base = events.select("event_type", qty.alias("q")).filter(F.col("q") > 0)
+    is_round = (F.col("q") % 10 == 0).cast("long")
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(is_round).alias("n_round"),
+        F.sum("q").alias("vol"),
+        F.sum(F.col("q") * is_round).alias("vol_round"),
+    )
+    return agg.select(
+        "event_type",
+        "n_trades",
+        "n_round",
+        _q(F.col("n_round") / F.col("n_trades"), RL_SCALE).alias(
+            "trade_share"
+        ),
+        _q(F.col("vol_round") / F.col("vol"), RL_SCALE).alias("vol_share"),
+        _q(
+            F.col("n_round") / F.col("n_trades") - 0.1, RL_SCALE
+        ).alias("excess_vs_uniform"),
+    )
+
+
+@register(
+    "q_round_lots",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+      WHERE coalesce(json_extract_string(props, '$.k')::BIGINT, 0) > 0
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN q % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_round,
+             CAST(sum(q) AS BIGINT) AS vol,
+             CAST(sum(CASE WHEN q % 10 = 0 THEN q ELSE 0 END) AS BIGINT)
+               AS vol_round
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n_trades, n_round,
+           floor(n_round * 1.0 / n_trades * {RL_SCALE} + 0.5)
+             / {RL_SCALE} AS trade_share,
+           floor(vol_round * 1.0 / vol * {RL_SCALE} + 0.5)
+             / {RL_SCALE} AS vol_share,
+           floor((n_round * 1.0 / n_trades - 0.1) * {RL_SCALE} + 0.5)
+             / {RL_SCALE} AS excess_vs_uniform
+    FROM agg
+    """,
+    doc="Round-lot clustering screen per type: share of trades/volume at "
+    "multiples of 10 vs the 10% size-indifferent baseline — the retail-"
+    "flow / wash-trading tell. Integer counts and sums, two divisions, "
+    "one exchange",
+)
+def q_round_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return round_lot_bias(load(spark, sf_dir, "events"))
