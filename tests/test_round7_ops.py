@@ -397,3 +397,55 @@ def test_round_lots_hand_computed(spark):
     assert r.trade_share == 0.6
     assert abs(r.vol_share - 80 / 90) < 1e-6
     assert abs(r.excess_vs_uniform - 0.5) < 1e-9
+
+
+def test_freshness_lag_and_last_day_counts(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.profiling_queries import (
+        freshness_audit,
+    )
+
+    rows = [
+        # type a: last event at 12:00 Jan 3 (the global hwm)
+        (1, dt.datetime(2024, 1, 1, 12), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 3, 12), 1, "a", 1.0, "{}"),
+        # type b: stale by exactly 2 days
+        (3, dt.datetime(2024, 1, 1, 12), 1, "b", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in freshness_audit(ev).collect()}
+    assert out["a"].lag_seconds == 0 and out["b"].lag_seconds == 172800
+    assert out["a"].n_last_day == 1  # only the Jan-3 event is in-window
+    assert out["b"].n_last_day == 0
+
+
+def test_volume_profile_poc_and_shares(spark):
+    import datetime as dt
+    import json
+
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        volume_profile,
+    )
+
+    rows = [
+        # prices 1.00 and 2.00 land in buckets 0 and 100 with width 100
+        (1, dt.datetime(2024, 1, 1, 9), 1, "x", 1.0, json.dumps({"k": 30})),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "x", 1.2, json.dumps({"k": 30})),
+        (3, dt.datetime(2024, 1, 1, 9), 1, "x", 2.0, json.dumps({"k": 40})),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.price_level: r for r in volume_profile(ev, bucket_c=100).collect()
+    }
+    assert out[1.0].vol == 60 and out[2.0].vol == 40
+    assert out[1.0].is_poc == 1 and out[2.0].is_poc == 0
+    assert out[1.0].vol_share == 0.6 and out[2.0].vol_share == 0.4

@@ -85,6 +85,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # a non-equi (a < b) condition
     "q_tcloseness",       # 1-row corpus-total scalar broadcast onto the
                           # (cell, user) counts
+    "q_freshness",        # 1-row global high-watermark broadcast onto
+                          # the scan and the |types|-row rollup
 }
 
 

@@ -787,3 +787,76 @@ def lateness_audit(
 )
 def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lateness_audit(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------- freshness
+
+def freshness_audit(events: DataFrame) -> DataFrame:
+    """Ingest-freshness audit: each event type's high-watermark lag
+    behind the corpus-wide high-watermark (seconds + event counts in the
+    last watermark day) — the staleness monitor a scheduler reads before
+    declaring a partition complete. Clock-free by construction: the
+    reference point is the CORPUS max(ts), not wall time, so the query
+    is deterministic and replayable. One partial-agged exchange + a
+    1-row broadcast."""
+    per_type = events.groupBy("event_type").agg(
+        F.max("ts").alias("hwm"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    global_hwm = events.agg(F.max("ts").alias("g"))
+    last_day = events.crossJoin(F.broadcast(global_hwm)).filter(
+        F.col("ts") >= F.col("g") - F.expr("INTERVAL 1 DAY")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_last_day"))
+    return (
+        per_type.crossJoin(F.broadcast(global_hwm))
+        .join(F.broadcast(last_day), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("hwm").cast("string").alias("high_watermark"),
+            # exact microsecond difference floored to whole seconds —
+            # unix_timestamp() truncates while DuckDB's epoch() keeps
+            # fractional seconds and CAST rounds; integer µs agree.
+            # ts columns arrive as TIMESTAMP_NTZ (nanos parquet via
+            # load()); the NTZ→LTZ cast is a pure relabel under the
+            # session's pinned UTC zone, applied to both operands
+            F.floor(
+                (
+                    F.unix_micros(F.col("g").cast("timestamp"))
+                    - F.unix_micros(F.col("hwm").cast("timestamp"))
+                )
+                / F.lit(1_000_000)
+            ).cast("long").alias("lag_seconds"),
+            F.coalesce("n_last_day", F.lit(0)).alias("n_last_day"),
+        )
+    )
+
+
+@register(
+    "q_freshness",
+    """
+    WITH g AS (SELECT max(ts) AS g FROM events),
+    per_type AS (
+      SELECT event_type, max(ts) AS hwm,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ), last_day AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_day
+      FROM events, g WHERE ts >= g.g - INTERVAL 1 DAY
+      GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events,
+           CAST(p.hwm AS VARCHAR) AS high_watermark,
+           CAST((epoch_us(g.g) - epoch_us(p.hwm)) // 1000000 AS BIGINT)
+             AS lag_seconds,
+           CAST(coalesce(l.n_last_day, 0) AS BIGINT) AS n_last_day
+    FROM per_type p CROSS JOIN g
+    LEFT JOIN last_day l USING (event_type)
+    """,
+    doc="Ingest-freshness audit per type: high-watermark lag behind the "
+    "corpus max(ts) in seconds + last-day event counts — clock-free "
+    "(reference point is the data, not wall time), so deterministic and "
+    "replayable. One exchange + 1-row broadcast",
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return freshness_audit(load(spark, sf_dir, "events"))

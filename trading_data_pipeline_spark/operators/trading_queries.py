@@ -705,3 +705,84 @@ def twap(events: DataFrame) -> DataFrame:
 )
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------------- volume profile
+
+VP_BUCKET_C = 500  # price-bucket width in cents ($5)
+
+
+def volume_profile(events: DataFrame, bucket_c: int = VP_BUCKET_C) -> DataFrame:
+    """Volume-at-price profile (the market-profile histogram): per type,
+    traded volume binned by price level, with each bucket's share of the
+    type's total and the point-of-control flag (the price bucket with
+    max volume — ties to the lower bucket). Exact integer bucketing and
+    sums; the share is one division; POC via one rank over the bucket
+    table (bounded by price range / bucket width)."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    base = events.select(
+        "event_type",
+        (F.floor(cents / F.lit(float(bucket_c))) * bucket_c).cast("long").alias(
+            "price_bucket_c"
+        ),
+        qty.alias("q"),
+    )
+    buckets = base.groupBy("event_type", "price_bucket_c").agg(
+        F.count(F.lit(1)).alias("n_trades"), F.sum("q").alias("vol")
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("vol"), F.asc("price_bucket_c")
+    )
+    return (
+        buckets.withColumn("_tot", F.sum("vol").over(wt))
+        .withColumn("_r", F.row_number().over(wr))
+        .select(
+            "event_type",
+            (F.col("price_bucket_c") / 100.0).alias("price_level"),
+            "n_trades",
+            "vol",
+            _q(F.col("vol") / F.col("_tot"), 1_000_000).alias("vol_share"),
+            (F.col("_r") == 1).cast("int").alias("is_poc"),
+        )
+    )
+
+
+@register(
+    "q_volume_profile",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        / {VP_BUCKET_C}.0) AS BIGINT) * {VP_BUCKET_C}
+               AS price_bucket_c,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+    ), buckets AS (
+      SELECT event_type, price_bucket_c,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CAST(sum(q) AS BIGINT) AS vol
+      FROM base GROUP BY event_type, price_bucket_c
+    )
+    SELECT event_type, price_bucket_c / 100.0 AS price_level,
+           n_trades, vol,
+           floor(vol * 1.0 / CAST(sum(vol) OVER (PARTITION BY event_type)
+                                  AS BIGINT) * 1000000 + 0.5)
+             / 1000000 AS vol_share,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY vol DESC, price_bucket_c) = 1
+                AS INT) AS is_poc
+    FROM buckets
+    """,
+    doc=f"Volume-at-price profile per type ({VP_BUCKET_C}-cent buckets): "
+    "exact integer price bucketing and volume sums, one share division, "
+    "point-of-control by one rank over the price-bounded bucket table — "
+    "the market-profile histogram behind support/resistance reads",
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_profile(load(spark, sf_dir, "events"))
