@@ -496,24 +496,25 @@ def tcloseness(events: DataFrame, t_max: float = T_CLOSE) -> DataFrame:
     correction — no full user×cell grid is ever built). All numerators
     BIGINT (exact while c_u·N < 2^63; at larger scale lift to
     DECIMAL(38,0)). Plan: one (cell, user) exchange, a broadcast global
-    user table + 1-row total, a cell-partitioned window for N_c (cell
-    count bounded by |types|·7), one rollup.
+    user table + the |cells|-row N_c aggregate (bounded by |types|·7)
+    broadcast back + 1-row total, one rollup — no window ever
+    materializes a users-sized cell partition in a single task.
     """
-    from pyspark.sql import Window
-
     cells = events.select(
         "event_type", F.weekday("ts").alias("wd"), "user_id"
     )
     per_cu = cells.groupBy("event_type", "wd", "user_id").agg(
         F.count(F.lit(1)).alias("cu")
     )
+    per_cell_n = per_cu.groupBy("event_type", "wd").agg(
+        F.sum("cu").alias("nc")
+    )
     per_u = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("gu"))
     tot = cells.agg(F.count(F.lit(1)).alias("n"))
-    wc = Window.partitionBy("event_type", "wd")
     scored = (
         per_cu.join(F.broadcast(per_u), "user_id")
+        .join(F.broadcast(per_cell_n), ["event_type", "wd"])
         .crossJoin(F.broadcast(tot))
-        .withColumn("nc", F.sum("cu").over(wc))
         .withColumn(
             "term", F.abs(F.col("cu") * F.col("n") - F.col("gu") * F.col("nc"))
         )
