@@ -191,6 +191,8 @@ EXTRAS = [
     "q_variance_ratio",
     "q_macd",
     "q_ewma_vol",
+    "q_moments",
+    "q_gap_risk",
 ]
 
 RUNS = 3

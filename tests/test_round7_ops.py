@@ -449,3 +449,55 @@ def test_volume_profile_poc_and_shares(spark):
     assert out[1.0].vol == 60 and out[2.0].vol == 40
     assert out[1.0].is_poc == 1 and out[2.0].is_poc == 0
     assert out[1.0].vol_share == 0.6 and out[2.0].vol_share == 0.4
+
+
+def test_moments_symmetric_and_skewed_series(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.risk_queries import moments
+
+    def ev(closes, t):
+        return [
+            (i + hash(t) % 97 * 1000, dt.datetime(2024, 1, i, 12), 1, t,
+             float(c), "{}")
+            for i, c in enumerate(closes, 1)
+        ]
+
+    # moves -1,+1,-1,+1...: symmetric two-point -> skew 0, excess kurt -2
+    sym = [10 + (i % 2) for i in range(13)]
+    # constant closes: zero variance -> NULLs
+    flat = [10] * 6
+    df = spark.createDataFrame(
+        ev(sym, "sym") + ev(flat, "flat"),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in moments(df).collect()}
+    assert out["sym"].skewness == 0.0
+    assert out["sym"].excess_kurtosis == -2.0
+    assert out["flat"].skewness is None and out["flat"].excess_kurtosis is None
+
+
+def test_gap_risk_hand_computed(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.risk_queries import gap_risk
+
+    rows = [
+        # day1: open 10 close 10; day2: open 10.2 (gap +200bps) close 10;
+        # day3: open 9.9 (gap -100bps, NOT > flag) close 9.9
+        (1, dt.datetime(2024, 1, 1, 9), 1, "x", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 16), 1, "x", 10.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 9), 1, "x", 10.2, "{}"),
+        (4, dt.datetime(2024, 1, 2, 16), 1, "x", 10.0, "{}"),
+        (5, dt.datetime(2024, 1, 3, 9), 1, "x", 9.9, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = gap_risk(ev).collect()[0]
+    assert r.n_days == 2 and r.n_large_gaps == 1
+    assert r.max_gap_up_bps == 200.0 and r.max_gap_down_bps == -100.0
+    assert r.mean_abs_gap_bps == 150.0

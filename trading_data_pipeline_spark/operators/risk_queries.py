@@ -288,3 +288,179 @@ def sortino(events: DataFrame) -> DataFrame:
 )
 def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sortino(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ higher moments
+
+MOM_SCALE = 10**6
+
+
+def moments(events: DataFrame) -> DataFrame:
+    """Skewness and excess kurtosis of daily cent moves per type — the
+    fat-tail screen next to q_sharpe/q_sortino (a near-zero-variance
+    book can still carry crash risk in its third and fourth moments).
+
+    Exactness: raw power sums Σdc..Σdc⁴ are BIGINT (daily moves are
+    small integers); the central-moment NUMERATORS
+    M2 = n·s2 − s1², M3 = n²·s3 − 3n·s1·s2 + 2s1³,
+    M4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
+    are evaluated in DECIMAL(38,0) — exact integers (s1⁴ overflows
+    int64 long before the data is large) — then ONE fixed double chain:
+    g1 = M3/M2^1.5 and g2 = M4/M2² − 3 (with m_k = M_k/n^k for
+    k-th-moment orders 2→n², 3→n³, 4→n⁴, the n-powers cancel exactly).
+    Degenerate (zero-variance) series → NULL.
+    """
+    moves = daily_bars(events).filter(F.col("dc").isNotNull())
+    d = F.col("dc")
+    agg = moves.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    D = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n, s1, s2, s3, s4 = D("n"), D("s1"), D("s2"), D("s3"), D("s4")
+    m2 = (n * s2 - s1 * s1).cast("double")
+    m3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).cast("double")
+    m4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ).cast("double")
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        _q(F.when(m2 > 0, g1), MOM_SCALE).alias("skewness"),
+        _q(F.when(m2 > 0, g2), MOM_SCALE).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "q_moments",
+    f"""
+    WITH {{bars}}, agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dc) AS BIGINT) AS s1,
+             CAST(sum(dc * dc) AS BIGINT) AS s2,
+             CAST(sum(dc * dc * dc) AS BIGINT) AS s3,
+             CAST(sum(dc * dc * dc * dc) AS BIGINT) AS s4
+      FROM moves WHERE dc IS NOT NULL GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+        CAST(n::DECIMAL(38,0) * s2 - s1::DECIMAL(38,0) * s1 AS DOUBLE) AS m2,
+        CAST(n::DECIMAL(38,0) * n * s3
+             - 3 * n::DECIMAL(38,0) * s1 * s2
+             + 2 * s1::DECIMAL(38,0) * s1 * s1 AS DOUBLE) AS m3,
+        CAST(n::DECIMAL(38,0) * n * n * s4
+             - 4 * n::DECIMAL(38,0) * n * s1 * s3
+             + 6 * n::DECIMAL(38,0) * s1 * s1 * s2
+             - 3 * s1::DECIMAL(38,0) * s1 * s1 * s1 AS DOUBLE) AS m4
+      FROM agg
+    )
+    SELECT event_type, n AS n_days,
+           floor(CASE WHEN m2 > 0
+                 THEN m3 / sqrt(m2 * m2 * m2) END
+                 * {{sc}} + 0.5) / {{sc}} AS skewness,
+           floor(CASE WHEN m2 > 0
+                 THEN m4 / (m2 * m2) - 3.0 END
+                 * {{sc}} + 0.5) / {{sc}} AS excess_kurtosis
+    FROM m
+    """.format(bars=_BARS_SQL, sc=MOM_SCALE),
+    doc="Skewness + excess kurtosis of daily moves per type (fat-tail "
+    "screen): BIGINT raw power sums, DECIMAL(38,0)-exact central-moment "
+    "numerators (s1^4 overflows int64), one fixed double chain, "
+    "zero-variance series NULL. Same bar exchange as q_sharpe",
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moments(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------- gap risk
+
+GAP_BPS_FLAG = 100  # flag overnight gaps beyond 1% (100 bps)
+
+
+def gap_risk(events: DataFrame) -> DataFrame:
+    """Overnight gap-risk profile per type: today's OPEN versus
+    yesterday's CLOSE — the move that stop-losses cannot protect
+    against. Gap in exact basis points ((o−prev_c)·10⁴ / prev_c, one
+    division per day), per-type rollup of frequency beyond
+    ``GAP_BPS_FLAG``, mean |gap|, and the worst gap either way.
+    """
+    from .indicators2_queries import ohlc_bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    bars = (
+        ohlc_bars(events)
+        .select("event_type", "day", "o_c", "c_c")
+        .withColumn("prev_c", F.lag("c_c").over(w))
+        .filter(F.col("prev_c").isNotNull())
+    )
+    gap = (F.col("o_c") - F.col("prev_c")) * 10000.0 / F.col("prev_c")
+    g = bars.select(
+        "event_type",
+        gap.alias("gap_bps"),
+        # per-day |gap| fixed to an integer (centibps) BEFORE the mean —
+        # a float avg would accumulate order-dependently across rows
+        F.floor(F.abs(gap) * 100 + F.lit(0.5)).cast("long").alias("qabs"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (F.abs(F.col("gap_bps")) > GAP_BPS_FLAG).cast("long")
+        ).alias("n_large_gaps"),
+        _q(
+            F.sum("qabs") / F.count(F.lit(1)) / 100.0, 100
+        ).alias("mean_abs_gap_bps"),
+        _q(F.max("gap_bps"), 100).alias("max_gap_up_bps"),
+        _q(F.min("gap_bps"), 100).alias("max_gap_down_bps"),
+    )
+
+
+@register(
+    "q_gap_risk",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             {_CENTS} AS cents
+      FROM events
+    ), w AS (
+      SELECT *,
+             first_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id) AS o,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(o) AS o_c, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), gaps AS (
+      SELECT event_type,
+             (o_c - lag(c_c) OVER pw) * 10000.0
+               / lag(c_c) OVER pw AS gap_bps
+      FROM bars
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(gap_bps) > {GAP_BPS_FLAG}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_large_gaps,
+           floor(CAST(sum(CAST(floor(abs(gap_bps) * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) * 1.0 / count(*) / 100.0 * 100 + 0.5)
+             / 100 AS mean_abs_gap_bps,
+           floor(max(gap_bps) * 100 + 0.5) / 100 AS max_gap_up_bps,
+           floor(min(gap_bps) * 100 + 0.5) / 100 AS max_gap_down_bps
+    FROM gaps WHERE gap_bps IS NOT NULL GROUP BY event_type
+    """,
+    doc="Overnight gap-risk profile per type: open-vs-prev-close moves "
+    "in exact basis points, frequency beyond 100 bps, integer-fixed "
+    "mean |gap| (no float accumulation), worst gap either way — the "
+    "move stop-losses cannot protect against. One bar exchange",
+)
+def q_gap_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_risk(load(spark, sf_dir, "events"))

@@ -228,8 +228,8 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
 # ROUND-9 WINDOW (apply at the start of round 9 — do NOT apply earlier).
 # Validated NOW by tests/test_registry.py (names exist, exactly 50,
 # canaries first, no duplicates, no overlap with the round-8 window).
-# Composition: canaries; the 23 round-7 session additions (E141–E164),
-# never driver-verified; then 25 re-verification slots for the
+# Composition: canaries; the 25 round-7 session additions (E141–E166),
+# never driver-verified; then 23 re-verification slots for the
 # relational/io/meta basics whose newest green rows date to r1–r3.
 # At round-9 open, set ``_PRIORITY = _PRIORITY_ROUND9``.
 _PRIORITY_ROUND9: tuple[str, ...] = (
@@ -241,14 +241,14 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
     "q_macd", "q_ewma_vol", "q_pipe_sql", "q_flow_persistence",
     "q_tcloseness", "q_cosine_calibration", "q_centroid_similarity",
     "q_audience_overlap", "q_round_lots", "q_freshness",
-    "q_volume_profile",
+    "q_volume_profile", "q_moments", "q_gap_risk",
     # re-verification: relational/io/meta basics (newest green rows r1-r3)
     "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
     "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
     "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
     "q_anti_join", "q_distinct_count", "q_rollup", "q_cube", "q_pivot",
     "q_grouping_sets", "q_percentiles", "q_window_rank",
-    "q_window_running", "q_ntile", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_window_running", "q_ntile", "q_tpch_q3",
 )
 
 
