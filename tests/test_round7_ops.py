@@ -501,3 +501,81 @@ def test_gap_risk_hand_computed(spark):
     assert r.n_days == 2 and r.n_large_gaps == 1
     assert r.max_gap_up_bps == 200.0 and r.max_gap_down_bps == -100.0
     assert r.mean_abs_gap_bps == 150.0
+
+
+def test_tier_migration_hand_computed(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.analytics2_queries import (
+        tier_migration,
+    )
+
+    rows, eid = [], 0
+
+    def week_events(u, monday, n):
+        nonlocal eid
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, monday, 9, 0, i), u, "x",
+                 1.0, "{}")
+            )
+
+    # weeks: Jan-1 (Mon), Jan-8, Jan-15
+    week_events(1, 1, 2)    # u1 low
+    week_events(1, 8, 5)    # u1 -> mid
+    week_events(2, 1, 12)   # u2 high
+    # u2 absent week 2 -> gone
+    week_events(3, 8, 1)    # u3 appears in final-minus-one week, low
+    week_events(3, 15, 1)   # u3 low week 3 (final week: no successor)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.tier, r.next_tier): r.n_users for r in tier_migration(ev).collect()
+    }
+    assert out == {
+        ("low", "mid"): 1,    # u1 week1 -> week2
+        ("mid", "gone"): 1,   # u1 week2 -> absent week3
+        ("high", "gone"): 1,  # u2
+        ("low", "low"): 1,    # u3 week2 -> week3
+    }
+
+
+def test_tail_dependence_perfect_and_disjoint(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.risk_queries import (
+        tail_dependence,
+    )
+
+    rows, eid = [], 0
+
+    def close(t, day, price):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12), 1, t, float(price), "{}")
+        )
+
+    # 21 days each; worst down day (pct=5 -> k=1) is day 11 for both
+    # "a" and "b" (crash together: perfect tail dependence), while "c"
+    # crashes on day 16 (disjoint from a's crash).
+    for day in range(1, 22):
+        for t, crash_day in (("a", 11), ("b", 11), ("c", 16)):
+            price = 100 - 50 * (day == crash_day) + (day % 2)
+            close(t, day, price)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.type_a, r.type_b): r for r in tail_dependence(ev).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.n_joint == 1 and ab.k_a == ab.k_b == 1
+    assert ab.coextreme_lift == 20.0  # 1*20/(1*1)
+    assert ("a", "c") not in out  # disjoint extremes -> no joint row

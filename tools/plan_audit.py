@@ -87,6 +87,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # (cell, user) counts
     "q_freshness",        # 1-row global high-watermark broadcast onto
                           # the scan and the |types|-row rollup
+    "q_tier_migration",   # 1-row max-week scalar broadcast onto the
+                          # (user, week) tier table
 }
 
 

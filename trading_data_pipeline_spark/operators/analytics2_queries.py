@@ -448,3 +448,85 @@ def theil_sen(events: DataFrame) -> DataFrame:
 )
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------- tier migration
+
+TIER_MID = 3    # weekly events >= 3 -> mid
+TIER_HIGH = 10  # weekly events >= 10 -> high
+
+
+def tier_migration(events: DataFrame) -> DataFrame:
+    """Engagement-tier migration matrix: bucket each user's WEEKLY event
+    count into low/mid/high tiers, then count week-over-week transitions
+    (including churn to 'gone' — present one week, absent the next) —
+    the upgrade/downgrade flow report behind retention interventions,
+    and the q_type_transitions idea lifted from events to USERS.
+
+    Exact integer tiering and counting; one (user, week) exchange, a
+    self-join on (user, week+7d) — co-keyed, at most one row per side —
+    and a tiny matrix rollup. The last observed week has no successor
+    frame and is excluded (its 'gone' verdict isn't knowable yet).
+    """
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    per_uw = (
+        events.select("user_id", wk.alias("week"))
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tier = (
+        F.when(F.col("n") >= TIER_HIGH, "high")
+        .when(F.col("n") >= TIER_MID, "mid")
+        .otherwise("low")
+    )
+    tiers = per_uw.select("user_id", "week", tier.alias("tier"))
+    last_week = tiers.agg(F.max("week").alias("mx"))
+    cur = tiers.crossJoin(F.broadcast(last_week)).filter(
+        F.col("week") < F.col("mx")
+    )
+    nxt = tiers.select(
+        "user_id",
+        F.date_sub(F.col("week"), 7).alias("week"),
+        F.col("tier").alias("next_tier"),
+    )
+    return (
+        cur.join(nxt, ["user_id", "week"], "left")
+        .select(
+            "tier",
+            F.coalesce("next_tier", F.lit("gone")).alias("next_tier"),
+        )
+        .groupBy("tier", "next_tier")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_tier_migration",
+    f"""
+    WITH per_uw AS (
+      SELECT user_id, date_trunc('week', ts) AS week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, date_trunc('week', ts)
+    ), tiers AS (
+      SELECT user_id, week,
+             CASE WHEN n >= {TIER_HIGH} THEN 'high'
+                  WHEN n >= {TIER_MID} THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM per_uw
+    ), mx AS (SELECT max(week) AS mx FROM tiers)
+    SELECT c.tier, coalesce(n.tier, 'gone') AS next_tier,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM tiers c CROSS JOIN mx
+    LEFT JOIN tiers n
+      ON n.user_id = c.user_id AND n.week = c.week + INTERVAL 7 DAY
+    WHERE c.week < mx.mx
+    GROUP BY 1, 2
+    """,
+    doc=f"Engagement-tier migration matrix: weekly per-user event counts "
+    f"tiered low/mid(≥{TIER_MID})/high(≥{TIER_HIGH}), week-over-week "
+    "transition counts including churn to 'gone' (final week excluded — "
+    "its verdict isn't knowable). One (user, week) exchange + a co-keyed "
+    "self-join",
+)
+def q_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tier_migration(load(spark, sf_dir, "events"))

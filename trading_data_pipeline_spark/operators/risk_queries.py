@@ -464,3 +464,117 @@ def gap_risk(events: DataFrame) -> DataFrame:
 )
 def q_gap_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_risk(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------ tail dependence
+
+TAIL_PCT = 5  # integer percent: extreme day = top-5% down-moves
+
+
+def tail_dependence(events: DataFrame, pct: int = TAIL_PCT) -> DataFrame:
+    """Tail co-extremes (contagion screen): for every type pair, how
+    often their worst-``pct``% down days COINCIDE versus what
+    independence predicts — diversification that exists in calm markets
+    and evaporates in crashes shows up as lift ≫ 1 here while ordinary
+    correlation stays modest.
+
+    Extreme days are EXACT order statistics (rank ≤ ⌈pct·n/100⌉ by
+    (dc, day) — no interpolation ambiguity); joint counts come from one
+    day-keyed self-join of the extreme-day table (≈ pct% of the bar
+    table — tiny); lift = n_joint·n_days / (k_a·k_b) is one exact
+    integer ratio, with the day-count denominator taken over the pair's
+    COMMON calendar (min of the two day counts, the conservative choice
+    when listings differ).
+    """
+    moves = daily_bars(events).filter(F.col("dc").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("dc", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = moves.select(
+        "event_type",
+        "day",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor((F.lit(pct) * F.col("n") + 99) / F.lit(100.0)).cast("long")
+    ext = ranked.filter(F.col("r") <= k).select(
+        "event_type", "day", F.col("n").alias("n_days")
+    )
+    sizes = ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.max("n_days").alias("n_days")
+    )
+    a = ext.select(F.col("event_type").alias("type_a"), "day")
+    b = ext.select(F.col("event_type").alias("type_b"), "day")
+    joint = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"),
+        F.col("k").alias("k_a"),
+        F.col("n_days").alias("na"),
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"),
+        F.col("k").alias("k_b"),
+        F.col("n_days").alias("nb"),
+    )
+    return (
+        joint.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "k_a",
+            "k_b",
+            "n_joint",
+            _q(
+                F.col("n_joint")
+                * F.least(F.col("na"), F.col("nb"))
+                / (F.col("k_a") * F.col("k_b")),
+                10000,
+            ).alias("coextreme_lift"),
+        )
+    )
+
+
+@register(
+    "q_tail_dependence",
+    f"""
+    WITH {{bars}}, ranked AS (
+      SELECT event_type, day,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dc, day) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM moves WHERE dc IS NOT NULL
+    ), ext AS (
+      SELECT event_type, day, n AS n_days FROM ranked
+      WHERE r <= CAST(floor(({TAIL_PCT} * n + 99) / 100.0) AS BIGINT)
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(max(n_days) AS BIGINT) AS n_days
+      FROM ext GROUP BY event_type
+    ), joint AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_joint
+      FROM ext a JOIN ext b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT j.type_a, j.type_b, sa.k AS k_a, sb.k AS k_b, j.n_joint,
+           floor(j.n_joint * least(sa.n_days, sb.n_days) * 1.0
+                 / (sa.k * sb.k) * 10000 + 0.5) / 10000
+             AS coextreme_lift
+    FROM joint j
+    JOIN sizes sa ON sa.event_type = j.type_a
+    JOIN sizes sb ON sb.event_type = j.type_b
+    """.format(bars=_BARS_SQL),
+    doc=f"Tail co-extremes per type pair: coincidence of the worst "
+    f"{TAIL_PCT}% down days vs the independence expectation (lift = "
+    "n_joint·n/(k_a·k_b)) — the crash-contagion screen plain correlation "
+    "misses. Exact order-statistic thresholds, day-keyed join of the "
+    "pct%-sized extreme table, one division per pair",
+)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tail_dependence(load(spark, sf_dir, "events"))
