@@ -193,6 +193,9 @@ EXTRAS = [
     "q_ewma_vol",
     "q_moments",
     "q_gap_risk",
+    "q_tier_migration",
+    "q_tail_dependence",
+    "q_ab_cuped",
 ]
 
 RUNS = 3

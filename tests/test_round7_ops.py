@@ -579,3 +579,53 @@ def test_tail_dependence_perfect_and_disjoint(spark):
     assert ab.n_joint == 1 and ab.k_a == ab.k_b == 1
     assert ab.coextreme_lift == 20.0  # 1*20/(1*1)
     assert ("a", "c") not in out  # disjoint extremes -> no joint row
+
+
+def test_ab_cuped_matches_numpy_reference(spark):
+    """CUPED's closed-form arm sums must equal a per-user numpy
+    computation of Y' = Y - theta(X - xbar) on a crafted panel."""
+    import datetime as dt
+
+    import numpy as np
+
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        ab_test_cuped,
+    )
+
+    rows, eid = [], 0
+    # 8 users; pre-period (days 1-8), post (days 9-16); user u makes u
+    # pre events; even users convert post
+    for u in range(1, 9):
+        for i in range(u):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + i % 8, 9), u, "view",
+                 1.0, "{}")
+            )
+        eid += 1
+        post_type = "purchase" if u % 2 == 0 else "view"
+        rows.append(
+            (eid, dt.datetime(2024, 1, 16, 9), u, post_type, 1.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.arm: r for r in ab_test_cuped(ev).collect()}
+
+    x = np.array([u for u in range(1, 9)], dtype=float)  # pre counts
+    y = np.array([1.0 if u % 2 == 0 else 0.0 for u in range(1, 9)])
+    theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    adj = y - theta * (x - x.mean())
+    arms = np.array([u % 2 for u in range(1, 9)])
+    for arm in (0, 1):
+        m = arms == arm
+        assert abs(out[arm].theta - round(theta, 6)) < 2e-6
+        assert abs(out[arm].rate_cuped - adj[m].mean()) < 2e-6
+        assert abs(out[arm].rate_raw - y[m].mean()) < 2e-6
+        var_raw = y[m].mean() * (1 - y[m].mean())
+        var_adj = (adj[m] ** 2).mean() - adj[m].mean() ** 2
+        if var_raw > 0:
+            assert abs(out[arm].variance_ratio - var_adj / var_raw) < 2e-5

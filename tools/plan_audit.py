@@ -89,6 +89,9 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # the scan and the |types|-row rollup
     "q_tier_migration",   # 1-row max-week scalar broadcast onto the
                           # (user, week) tier table
+    "q_ab_cuped",         # 1-row date-span + 1-row global-moments
+                          # scalars broadcast onto the stream / 2-row
+                          # arm table
 }
 
 

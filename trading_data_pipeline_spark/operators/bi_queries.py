@@ -1103,3 +1103,175 @@ def audience_overlap(events: DataFrame) -> DataFrame:
 )
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------ CUPED A/B
+
+CUPED_SCALE = 10**6
+
+
+def ab_test_cuped(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    standard public formulation): the experiment metric Y (any purchase
+    in the POST period, arms = ``user_id % 2``) is adjusted by the
+    pre-period covariate X (the user's PRE-period event count):
+    Y' = Y − θ(X − X̄) with θ = cov(X, Y)/var(X) fitted on ALL users —
+    pre-period behaviour can't be caused by the treatment, so the
+    adjustment removes its variance without biasing the contrast.
+
+    The calendar midpoint splits pre/post (data-derived, clock-free).
+    EXACTNESS: everything reduces to per-arm INTEGER sums (n, ΣX, ΣX²,
+    ΣY, ΣXY — X is a count, Y is 0/1), and θ, the adjusted means, and
+    the adjusted variances expand to CLOSED FORMS over those sums —
+    Σ_arm Y' = ΣY − θ(ΣX − n·X̄) and
+    Σ_arm Y'² = ΣY² − 2θ(ΣXY − X̄ΣY) + θ²(ΣX² − 2X̄ΣX + nX̄²) — so no
+    per-user float is ever accumulated; one fixed double chain per arm.
+    Output: per arm, raw vs adjusted conversion and the variance ratio
+    (var'/var — the sample-size multiplier CUPED buys back).
+    """
+    span = events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    base = events.crossJoin(F.broadcast(span)).withColumn(
+        "mid", F.date_add("d0", (F.datediff("d1", "d0") / 2).cast("int"))
+    )
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("ts").cast("date") <= F.col("mid")).cast("long")
+            ).alias("x"),
+            F.max(
+                (
+                    (F.col("ts").cast("date") > F.col("mid"))
+                    & (F.col("event_type") == CONVERSION_EVENT)
+                ).cast("long")
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum(F.col("x") * F.col("x")).alias("sxxa"),
+        F.sum("y").alias("sya"),
+        F.sum(F.col("x") * F.col("y")).alias("sxya"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    n, sx, sxx, sy, sxy = (F.col(c).cast("double") for c in ("n", "sx", "sxx", "sy", "sxy"))
+    na, sxa, sxxa, sya, sxya = (
+        F.col(c).cast("double") for c in ("na", "sxa", "sxxa", "sya", "sxya")
+    )
+    xbar = sx / n
+    var_x = n * sxx - sx * sx
+    theta = F.when(var_x > 0, (n * sxy - sx * sy) / var_x).otherwise(
+        F.lit(0.0)
+    )
+    adj_sum = sya - theta * (sxa - na * xbar)
+    # Y is 0/1 so ΣY² = ΣY
+    adj_sq = (
+        sya
+        - 2 * theta * (sxya - xbar * sya)
+        + theta * theta * (sxxa - 2 * xbar * sxa + na * xbar * xbar)
+    )
+    raw_rate = sya / na
+    adj_rate = adj_sum / na
+    var_raw = raw_rate * (1 - raw_rate)
+    var_adj = adj_sq / na - adj_rate * adj_rate
+    return j.select(
+        "arm",
+        F.col("na").alias("n_users"),
+        F.col("sya").alias("n_conv"),
+        _q(theta, CUPED_SCALE).alias("theta"),
+        _q(raw_rate, CUPED_SCALE).alias("rate_raw"),
+        _q(adj_rate, CUPED_SCALE).alias("rate_cuped"),
+        _q(
+            F.when(var_raw > 0, var_adj / var_raw), CUPED_SCALE
+        ).alias("variance_ratio"),
+    ).orderBy("arm")
+
+
+@register(
+    "q_ab_cuped",
+    f"""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), base AS (
+      SELECT e.*, s.d0 + CAST(date_diff('day', s.d0, s.d1) / 2 AS INT)
+               AS mid
+      FROM events e CROSS JOIN span s
+    ), per_user AS (
+      SELECT CAST(user_id % 2 AS INT) AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= mid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(max(CASE WHEN CAST(ts AS DATE) > mid
+                           AND event_type = '{CONVERSION_EVENT}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM base GROUP BY user_id
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS na,
+             CAST(sum(x) AS BIGINT) AS sxa,
+             CAST(sum(x * x) AS BIGINT) AS sxxa,
+             CAST(sum(y) AS BIGINT) AS sya,
+             CAST(sum(x * y) AS BIGINT) AS sxya
+      FROM per_user GROUP BY arm
+    ), j AS (
+      SELECT a.*, g.n::DOUBLE AS n, g.sx::DOUBLE AS sx,
+             g.sxx::DOUBLE AS sxx, g.sy::DOUBLE AS sy,
+             g.sxy::DOUBLE AS sxy
+      FROM arms a CROSS JOIN g
+    ), c AS (
+      SELECT *,
+             sx / n AS xbar,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE 0.0 END AS theta
+      FROM j
+    ), r AS (
+      SELECT arm, na, sya, theta,
+             sya::DOUBLE / na AS raw_rate,
+             (sya::DOUBLE - theta * (sxa::DOUBLE - na::DOUBLE * xbar))
+               / na AS adj_rate,
+             (sya::DOUBLE - 2 * theta * (sxya::DOUBLE - xbar * sya::DOUBLE)
+              + theta * theta
+                * (sxxa::DOUBLE - 2 * xbar * sxa::DOUBLE
+                   + na::DOUBLE * xbar * xbar)) / na AS adj_sq
+      FROM c
+    )
+    SELECT arm, na AS n_users, sya AS n_conv,
+           floor(theta * {CUPED_SCALE} + 0.5) / {CUPED_SCALE} AS theta,
+           floor(raw_rate * {CUPED_SCALE} + 0.5) / {CUPED_SCALE}
+             AS rate_raw,
+           floor(adj_rate * {CUPED_SCALE} + 0.5) / {CUPED_SCALE}
+             AS rate_cuped,
+           floor(CASE WHEN raw_rate * (1 - raw_rate) > 0
+                 THEN (adj_sq - adj_rate * adj_rate)
+                      / (raw_rate * (1 - raw_rate)) END
+                 * {CUPED_SCALE} + 0.5) / {CUPED_SCALE} AS variance_ratio
+    FROM r ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B readout: post-period conversion "
+    "adjusted by the pre-period activity covariate, theta fitted on all "
+    "users — adjusted means AND variances expand to closed forms over "
+    "per-arm BIGINT sums, so no per-user float accumulation exists "
+    "anywhere; variance_ratio is the sample-size multiplier CUPED buys. "
+    "Calendar-midpoint pre/post split (data-derived, clock-free)",
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_test_cuped(load(spark, sf_dir, "events"))
