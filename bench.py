@@ -196,6 +196,7 @@ EXTRAS = [
     "q_tier_migration",
     "q_tail_dependence",
     "q_ab_cuped",
+    "q_kendall_tau",
 ]
 
 RUNS = 3

@@ -629,3 +629,62 @@ def test_ab_cuped_matches_numpy_reference(spark):
         var_adj = (adj[m] ** 2).mean() - adj[m].mean() ** 2
         if var_raw > 0:
             assert abs(out[arm].variance_ratio - var_adj / var_raw) < 2e-5
+
+
+def test_kendall_tau_perfect_inverse_and_scipy_free_reference(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.stattests_queries import (
+        kendall_tau,
+    )
+
+    rows, eid = [], 0
+
+    def close(t, day, price):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12), 1, t, float(price), "{}")
+        )
+
+    # a and b move together; c moves opposite; d has a tie day
+    series = {
+        "a": [10, 12, 11, 15, 13, 18],
+        "b": [20, 24, 22, 30, 26, 36],
+        "c": [50, 48, 49, 45, 47, 42],
+        "d": [10, 12, 12, 15, 13, 18],  # one zero move
+    }
+    for t, cs in series.items():
+        for day, c in enumerate(cs, 1):
+            close(t, day, c)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {(r.type_a, r.type_b): r for r in kendall_tau(ev).collect()}
+    assert out[("a", "b")].kendall_tau == 1.0
+    assert out[("a", "c")].kendall_tau == -1.0
+    # python reference for the tied pair (a, d)
+    def moves(cs):
+        return [cs[i + 1] - cs[i] for i in range(len(cs) - 1)]
+
+    xa, xd = moves(series["a"]), moves(series["d"])
+    n = len(xa)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for k in range(i + 1, n):
+            dx, dy = xa[i] - xa[k], xd[i] - xd[k]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    want = (c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    got = out[("a", "d")]
+    assert (got.concordant, got.discordant) == (c, d)
+    assert abs(got.kendall_tau - want) < 1e-6

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.quantize import q as _q
 from ..plans.global_rank import global_cumsum
 from ..registry import load, register
+from .microstructure_queries import _BARS_SQL
 
 CHI2_SCALE = 10**9
 RHO_SCALE = 10**8
@@ -354,3 +355,118 @@ def variance_ratio(events: DataFrame) -> DataFrame:
 )
 def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return variance_ratio(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- Kendall tau-b
+
+KT_SCALE = 10**6
+
+
+def kendall_tau(events: DataFrame) -> DataFrame:
+    """Kendall τ-b between every pair of types' daily cent moves — the
+    third member of the dependence trio (q_corr_matrix is Pearson,
+    q_spearman is rank-linear; Kendall counts CONCORDANT day pairs, so
+    one wild outlier shifts it by at most 1/(n choose 2)).
+
+    τ-b = (C − D) / √((n₀ − t_x)(n₀ − t_y)) with n₀ = n(n−1)/2 and
+    tie corrections t = Σ tᵢ(tᵢ−1)/2 per side — every term an exact
+    BIGINT from sign comparisons, ONE final sqrt+division. The pairwise
+    join is over DAYS (calendar-bounded, the q_theil_sen cost argument:
+    n(n−1)/2 day pairs per type pair regardless of event volume), after
+    the moves reduce to the (type, day) bar table.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    from .microstructure_queries import daily_bars
+
+    mv = daily_bars(events).filter(F.col("dc").isNotNull()).select(
+        "event_type", "day", "dc"
+    )
+    a = mv.select(
+        F.col("event_type").alias("type_a"), "day", F.col("dc").alias("xa")
+    )
+    b = mv.select(
+        F.col("event_type").alias("type_b"), "day", F.col("dc").alias("xb")
+    )
+    both = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    p1 = both.select(
+        "type_a", "type_b", F.col("day").alias("d1"),
+        F.col("xa").alias("xa1"), F.col("xb").alias("xb1"),
+    )
+    p2 = both.select(
+        "type_a", "type_b", F.col("day").alias("d2"),
+        F.col("xa").alias("xa2"), F.col("xb").alias("xb2"),
+    )
+    pairs = p1.join(p2, ["type_a", "type_b"]).filter(F.col("d1") < F.col("d2"))
+    dx = F.col("xa1") - F.col("xa2")
+    dy = F.col("xb1") - F.col("xb2")
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("long")).alias("c"),
+        F.sum(((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("long")).alias("d"),
+        F.sum((dx == 0).cast("long")).alias("tx"),
+        F.sum((dy == 0).cast("long")).alias("ty"),
+    )
+    den = (F.col("n0") - F.col("tx")).cast("double") * (
+        F.col("n0") - F.col("ty")
+    ).cast("double")
+    tau = F.when(
+        den > 0,
+        (F.col("c") - F.col("d")).cast("double") / F.sqrt(den),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n0").alias("n_day_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        _q(tau, KT_SCALE).alias("kendall_tau"),
+    )
+
+
+@register(
+    "q_kendall_tau",
+    """
+    WITH {bars}, mv AS (
+      SELECT event_type, day, dc FROM moves WHERE dc IS NOT NULL
+    ), j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.day, a.dc AS xa, b.dc AS xb
+      FROM mv a JOIN mv b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ), pairs AS (
+      SELECT p1.type_a, p1.type_b,
+             p1.xa - p2.xa AS dx, p1.xb - p2.xb AS dy
+      FROM j p1 JOIN j p2
+        ON p1.type_a = p2.type_a AND p1.type_b = p2.type_b
+       AND p1.day < p2.day
+    ), agg AS (
+      SELECT type_a, type_b,
+             CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN (dx > 0 AND dy > 0)
+                             OR (dx < 0 AND dy < 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN (dx > 0 AND dy < 0)
+                             OR (dx < 0 AND dy > 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n0 AS n_day_pairs,
+           c AS concordant, d AS discordant,
+           floor(CASE WHEN (n0 - tx) * (n0 - ty) > 0
+                 THEN (c - d) * 1.0
+                      / sqrt(CAST(n0 - tx AS DOUBLE)
+                             * CAST(n0 - ty AS DOUBLE)) END
+                 * {sc} + 0.5) / {sc} AS kendall_tau
+    FROM agg
+    """.format(bars=_BARS_SQL, sc=KT_SCALE),
+    doc="Kendall τ-b between type pairs' daily moves (the outlier-robust "
+    "member of the Pearson/Spearman/Kendall trio): exact BIGINT "
+    "concordant/discordant/tie counts over CALENDAR-bounded day pairs "
+    "(the q_theil_sen cost class — n(n−1)/2 regardless of event "
+    "volume), one sqrt+division per type pair",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kendall_tau(load(spark, sf_dir, "events"))
