@@ -197,6 +197,7 @@ EXTRAS = [
     "q_tail_dependence",
     "q_ab_cuped",
     "q_kendall_tau",
+    "q_interarrival",
 ]
 
 RUNS = 3

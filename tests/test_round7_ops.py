@@ -688,3 +688,34 @@ def test_kendall_tau_perfect_inverse_and_scipy_free_reference(spark):
     got = out[("a", "d")]
     assert (got.concordant, got.discordant) == (c, d)
     assert abs(got.kendall_tau - want) < 1e-6
+
+
+def test_interarrival_exact_order_statistics(spark):
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        interarrival_profile,
+    )
+
+    # 11 events -> 10 gaps of 1..10 seconds (shuffled arrival order is
+    # irrelevant: gaps are defined on the sorted stream)
+    t = dt.datetime(2024, 1, 1, 9, 0, 0)
+    times, acc = [t], 0
+    for g in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]:
+        acc += g
+        times.append(t + dt.timedelta(seconds=acc))
+    rows = [
+        (i, ts, 1, "x", 1.0, "{}") for i, ts in enumerate(times, 1)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = interarrival_profile(ev).collect()[0]
+    gaps = sorted([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])
+    # k = ceil(p*n/100): p50 -> 5th, p90 -> 9th, p99 -> 10th of n=10
+    assert r.n_gaps == 10
+    assert r.p50_gap_us == gaps[4] * 1_000_000
+    assert r.p90_gap_us == gaps[8] * 1_000_000
+    assert r.p99_gap_us == gaps[9] * 1_000_000

@@ -781,3 +781,83 @@ def round_lot_bias(events: DataFrame) -> DataFrame:
 )
 def q_round_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_lot_bias(load(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------- inter-arrival profile
+
+IA_PCTS = (50, 90, 99)  # integer percentiles — exact order statistics
+
+
+def interarrival_profile(events: DataFrame) -> DataFrame:
+    """Trade-intensity profile per type: exact p50/p90/p99 of the
+    inter-event arrival gap (microseconds, integer) — the arrival-clock
+    summary behind capacity planning and burst detection (Fano-factor
+    burstiness q_burstiness says HOW clustered; this says how FAST).
+    Gaps are exact integer µs via lag; each percentile is the EXACT
+    ⌈p·n/100⌉-th order statistic (rank over one per-type exchange —
+    no interpolation ambiguity across engines).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select("event_type", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "ts", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_gaps")]
+    for p in IA_PCTS:
+        k = F.floor((F.lit(p) * F.col("n") + 99) / F.lit(100.0)).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("r") == k, F.col("gap_us"))).alias(
+                f"p{p}_gap_us"
+            )
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+@register(
+    "q_interarrival",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, ts, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN r = CAST(floor((50 * n + 99) / 100.0)
+                                     AS BIGINT)
+                    THEN gap_us END) AS BIGINT) AS p50_gap_us,
+           CAST(min(CASE WHEN r = CAST(floor((90 * n + 99) / 100.0)
+                                     AS BIGINT)
+                    THEN gap_us END) AS BIGINT) AS p90_gap_us,
+           CAST(min(CASE WHEN r = CAST(floor((99 * n + 99) / 100.0)
+                                     AS BIGINT)
+                    THEN gap_us END) AS BIGINT) AS p99_gap_us
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Inter-arrival profile per type: exact p50/p90/p99 of the "
+    "integer-microsecond event gap as ⌈p·n/100⌉-th order statistics "
+    "(no interpolation ambiguity) — the arrival-clock summary behind "
+    "capacity planning, next to q_burstiness's clustering measure. One "
+    "per-type exchange",
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interarrival_profile(load(spark, sf_dir, "events"))
