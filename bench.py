@@ -198,6 +198,8 @@ EXTRAS = [
     "q_ab_cuped",
     "q_kendall_tau",
     "q_interarrival",
+    "q_markout",
+    "q_return_split",
 ]
 
 RUNS = 3

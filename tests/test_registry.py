@@ -187,7 +187,7 @@ def test_round9_window_proposal_is_sound():
         "q_centroid_similarity", "q_audience_overlap", "q_round_lots",
         "q_freshness", "q_volume_profile", "q_moments", "q_gap_risk",
         "q_tier_migration", "q_tail_dependence", "q_ab_cuped",
-        "q_kendall_tau", "q_interarrival",
+        "q_kendall_tau", "q_interarrival", "q_markout", "q_return_split",
     }
     missing = new_ops - set(_PRIORITY_ROUND9)
     assert not missing, f"round-7 additions missing from round-9 window: {sorted(missing)}"

@@ -719,3 +719,56 @@ def test_interarrival_exact_order_statistics(spark):
     assert r.p50_gap_us == gaps[4] * 1_000_000
     assert r.p90_gap_us == gaps[8] * 1_000_000
     assert r.p99_gap_us == gaps[9] * 1_000_000
+
+
+def test_markout_trending_tape_is_positive(spark):
+    """On a strictly up-trending tape every tick sign is +1 and every
+    forward move is positive -> markouts equal the exact mean forward
+    move; horizons beyond the tape are dropped."""
+    import datetime as dt
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        markouts,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 9, 0, i), 1, "x", 10.0 + i, "{}")
+        for i in range(1, 11)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.horizon: r for r in markouts(ev, horizons=(1, 3)).collect()}
+    # signs exist from trade 2 (9 classified); h=1 has 8 moves of +100,
+    # h=3 has 6 moves of +300
+    assert out[1].n_trades == 8 and out[1].mean_markout == 1.0
+    assert out[3].n_trades == 6 and out[3].mean_markout == 3.0
+
+
+def test_return_split_identity_with_close_to_close(spark, sf_dir):
+    """overnight + intraday must equal the close-to-close total move per
+    type (exact integer identity on the real table)."""
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        daily_bars,
+    )
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        return_split,
+    )
+    from trading_data_pipeline_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    split = {
+        r.event_type: r.overnight_cents + r.intraday_cents
+        for r in return_split(ev).collect()
+    }
+    cc = {
+        r["event_type"]: r["s"]
+        for r in daily_bars(ev)
+        .filter(F.col("dc").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("dc").alias("s"))
+        .collect()
+    }
+    assert split == cc and split

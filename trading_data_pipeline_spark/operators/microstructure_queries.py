@@ -861,3 +861,104 @@ def interarrival_profile(events: DataFrame) -> DataFrame:
 )
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_profile(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------ markouts
+
+MARKOUT_HORIZONS = (1, 5, 20)  # events ahead
+
+
+def markouts(
+    events: DataFrame, horizons: tuple[int, ...] = MARKOUT_HORIZONS
+) -> DataFrame:
+    """Post-trade markouts per type: the mean SIGNED price move h events
+    after a trade, signed by the trade's tick direction — positive
+    markouts mean the market keeps moving the trade's way (informed
+    flow / adverse selection against whoever filled it); the execution-
+    quality metric desks monitor per venue. Same carried tick sign as
+    q_vpin; moves are integer cent leads via ONE per-type ordered
+    window pass with the horizon stack melted over it (the
+    q_event_study shape); means are integer sums divided once.
+    """
+    from pyspark.sql import Window
+
+    cents = _cents()
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    dc = F.col("c") - F.lag("c").over(w)
+    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
+    base = (
+        events.select("event_type", "ts", "event_id", cents.alias("c"))
+        .withColumn("_s0", s0)
+        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
+    )
+    cols = [
+        (F.col("s") * (F.lead("c", h).over(w) - F.col("c"))).alias(f"m{h}")
+        for h in horizons
+    ]
+    m = base.select("event_type", "s", *cols).filter(F.col("s").isNotNull())
+    stack_args = ", ".join(f"{h}, m{h}" for h in horizons)
+    melted = m.select(
+        "event_type",
+        F.expr(f"stack({len(horizons)}, {stack_args}) AS (horizon, mv)"),
+    ).filter(F.col("mv").isNotNull())
+    return (
+        melted.groupBy("event_type", "horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum("mv").alias("_s"),
+        )
+        .select(
+            "event_type",
+            F.col("horizon").cast("int").alias("horizon"),
+            "n_trades",
+            _q(F.col("_s") / (F.col("n_trades") * 100.0), 10000).alias(
+                "mean_markout"
+            ),
+        )
+    )
+
+
+@register(
+    "q_markout",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id, {_CENTS} AS c FROM events
+    ), d AS (
+      SELECT *, CASE WHEN c - lag(c) OVER w > 0 THEN 1
+                     WHEN c - lag(c) OVER w < 0 THEN -1 END AS s0
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_type, ts, event_id, c,
+             last_value(s0 IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d
+    ), m AS (
+      SELECT event_type, s,
+             s * (lead(c, 1) OVER w - c) AS m1,
+             s * (lead(c, 5) OVER w - c) AS m5,
+             s * (lead(c, 20) OVER w - c) AS m20
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), stacked AS (
+      SELECT event_type, 1 AS horizon, m1 AS mv FROM m WHERE s IS NOT NULL
+      UNION ALL
+      SELECT event_type, 5, m5 FROM m WHERE s IS NOT NULL
+      UNION ALL
+      SELECT event_type, 20, m20 FROM m WHERE s IS NOT NULL
+    )
+    SELECT event_type, CAST(horizon AS INT) AS horizon,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           floor(CAST(sum(mv) AS BIGINT) / (count(*) * 100.0)
+                 * 10000 + 0.5) / 10000 AS mean_markout
+    FROM stacked WHERE mv IS NOT NULL
+    GROUP BY event_type, horizon
+    """,
+    doc="Post-trade markouts per type at 1/5/20-event horizons: mean "
+    "signed move AFTER a trade in its tick direction — the adverse-"
+    "selection / execution-quality metric. Carried tick sign, integer "
+    "cent leads, horizons stacked over ONE per-type ordered exchange, "
+    "integer-sum means",
+)
+def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markouts(load(spark, sf_dir, "events"))

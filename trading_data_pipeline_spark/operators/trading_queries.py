@@ -786,3 +786,85 @@ def volume_profile(events: DataFrame, bucket_c: int = VP_BUCKET_C) -> DataFrame:
 )
 def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_profile(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- return split
+
+def return_split(events: DataFrame) -> DataFrame:
+    """Overnight/intraday return decomposition per type: the daily
+    close-to-close move splits exactly into the OVERNIGHT leg (open −
+    prev close — earned while you cannot trade) and the INTRADAY leg
+    (close − open); the classic finding is that drift concentrates
+    overnight while intraday mean-reverts. All legs are exact integer
+    cents summed per type (the identity overnight + intraday =
+    close-to-close is asserted in tests); means are one division each.
+    """
+    from pyspark.sql import Window
+
+    from .indicators2_queries import ohlc_bars
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    bars = (
+        ohlc_bars(events)
+        .select("event_type", "day", "o_c", "c_c")
+        .withColumn("prev_c", F.lag("c_c").over(w))
+        .filter(F.col("prev_c").isNotNull())
+    )
+    on_c = F.col("o_c") - F.col("prev_c")
+    in_c = F.col("c_c") - F.col("o_c")
+    return bars.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(on_c).alias("overnight_cents"),
+        F.sum(in_c).alias("intraday_cents"),
+        _q(F.sum(on_c) / (F.count(F.lit(1)) * 100.0), 10000).alias(
+            "mean_overnight"
+        ),
+        _q(F.sum(in_c) / (F.count(F.lit(1)) * 100.0), 10000).alias(
+            "mean_intraday"
+        ),
+    )
+
+
+@register(
+    "q_return_split",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             {{cents}} AS cents
+      FROM events
+    ), w AS (
+      SELECT *,
+             first_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id) AS o,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(o) AS o_c, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), legs AS (
+      SELECT event_type,
+             o_c - lag(c_c) OVER pw AS onc,
+             c_c - o_c AS inc_
+      FROM bars
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(onc) AS BIGINT) AS overnight_cents,
+           CAST(sum(inc_) AS BIGINT) AS intraday_cents,
+           floor(CAST(sum(onc) AS BIGINT) / (count(*) * 100.0)
+                 * 10000 + 0.5) / 10000 AS mean_overnight,
+           floor(CAST(sum(inc_) AS BIGINT) / (count(*) * 100.0)
+                 * 10000 + 0.5) / 10000 AS mean_intraday
+    FROM legs WHERE onc IS NOT NULL GROUP BY event_type
+    """.format(cents="CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+    doc="Overnight/intraday return decomposition per type: the daily "
+    "close-to-close move split exactly into the untradeable overnight "
+    "leg and the intraday leg (integer-cent identity, asserted in "
+    "tests) — where the drift actually lives. One bar exchange, "
+    "integer sums, one division per mean",
+)
+def q_return_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return return_split(load(spark, sf_dir, "events"))

@@ -228,9 +228,9 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
 # ROUND-9 WINDOW (apply at the start of round 9 — do NOT apply earlier).
 # Validated NOW by tests/test_registry.py (names exist, exactly 50,
 # canaries first, no duplicates, no overlap with the round-8 window).
-# Composition: canaries; the 30 round-7 session additions (E141–E171)
+# Composition: canaries; the 32 round-7 session additions (E141–E173)
 # plus q_hard_negatives (its registered plan changed to the IVF routing
-# this round); then 17 re-verification slots for the
+# this round); then 15 re-verification slots for the
 # relational/io/meta basics whose newest green rows date to r1–r3.
 # At round-9 open, set ``_PRIORITY = _PRIORITY_ROUND9``.
 _PRIORITY_ROUND9: tuple[str, ...] = (
@@ -244,13 +244,14 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
     "q_audience_overlap", "q_round_lots", "q_freshness",
     "q_volume_profile", "q_moments", "q_gap_risk", "q_tier_migration",
     "q_tail_dependence", "q_ab_cuped", "q_kendall_tau", "q_interarrival",
+    "q_markout", "q_return_split",
     # re-verify: registered plan changed in round 7 (IVF routing)
     "q_hard_negatives",
     # re-verification: relational/io/meta basics (newest green rows r1-r3)
     "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
     "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
     "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
-    "q_anti_join", "q_distinct_count", "q_rollup", "q_cube", "q_pivot",
+    "q_anti_join", "q_distinct_count", "q_rollup",
 )
 
 
