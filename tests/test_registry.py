@@ -85,25 +85,25 @@ def test_operator_index_is_current():
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
 
 
-def test_round7_window_is_applied_and_sound():
-    """Round 7 is LIVE: _PRIORITY must be the staged round-7 list —
+def test_round8_window_is_applied_and_sound():
+    """Round 8 is LIVE: _PRIORITY must be the staged round-8 list —
     every name registered, exactly 50, canaries first, no duplicates, and
-    no wasted slot on a query the round-6 window already covered."""
+    no wasted slot on a query the round-7 window already covered."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY,
-        _PRIORITY_ROUND6,
         _PRIORITY_ROUND7,
+        _PRIORITY_ROUND8,
     )
 
-    assert _PRIORITY is _PRIORITY_ROUND7, "round-7 window not applied"
+    assert _PRIORITY is _PRIORITY_ROUND8, "round-8 window not applied"
     qs = all_queries()
-    unknown = [n for n in _PRIORITY_ROUND7 if n not in qs]
-    assert not unknown, f"round-7 window names not registered: {unknown}"
-    assert len(_PRIORITY_ROUND7) == 50, len(_PRIORITY_ROUND7)
-    assert len(set(_PRIORITY_ROUND7)) == 50, "duplicate names"
-    assert _PRIORITY_ROUND7[:2] == ("q_report1", "q_dedup_near")
-    overlap = set(_PRIORITY_ROUND7[2:]) & set(_PRIORITY_ROUND6)
-    assert not overlap, f"slots wasted on round-6-covered queries: {sorted(overlap)}"
+    unknown = [n for n in _PRIORITY_ROUND8 if n not in qs]
+    assert not unknown, f"round-8 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND8) == 50, len(_PRIORITY_ROUND8)
+    assert len(set(_PRIORITY_ROUND8)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND8[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND8[2:]) & set(_PRIORITY_ROUND7)
+    assert not overlap, f"slots wasted on round-7-covered queries: {sorted(overlap)}"
 
 
 def test_no_oracle_column_is_duckdb_hugeint():
@@ -136,27 +136,6 @@ def test_no_oracle_column_is_duckdb_hugeint():
             offenders[name] = bad
     assert not offenders, f"driver-hash-hostile oracle column types: {offenders}"
 
-
-
-def test_round8_window_proposal_is_sound():
-    """_PRIORITY_ROUND8 is the round-8 staged driver window — validated
-    now so renames can't silently break the rotation: every name
-    registered, exactly 50, canaries first, no duplicates, no overlap
-    with the round-7 window, and it must contain every round-6 late
-    registration that round 7's window could not absorb."""
-    from trading_data_pipeline_spark.registry import (
-        _PRIORITY_ROUND7,
-        _PRIORITY_ROUND8,
-    )
-
-    qs = all_queries()
-    unknown = [n for n in _PRIORITY_ROUND8 if n not in qs]
-    assert not unknown, f"round-8 window names not registered: {unknown}"
-    assert len(_PRIORITY_ROUND8) == 50, len(_PRIORITY_ROUND8)
-    assert len(set(_PRIORITY_ROUND8)) == 50, "duplicate names"
-    assert _PRIORITY_ROUND8[:2] == ("q_report1", "q_dedup_near")
-    overlap = set(_PRIORITY_ROUND8[2:]) & set(_PRIORITY_ROUND7)
-    assert not overlap, f"slots wasted on round-7-covered queries: {sorted(overlap)}"
 
 
 def test_round9_window_proposal_is_sound():

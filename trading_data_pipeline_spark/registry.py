@@ -255,9 +255,9 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
 )
 
 
-# ACTIVE round-7 driver window (applied at round-7 open per the staged
-# plan above; the round-6 list is kept for the no-wasted-slot check).
-_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND7
+# ACTIVE round-8 driver window (applied at round-8 open per the staged
+# plan above; the round-7 list is kept for the no-wasted-slot check).
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND8
 
 
 def all_queries() -> dict[str, QuerySpec]:
