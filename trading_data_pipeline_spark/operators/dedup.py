@@ -547,7 +547,13 @@ def containment_pairs(
     # former localCheckpoint, whose lineage-free blocks die with their
     # executor — keeps the (shallow: scan + project) lineage, so a lost
     # block recomputes instead of failing the query. Payload is
-    # |docs| × ~|shingles| int64s, memory-and-disk.
+    # |docs| × ~|shingles| int64s, memory-and-disk. INTENTIONALLY not
+    # unpersisted here: the return value is lazy, so the blocks must
+    # outlive this function; they are evicted LRU under memory pressure
+    # (storage level MEMORY_AND_DISK is advisory, not pinned). Callers
+    # running many containment passes in one session should
+    # ``df.unpersist()`` the result's lineage root or
+    # ``spark.catalog.clearCache()`` between passes.
     sh = sh.persist()
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
     posting = (

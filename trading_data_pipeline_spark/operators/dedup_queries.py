@@ -301,8 +301,9 @@ def band_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     "q_dedup_delta",
     None,  # banding is probabilistic → rows-only; equivalence + golden tests
     doc="Incremental near-dup: the NEW batch (doc_id % 10 == 0) probed "
-    "against the EXISTING corpus's persisted MinHash band index "
-    "(build-once via localCheckpoint, probe-many) — work scales with "
+    "against the EXISTING corpus's MinHash band index (build-once to "
+    "parquet, probe-many; survives executor loss and cache "
+    "invalidation, recovery-tested) — work scales with "
     "|delta| x collision-rate, never |corpus|. Same banding scheme as "
     "q_dedup_near (shared band_buckets), so the incremental path finds "
     "exactly the batch self-join's (delta, corpus) pairs "
@@ -378,7 +379,11 @@ def entity_canonical(part: DataFrame, max_edits: int = FUZZY_MAX_EDITS) -> DataF
         .groupBy("blk", F.col("na").alias("name"))
         .agg(F.min("minb").alias("_canon"), F.sum("cntb").alias("_total"))
     )
-    return keyed.join(F.broadcast(matched), ["blk", "name"]).select(
+    # No broadcast hint: |matched| = distinct (brand, name) groups —
+    # small when names repeat, corpus-sized on a near-unique-name
+    # corpus (the acknowledged worst case), where a forced broadcast
+    # would OOM the driver. AQE picks broadcast when it actually fits.
+    return keyed.join(matched, ["blk", "name"]).select(
         "key",
         F.col("_canon").alias("canonical"),
         (F.col("_total") - 1).alias("n_matches"),

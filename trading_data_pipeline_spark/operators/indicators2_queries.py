@@ -313,9 +313,10 @@ def dollar_bars(
     cum = within.join(offsets, ["event_type", "day"]).withColumn(
         "gcum", F.col("off") + F.col("dcum")
     )
-    bar = F.floor(
-        (F.col("gcum") - F.col("dollars")) / F.lit(float(threshold))
-    ).cast("long")
+    # Integer floor-division: exact at any cumulative magnitude (the
+    # double path can misplace boundary trades past 2^53 cents), and
+    # bit-identical to the streaming job's ``gcum // threshold``.
+    bar = F.expr(f"CAST((gcum - dollars) DIV {int(threshold)} AS BIGINT)")
     wbar = Window.partitionBy("event_type", "bar_id").orderBy(
         "ts", "event_id"
     )
@@ -366,18 +367,18 @@ def dollar_bars(
       FROM e
     ), b AS (
       SELECT *,
-             CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0) AS BIGINT)
+             CAST((gcum - dollars) // {DB_THRESHOLD} AS BIGINT)
                AS bar_id,
              first_value(cents) OVER wb AS o,
              last_value(cents) OVER
                (PARTITION BY event_type,
-                  CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0) AS BIGINT)
+                  CAST((gcum - dollars) // {DB_THRESHOLD} AS BIGINT)
                 ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS c
       FROM g
       WINDOW wb AS (PARTITION BY event_type,
-                      CAST(floor((gcum - dollars) / {DB_THRESHOLD}.0)
+                      CAST((gcum - dollars) // {DB_THRESHOLD}
                            AS BIGINT)
                     ORDER BY ts, event_id)
     )

@@ -484,6 +484,114 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(load(spark, sf_dir, "events"))
 
 
+# ------------------------------------------- scalable tick-sign helper
+
+
+def _tick_signed(
+    events: DataFrame, extra: dict[str, F.Column] | None = None
+) -> DataFrame:
+    """Carried tick-rule trade sign over the full event stream, WITHOUT
+    a per-type window over raw events: the global
+    ``last_value(sign(Δc) IGNORE NULLS)`` decomposes as (1) within-
+    (event_type, day) lag/last_value windows — state bounded by one
+    day's events, parallel across (type, day) — plus (2) a calendar-
+    sized per-(type, day) boundary table carrying each day's close and
+    most-recent sign evidence, per-type windowed over DAYS (thousands
+    of rows, not the fact table) and joined back (the q_dollar_bars
+    two-pass shape, indicators2_queries.py).
+
+    A day's first row takes its Δc against the previous present day's
+    close (``_cross_s0``); a row with no nonzero change yet this day
+    falls back to the sign carried in from prior days
+    (``_carried_in`` = last evidence among strictly earlier days).
+    Bit-identical to the single-window formulation — the oracles and
+    hand fixtures of every caller pin it.
+
+    Returns ``event_type, day, ts, event_id, c, s`` (+``extra``
+    columns); ``s`` is NULL for the evidence-free prefix of a type's
+    stream, which callers filter.
+    """
+    cents = _cents()
+    cols = [
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        cents.alias("c"),
+    ]
+    if extra:
+        cols += [e.alias(n) for n, e in extra.items()]
+    base = events.select(*cols)
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    dc = F.col("c") - F.lag("c").over(wday)
+    rows = base.withColumn(
+        "_s0", F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
+    ).withColumn("_rnd", F.row_number().over(wday))
+    days = rows.groupBy("event_type", "day").agg(
+        F.min_by("c", F.struct("ts", "event_id")).alias("_first_c"),
+        F.max_by("c", F.struct("ts", "event_id")).alias("_close_c"),
+        F.expr(
+            "max_by(_s0, struct(ts, event_id))"
+            " FILTER (WHERE _s0 IS NOT NULL)"
+        ).alias("_inner_sign"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    dcx = F.col("_first_c") - F.lag("_close_c").over(wd)
+    days = (
+        days.withColumn(
+            "_cross_s0", F.when(dcx > 0, F.lit(1)).when(dcx < 0, F.lit(-1))
+        )
+        .withColumn("_evidence", F.coalesce("_inner_sign", "_cross_s0"))
+        .withColumn(
+            "_carried_in",
+            F.last("_evidence", ignorenulls=True).over(
+                wd.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    joined = rows.join(
+        days.select("event_type", "day", "_cross_s0", "_carried_in"),
+        ["event_type", "day"],
+    )
+    s0_full = F.when(F.col("_rnd") == 1, F.col("_cross_s0")).otherwise(
+        F.col("_s0")
+    )
+    out = joined.withColumn("_s0f", s0_full).withColumn(
+        "s",
+        F.coalesce(
+            F.last("_s0f", ignorenulls=True).over(
+                wday.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.col("_carried_in"),
+        ),
+    )
+    return out.drop("_s0", "_rnd", "_cross_s0", "_carried_in", "_s0f")
+
+
+def _day_offset(
+    df: DataFrame, col: str, out: str, how: str = "sum"
+) -> DataFrame:
+    """Per-type running offset of a day-level quantity: aggregate
+    ``col`` per (event_type, day), window the calendar-sized day table
+    per type (strictly-preceding frame), and join the offset back.
+    Turns a within-day running sum / row rank into the global one —
+    pass 2 of the q_dollar_bars decomposition."""
+    per_day = df.groupBy("event_type", "day").agg(
+        (F.sum(col) if how == "sum" else F.count(F.lit(1))).alias("_dv")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_day.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("_dv").over(woff), F.lit(0)).alias(out),
+    )
+    return df.join(offsets, ["event_type", "day"])
+
+
 # ---------------------------------------------------------------- VPIN
 
 VPIN_V = 5000   # volume-bucket size (classified shares per bucket)
@@ -501,39 +609,34 @@ def vpin(
     toxicity of order flow rises before liquidity events.
 
     Exactness: tick signs are integer comparisons with the carried-
-    forward sign via ``last_value(... IGNORE NULLS)`` (rows before the
-    first price change carry no evidence and are excluded on both
-    engines); bucket assignment is floor(integer running volume / v);
-    buy/sell/imbalance are BIGINT sums; VPIN divides two k-frame BIGINT
-    sums once. Per-type ordered windows over raw events — the
-    q_window_lag / q_event_study shape (per-instrument parallelism; the
-    bucket table after the rollup is volume-bounded, |corpus|/v rows).
-    """
-    from pyspark.sql import Window
+    forward sign (rows before the first price change carry no evidence
+    and are excluded on both engines); bucket assignment is exact
+    integer floor-division of the running classified volume by ``v``
+    (no double rounding at any cumulative magnitude); buy/sell/
+    imbalance are BIGINT sums; VPIN divides two k-frame BIGINT sums
+    once.
 
-    cents = _cents()
+    Scale: the carried sign comes from ``_tick_signed`` and the running
+    volume from ``_day_offset`` — both the q_dollar_bars two-pass
+    decomposition (within-(type, day) windows + a calendar-sized
+    per-day offset join-back), so NO window ever sorts a type's full
+    raw stream in one task. The trailing-k window runs over the bucket
+    rollup, |flow|/v rows (an aggregate, not the raw fact).
+    """
     qty = F.coalesce(
         F.get_json_object("props", "$.k").cast("long"), F.lit(0)
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    base = events.select(
-        "event_type", "ts", "event_id", cents.alias("c"), qty.alias("q")
-    )
-    dc = F.col("c") - F.lag("c").over(w)
-    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
-    signed = (
-        base.withColumn("_s0", s0)
-        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
-        .filter(F.col("s").isNotNull())
-    )
-    wq = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    cum_before = F.coalesce(
-        F.sum("q").over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+    signed = _tick_signed(events, {"q": qty}).filter(F.col("s").isNotNull())
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    cum_in = F.coalesce(
+        F.sum("q").over(wday.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    bucketed = signed.withColumn(
-        "bucket_id", F.floor(cum_before / F.lit(float(v))).cast("long")
+    bucketed = _day_offset(
+        signed.withColumn("_cb", cum_in), "q", "_qoff"
+    ).withColumn(
+        "bucket_id",
+        F.expr(f"CAST((_qoff + _cb) DIV {int(v)} AS BIGINT)"),
     )
     buckets = bucketed.groupBy("event_type", "bucket_id").agg(
         F.count(F.lit(1)).alias("n_trades"),
@@ -582,10 +685,10 @@ def vpin(
       FROM d
     ), b AS (
       SELECT event_type, q, s,
-             CAST(floor(coalesce(sum(q) OVER
+             CAST(coalesce(sum(q) OVER
                (PARTITION BY event_type ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               / {VPIN_V}.0) AS BIGINT) AS bucket_id
+               // {VPIN_V} AS BIGINT) AS bucket_id
       FROM s WHERE s IS NOT NULL
     ), agg AS (
       SELECT event_type, bucket_id,
@@ -608,10 +711,12 @@ def vpin(
     FROM r WHERE rn >= {VPIN_K} AND sv > 0
     """,
     doc=f"VPIN order-flow toxicity: tick-rule classified volume cut into "
-    f"{VPIN_V}-share buckets, |buy−sell| imbalance averaged over the "
-    f"trailing {VPIN_K} buckets as one BIGINT-sum ratio. Carried tick "
-    "sign via IGNORE-NULLS last_value on both engines; bucket table is "
-    "volume-bounded (|flow|/V rows)",
+    f"{VPIN_V}-share buckets (exact integer DIV), |buy−sell| imbalance "
+    f"averaged over the trailing {VPIN_K} buckets as one BIGINT-sum "
+    "ratio. Carried sign and running volume via the two-pass "
+    "within-(type, day) + calendar-offset decomposition — no per-type "
+    "raw-event window; the trailing window runs over the |flow|/V "
+    "bucket rollup",
 )
 def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vpin(load(spark, sf_dir, "events"))
@@ -631,23 +736,33 @@ def flow_persistence(events: DataFrame) -> DataFrame:
     to pure BIGINT sums (s² = 1, so Σx² = n): φ = (n·Σxy − Σx·Σy) /
     sqrt((n² − Σx²ₛᵤₘ)·(n² − Σy²ₛᵤₘ)) with ONE sqrt on exact integer
     operands. Degenerate (all-same-sign) series → NULL.
-    """
-    from pyspark.sql import Window
 
-    cents = _cents()
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    dc = F.col("c") - F.lag("c").over(w)
-    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
-    signed = (
-        events.select("event_type", "ts", "event_id", cents.alias("c"))
-        .withColumn("_s0", s0)
-        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
-        .filter(F.col("s").isNotNull())
-    )
-    paired = signed.withColumn("sp", F.lag("s").over(w)).filter(
+    Scale: signs via ``_tick_signed`` (two-pass, no per-type raw-event
+    window); consecutive-row pairs split into within-(type, day) lag
+    pairs plus one calendar-sized day-boundary pair per day — the sign
+    carried INTO a day (last evidence of prior days) paired with the
+    day's first row's sign — unioned before one bounded aggregate.
+    Retained rows (s non-null) form a per-type suffix of the stream,
+    so this pair set is exactly the single-window lag-1 pair set.
+    """
+    signed = _tick_signed(events).filter(F.col("s").isNotNull())
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = signed.withColumn("sp", F.lag("s").over(wday)).filter(
         F.col("sp").isNotNull()
     )
+    # Day-boundary pairs: first signed row of a day vs the sign carried
+    # out of the previous present day, on the calendar-sized day table.
+    wd = Window.partitionBy("event_type").orderBy("day")
+    day_bounds = signed.groupBy("event_type", "day").agg(
+        F.min_by("s", F.struct("ts", "event_id")).alias("_first_s"),
+        F.max_by("s", F.struct("ts", "event_id")).alias("_last_s"),
+    )
+    boundary = (
+        day_bounds.withColumn("sp", F.lag("_last_s").over(wd))
+        .filter(F.col("sp").isNotNull())
+        .select("event_type", F.col("_first_s").alias("s"), "sp")
+    )
+    paired = within.select("event_type", "s", "sp").unionByName(boundary)
     agg = paired.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("s").alias("sy"),
@@ -703,8 +818,9 @@ def flow_persistence(events: DataFrame) -> DataFrame:
     """,
     doc="Order-flow persistence: lag-1 autocorrelation of the carried "
     "tick-rule trade sign per type — BIGINT sums only (a ±1 series "
-    "needs no power sums), one sqrt, all-same-sign series NULL. Same "
-    "per-type ordered pass as q_vpin",
+    "needs no power sums), one sqrt, all-same-sign series NULL. "
+    "Two-pass signs + within-day pairs + calendar-sized day-boundary "
+    "pairs — no per-type raw-event window",
 )
 def q_flow_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_persistence(load(spark, sf_dir, "events"))
@@ -794,31 +910,66 @@ def interarrival_profile(events: DataFrame) -> DataFrame:
     summary behind capacity planning and burst detection (Fano-factor
     burstiness q_burstiness says HOW clustered; this says how FAST).
     Gaps are exact integer µs via lag; each percentile is the EXACT
-    ⌈p·n/100⌉-th order statistic (rank over one per-type exchange —
-    no interpolation ambiguity across engines).
-    """
-    from pyspark.sql import Window
+    ⌈p·n/100⌉-th order statistic — the smallest gap value whose
+    cumulative multiplicity reaches the rank (no interpolation
+    ambiguity across engines).
 
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Scale: gaps come from within-(type, day) lags plus one calendar-
+    sized cross-day boundary gap per day (first event of a day vs the
+    previous present day's last event) — no per-type raw-event window.
+    The order statistic runs over the (type, gap_us) COUNT rollup — a
+    value-histogram cumsum bounded by distinct gap values (the
+    q_weighted_median / q_ks_test shape), never a per-type sort of the
+    raw gap multiset.
+    """
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gaps = (
-        events.select("event_type", "ts", "event_id")
-        .withColumn("gap_us", us - F.lag(us).over(w))
-        .filter(F.col("gap_us").isNotNull())
+    base = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        us.alias("us"),
     )
-    wr = Window.partitionBy("event_type").orderBy("gap_us", "ts", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = gaps.select(
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = base.withColumn(
+        "gap_us", F.col("us") - F.lag("us").over(wday)
+    ).filter(F.col("gap_us").isNotNull())
+    wd = Window.partitionBy("event_type").orderBy("day")
+    day_bounds = base.groupBy("event_type", "day").agg(
+        F.min("us").alias("_first_us"), F.max("us").alias("_last_us")
+    )
+    boundary = (
+        day_bounds.withColumn(
+            "gap_us", F.col("_first_us") - F.lag("_last_us").over(wd)
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", "gap_us")
+    )
+    gaps = within.select("event_type", "gap_us").unionByName(boundary)
+    hist = gaps.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("event_type").orderBy("gap_us")
+    ranked = hist.select(
         "event_type",
         "gap_us",
-        F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt")
+        .over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
     )
-    aggs = [F.count(F.lit(1)).alias("n_gaps")]
+    aggs = [F.sum("cnt").alias("n_gaps")]
     for p in IA_PCTS:
         k = F.floor((F.lit(p) * F.col("n") + 99) / F.lit(100.0)).cast("long")
         aggs.append(
-            F.min(F.when(F.col("r") == k, F.col("gap_us"))).alias(
+            F.min(F.when(F.col("cum") >= k, F.col("gap_us"))).alias(
                 f"p{p}_gap_us"
             )
         )
@@ -856,8 +1007,9 @@ def interarrival_profile(events: DataFrame) -> DataFrame:
     doc="Inter-arrival profile per type: exact p50/p90/p99 of the "
     "integer-microsecond event gap as ⌈p·n/100⌉-th order statistics "
     "(no interpolation ambiguity) — the arrival-clock summary behind "
-    "capacity planning, next to q_burstiness's clustering measure. One "
-    "per-type exchange",
+    "capacity planning, next to q_burstiness's clustering measure. "
+    "Within-day lags + calendar-sized boundary gaps, percentile over "
+    "the (type, gap) value histogram — no per-type raw-event window",
 )
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_profile(load(spark, sf_dir, "events"))
@@ -876,32 +1028,47 @@ def markouts(
     markouts mean the market keeps moving the trade's way (informed
     flow / adverse selection against whoever filled it); the execution-
     quality metric desks monitor per venue. Same carried tick sign as
-    q_vpin; moves are integer cent leads via ONE per-type ordered
-    window pass with the horizon stack melted over it (the
-    q_event_study shape); means are integer sums divided once.
-    """
-    from pyspark.sql import Window
+    q_vpin; moves are integer cent differences; means are integer sums
+    divided once.
 
-    cents = _cents()
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    dc = F.col("c") - F.lag("c").over(w)
-    s0 = F.when(dc > 0, F.lit(1)).when(dc < 0, F.lit(-1))
-    base = (
-        events.select("event_type", "ts", "event_id", cents.alias("c"))
-        .withColumn("_s0", s0)
-        .withColumn("s", F.last("_s0", ignorenulls=True).over(wrun))
+    Scale: the per-type lead(h) window over raw events is replaced by
+    a GLOBAL ROW INDEX (within-(type, day) row_number + calendar-sized
+    per-day count offsets — the q_dollar_bars two-pass) and one
+    shuffle equi-join on (event_type, rn + h) with the horizon stack
+    exploded on the probe side: each trade meets the trade h events
+    ahead by key, horizons beyond the stream end simply don't match
+    (= the window's NULL leads). No single task ever sorts a type's
+    full stream.
+    """
+    signed = _tick_signed(events)
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    indexed = _day_offset(
+        signed.withColumn("_rnd", F.row_number().over(wday)),
+        "_rnd",
+        "_rnoff",
+        how="count",
+    ).withColumn("rn", F.col("_rnoff") + F.col("_rnd"))
+    target = indexed.select(
+        "event_type", F.col("rn").alias("trn"), F.col("c").alias("ct")
     )
-    cols = [
-        (F.col("s") * (F.lead("c", h).over(w) - F.col("c"))).alias(f"m{h}")
-        for h in horizons
-    ]
-    m = base.select("event_type", "s", *cols).filter(F.col("s").isNotNull())
-    stack_args = ", ".join(f"{h}, m{h}" for h in horizons)
-    melted = m.select(
+    probe = (
+        indexed.filter(F.col("s").isNotNull())
+        .select(
+            "event_type",
+            "rn",
+            "s",
+            "c",
+            F.explode(
+                F.array(*[F.lit(int(h)) for h in horizons])
+            ).alias("horizon"),
+        )
+        .withColumn("trn", F.col("rn") + F.col("horizon"))
+    )
+    melted = probe.join(target, ["event_type", "trn"]).select(
         "event_type",
-        F.expr(f"stack({len(horizons)}, {stack_args}) AS (horizon, mv)"),
-    ).filter(F.col("mv").isNotNull())
+        "horizon",
+        (F.col("s") * (F.col("ct") - F.col("c"))).alias("mv"),
+    )
     return (
         melted.groupBy("event_type", "horizon")
         .agg(
@@ -956,9 +1123,9 @@ def markouts(
     """,
     doc="Post-trade markouts per type at 1/5/20-event horizons: mean "
     "signed move AFTER a trade in its tick direction — the adverse-"
-    "selection / execution-quality metric. Carried tick sign, integer "
-    "cent leads, horizons stacked over ONE per-type ordered exchange, "
-    "integer-sum means",
+    "selection / execution-quality metric. Two-pass global row index "
+    "+ horizon-exploded equi-join on (type, rn+h) instead of per-type "
+    "lead windows over raw events; integer-sum means",
 )
 def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markouts(load(spark, sf_dir, "events"))

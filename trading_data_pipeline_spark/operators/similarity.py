@@ -572,7 +572,11 @@ def hard_negatives(
     pruning replace the corpus × queries product; EXACT by construction
     (t_q bounds on the k-th best *qualifying* similarity), so the result
     and hash are identical to the brute-force form and the unchanged
-    DuckDB oracle still verifies it.
+    DuckDB oracle still verifies it. In this path the ``corpus``
+    argument is NOT rescored — the index's assigned table IS the
+    corpus, so the index must have been built over this corpus with
+    the same ``id_col`` (asserted); pass a filtered corpus through
+    ``index=None`` or rebuild the index instead.
 
     Plan (index=None, the small-corpus / oracle-twin fallback): broadcast
     the query set into a nested-loop join — each corpus partition scores
@@ -585,6 +589,13 @@ def hard_negatives(
     from ..functions.vector import dot_product, l2_norm
 
     if index is not None:
+        if index.id_col != id_col:
+            raise ValueError(
+                f"hard_negatives: index was built with id_col="
+                f"{index.id_col!r} but id_col={id_col!r} was requested; "
+                "the index path scores index.assigned, not the corpus "
+                "argument — rebuild the index over the intended corpus"
+            )
         topk = index.knn_join_exact(
             queries.select(
                 F.col(query_id_col).alias("qid"),

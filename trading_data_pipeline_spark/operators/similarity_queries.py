@@ -1250,7 +1250,11 @@ def ann_recall_curve(
     "exact brute-force cosine at n_probe = 2/4/6 of 8 cells — the "
     "quality dial of the approximate index measured on the production "
     "probe plan itself (mean 0.66->0.92 across the sweep on this "
-    "corpus). Broadcast holdout arms, corpus never shuffles",
+    "corpus). Broadcast holdout arms, corpus never shuffles. The exact "
+    "ground-truth arm is a corpus x (corpus/qmod) product BY DESIGN — "
+    "exact truth is the measurand; at scale raise qmod so the sampled "
+    "query set keeps the product linear in the corpus (the q_banding "
+    "_recall smod convention)",
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_curve(

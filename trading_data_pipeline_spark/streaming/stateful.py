@@ -538,7 +538,7 @@ def obv_stream(events: DataFrame) -> DataFrame:
             d = ts.date().toordinal()
             try:
                 q = int(json.loads(props).get("k", 0) or 0)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, AttributeError):
                 q = 0
             if cur_day == -1:
                 cur_day = d
@@ -602,7 +602,7 @@ def vwap_stream(events: DataFrame, use_tws: bool | None = None) -> DataFrame:
                 c = int(math.floor(float(val) * 100 + 0.5))
                 try:
                     q = int(json.loads(props).get("k", 0) or 0)
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, AttributeError):
                     q = 0
                 spv += c * q
                 sv += q
@@ -795,7 +795,7 @@ def dollar_bars_stream(events: DataFrame, threshold: int = 10_000_000) -> DataFr
             cents = int(math.floor(float(val) * 100 + 0.5))
             try:
                 q = int(json.loads(props).get("k", 0) or 0)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, AttributeError):
                 q = 0
             d = cents * q
             b = gcum // threshold
