@@ -25,7 +25,12 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from plan_audit import PRODUCT_JOIN_ALLOWLIST, audit_plan  # noqa: E402
+from plan_audit import (  # noqa: E402
+    LOWCARD_WINDOW_ALLOWLIST,
+    PRODUCT_JOIN_ALLOWLIST,
+    audit_plan,
+    lowcard_windows,
+)
 
 from trading_data_pipeline_spark.registry import all_queries  # noqa: E402
 
@@ -89,6 +94,49 @@ def test_allowlist_has_no_dead_entries(audit):
         or (qs[name].get("err") is None and not (qs[name]["cartesian"] or qs[name]["bnlj"]))
     )
     assert not dead, f"allowlist entries with no product join in the plan: {dead}"
+
+
+def test_no_lowcard_windows_over_raw_facts(audit):
+    """No Window may sort an un-aggregated fact scan under a bounded
+    partition key set (event_type ~5, source ~5, or empty = global):
+    that is one sort task per key value at 100× — the round-7 tick
+    quartet's scale-killer class. Fix = the q_dollar_bars two-pass
+    decomposition (within-(key, day) window + calendar-sized per-day
+    offset/boundary join-back), never an allowlist entry."""
+    offenders = {
+        k: v["lowcard_windows"]
+        for k, v in audit["queries"].items()
+        if v.get("err") is None
+        and v.get("lowcard_windows")
+        and k not in LOWCARD_WINDOW_ALLOWLIST
+    }
+    assert not offenders, (
+        f"low-cardinality-partition windows over raw fact scans: {offenders}"
+    )
+
+
+def test_lowcard_window_detector_flags_the_bad_shape(spark, sf_dir):
+    """The detector itself must keep seeing the shape it exists for: a
+    per-type raw-event window (the pre-round-8 q_vpin formulation) is
+    flagged; the fixed two-pass q_vpin is clean — live, not from the
+    artifact, so a detector regression can't hide behind a stale
+    PLANAUDIT.json."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    bad = ev.withColumn("_l", F.lag("value").over(w))
+    hits = lowcard_windows(bad._jdf.queryExecution().executedPlan().toString())
+    assert hits and hits[0]["partition_by"] == ["event_type"], hits
+
+    specs = all_queries()
+    for name in ("q_vpin", "q_markout", "q_flow_persistence", "q_interarrival"):
+        df = specs[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not lowcard_windows(plan), f"{name} regressed to a raw-event window"
 
 
 # Size-independent plans: no join whose strategy could flip between the

@@ -95,6 +95,88 @@ PRODUCT_JOIN_ALLOWLIST = {
 }
 
 
+# Columns whose cardinality is bounded and SMALL in the oracle tables
+# (estimable at audit time: events.event_type ~5, documents.source ~5,
+# events.user_id is NOT here — ~sf·1e4). A Window partitioned ONLY by
+# these over an un-aggregated fact scan sorts an entire key's rows in
+# one task — the straggler class that let the round-7 tick quartet
+# through (VERDICT r7 "What's wrong #1"); this check exists so the
+# audit sees the next one.
+LOW_CARD_COLS = {"event_type", "source", "split", "lang", "label"}
+
+# Output columns that identify a raw fact-table parquet scan (the
+# tables that grow with the corpus; dims like region/nation/date spines
+# are fine to window wholesale).
+FACT_SCAN_MARKERS = (
+    "event_id#", "l_orderkey#", "o_orderkey#", "doc_id#", "vec_id#",
+    "ps_partkey#",
+)
+
+_AGG_RE = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
+_WINDOW_RE = re.compile(r"\bWindow(?:InPandas)?\b")
+
+# Queries allowed to carry a low-cardinality-partition window over a
+# raw fact scan (each with a written justification). Empty by design —
+# the fix is always the q_dollar_bars two-pass decomposition.
+LOWCARD_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a node line in TreeNode.toString() output: the prefix is
+    3-char cells drawn from '   ', ':  ', '+- ', ':- '."""
+    m = re.match(r"^((?:   |:  |\+- |:- )*)", line)
+    return len(m.group(1)) // 3
+
+
+def lowcard_windows(plan: str) -> list[dict]:
+    """Window nodes whose partition keys are all low-cardinality columns
+    (or empty = SinglePartition) AND whose input subtree is an
+    un-aggregated fact scan — one sort task per key value at scale.
+
+    Works on the indented physical-plan string: a window's input is the
+    block of deeper-indented lines that follows it; an aggregate in that
+    block bounds the input (value histograms, daily bars, bucket
+    rollups pass), a fact scan without one does not."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        body = line.strip()
+        if not _WINDOW_RE.match(re.sub(r"^((?:   |:  |\+- |:- )*)", "", line)):
+            continue
+        # "Window [exprs], [partSpec], [orderSpec]" — an empty spec is
+        # omitted, so two-group lines are either partition-only
+        # (unordered full-frame agg) or order-only (global window);
+        # order specs always carry ASC/DESC, partition specs never do.
+        groups = re.sub(r"^\*?\(?\d*\)?\s*", "", body)
+        g = groups.rsplit("], [", 2)
+        if len(g) == 3:
+            parts_txt = g[1]
+        elif len(g) == 2:
+            parts_txt = "" if re.search(r" (?:ASC|DESC)\b", g[1]) else g[1]
+        else:
+            parts_txt = ""
+        part_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", parts_txt))
+        if part_cols and not part_cols <= LOW_CARD_COLS:
+            continue  # at least one high-cardinality key → parallel
+        depth = _tree_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _tree_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if _AGG_RE.search(sub):
+            continue  # aggregated input — bounded, not the raw fact
+        if re.search(r"TakeOrderedAndProject|WindowGroupLimit|GlobalLimit|CollectLimit", sub):
+            continue  # top-k / rank-limit pruned input — bounded
+        if not any(mk in sub for mk in FACT_SCAN_MARKERS):
+            continue  # windows a dim/spine-sized input
+        hits.append(
+            {"partition_by": sorted(part_cols), "line": body[:160]}
+        )
+    return hits
+
+
 def audit_plan(plan: str, formatted: str) -> dict:
     """Extract scale-relevant counters from a physical plan string."""
     def count(pat: str, s: str) -> int:
@@ -128,6 +210,9 @@ def audit_plan(plan: str, formatted: str) -> dict:
         # it is the per-partition-heap top-k that replaces a global sort
         "global_sort": count(r"Sort \[[^\]]*\], true", plan),
         "top_k": count(r"TakeOrderedAndProject", plan),
+        # windows over an un-aggregated fact scan partitioned only by
+        # low-cardinality keys — one sort task per key value at 100×
+        "lowcard_windows": lowcard_windows(plan),
     }
 
 
@@ -176,6 +261,10 @@ def main() -> int:
             k for k, v in ok.items()
             if (v["cartesian"] or v["bnlj"]) and k not in PRODUCT_JOIN_ALLOWLIST
         ),
+        "lowcard_window_offenders": sorted(
+            k for k, v in ok.items()
+            if v["lowcard_windows"] and k not in LOWCARD_WINDOW_ALLOWLIST
+        ),
         "max_shuffles": max(((v["shuffles"], k) for k, v in ok.items()), default=(0, ""))[::-1],
         "wall_s": round(time.time() - t_all, 1),
     }
@@ -184,6 +273,7 @@ def main() -> int:
         not summary["errors"]
         and summary["row_python_udf_total"] == 0
         and not summary["cartesian_offenders"]
+        and not summary["lowcard_window_offenders"]
     )
     if not only:  # full sweep → refresh an artifact
         # Never clobber the last CLEAN committed artifact with a failing
@@ -219,6 +309,13 @@ def write_markdown(out: dict) -> None:
         f"- **Unapproved cartesian/nested-loop joins: {len(s['cartesian_offenders'])}** "
         "(every BNLJ/CartesianProduct appears in the per-query allowlist with a "
         "bounded-side justification — see `PRODUCT_JOIN_ALLOWLIST`).",
+        f"- **Low-cardinality-partition windows over raw fact scans: "
+        f"{len(s['lowcard_window_offenders'])}** — no Window sorts an "
+        "un-aggregated fact under a bounded key set (event_type/source/…): "
+        "one sort task per key value at scale. The round-7 tick quartet "
+        "was this class; the fix is the q_dollar_bars two-pass "
+        "decomposition (within-(key, day) window + calendar-sized offset "
+        "join-back).",
         f"- Total shuffle exchanges across all {s['queries']} plans: "
         f"**{s['total_shuffles']}** (mean "
         f"{s['total_shuffles'] / max(len(qs), 1):.1f}/query).",

@@ -558,8 +558,11 @@ def mixture_sample(docs: DataFrame, target: int = MIXS_TARGET) -> DataFrame:
     floor-div agrees across engines), and the walk keeps row r iff
     ⌊r·q/n⌋ > ⌊(r−1)·q/n⌋ — exactly q picks per source (capped at n;
     a quota above n means the source needs REPETITION, reported via
-    ``quota`` > ``picked`` downstream). One exchange for the weights,
-    one per-source window for the walk.
+    ``quota`` > ``picked`` downstream). One exchange for the weights;
+    the per-source rank is the q_dollar_bars two-pass (within-
+    (source, doc_id-range bucket) row_number + per-bucket counts with
+    a running offset joined back) — never a per-source sort of the
+    whole corpus in one task (source has ~5 values).
     """
     per_src = docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("toks"),
@@ -582,9 +585,30 @@ def mixture_sample(docs: DataFrame, target: int = MIXS_TARGET) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("doc_id")
-    ranked = docs.select("doc_id", "source").withColumn(
-        "_r", F.row_number().over(w)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(doc_id DIV 4096 AS BIGINT)").alias("_bk"),
+    )
+    wbk = Window.partitionBy("source", "_bk").orderBy("doc_id")
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "source",
+            "_bk",
+            F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        )
+    )
+    ranked = (
+        base.withColumn("_rb", F.row_number().over(wbk))
+        .join(offsets, ["source", "_bk"])
+        .withColumn("_r", F.col("_off") + F.col("_rb"))
     )
     return (
         ranked.join(F.broadcast(quota), "source")

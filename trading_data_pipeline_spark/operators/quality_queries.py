@@ -461,30 +461,57 @@ def contamination_counts(
     "fixed 512-token budgets per source shard by cumulative token count "
     "over a deterministic order (doc_id) — pack_id = floor(preceding "
     "tokens / budget). One window exchange on the shard key, no RNG, no "
-    "state: every re-run assigns identical packs, and shards pack "
-    "independently so the operator scales with the shard count (the "
-    "per-shard window sorts only that shard's docs). The greedy "
-    "first-fit-by-order policy is the standard streaming-friendly "
-    "packing; bin-optimal packing would need global state for ~2% "
-    "density gain",
+    "state: every re-run assigns identical packs. The per-shard "
+    "running sum is the q_dollar_bars two-pass (within-(source, "
+    "doc_id-range bucket) window + per-bucket totals with a running "
+    "offset joined back), so no task ever sorts a whole shard — the "
+    "shard key has ~5 values and would otherwise be a 5-task sort of "
+    "the corpus. The greedy first-fit-by-order policy is the standard "
+    "streaming-friendly packing; bin-optimal packing would need "
+    "global state for ~2% density gain",
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy("source")
+    # doc_id-range buckets play the role q_dollar_bars' calendar days
+    # play for events: within-bucket windows bound task state, the
+    # per-(source, bucket) total table (|docs|/4096 rows, aggregated)
+    # carries the running offset.
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.expr("CAST(doc_id DIV 4096 AS BIGINT)").alias("_bk"),
+    )
+    wbk = (
+        Window.partitionBy("source", "_bk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    base = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    preceding = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return base.select(
+    within = base.withColumn("_cum_in", F.sum("n_tokens").over(wbk))
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "_bk")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "source",
+            "_bk",
+            F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
+        )
+    )
+    return within.join(offsets, ["source", "_bk"]).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(preceding / 512).cast("int").alias("pack_id"),
+        F.expr(
+            "CAST((_off + _cum_in - n_tokens) DIV 512 AS INT)"
+        ).alias("pack_id"),
     )
 
 

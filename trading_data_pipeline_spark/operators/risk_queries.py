@@ -143,36 +143,52 @@ def event_study(
 ) -> DataFrame:
     """Mean forward cent move h events after a big trade vs the
     unconditional baseline, per (type, horizon). All means are
-    integer-sum / single-division; the horizon stack shares ONE
-    per-type ordered exchange."""
+    integer-sum / single-division.
+
+    Scale: the per-type lead(h) window over raw events is replaced by
+    the q_markout shape — a global row index (within-(type, day)
+    row_number + calendar-sized per-day count offsets via
+    ``_day_offset``) and one shuffle equi-join on (event_type, rn + h)
+    with the horizon stack exploded on the probe side; rows past the
+    stream end simply don't match (= the window's NULL leads). No task
+    ever sorts a type's full stream.
+    """
+    from .microstructure_queries import _day_offset
+
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     qty = F.coalesce(
         F.get_json_object("props", "$.k").cast("long"), F.lit(0)
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     base = events.select(
         "event_type",
+        F.col("ts").cast("date").alias("day"),
         "ts",
         "event_id",
         cents.alias("c"),
         (qty >= big_k).cast("int").alias("big"),
     )
-    cols = [
-        (F.lead("c", h).over(w) - F.col("c")).alias(f"m{h}")
-        for h in horizons
-    ]
-    m = base.select("event_type", "big", *cols)
-    # melt the horizon columns with stack(): ONE window pass + ONE
-    # aggregation exchange (a union of per-horizon aggs would re-run
-    # the lead window once per branch)
-    stack_args = ", ".join(f"{h}, m{h}" for h in horizons)
-    melted = m.select(
+    wday = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    indexed = _day_offset(
+        base.withColumn("_rnd", F.row_number().over(wday)),
+        "_rnd",
+        "_rnoff",
+        how="count",
+    ).withColumn("rn", F.col("_rnoff") + F.col("_rnd"))
+    target = indexed.select(
+        "event_type", F.col("rn").alias("trn"), F.col("c").alias("ct")
+    )
+    probe = indexed.select(
         "event_type",
+        "rn",
         "big",
-        F.expr(
-            f"stack({len(horizons)}, {stack_args}) AS (horizon, mv)"
+        "c",
+        F.explode(F.array(*[F.lit(int(h)) for h in horizons])).alias(
+            "horizon"
         ),
-    ).filter(F.col("mv").isNotNull())
+    ).withColumn("trn", F.col("rn") + F.col("horizon"))
+    melted = probe.join(target, ["event_type", "trn"]).select(
+        "event_type", "horizon", "big", (F.col("ct") - F.col("c")).alias("mv")
+    )
     return (
         melted.groupBy("event_type", "horizon")
         .agg(

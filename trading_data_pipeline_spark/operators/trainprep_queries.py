@@ -242,28 +242,51 @@ def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Within-group quantile normalization: each value maps to its "
     "exact empirical quantile (rank-1)/(n-1) inside its event_type — "
     "the rank-based feature transform that is outlier-proof where "
-    "z-scoring (q_zscore_outliers) is not. Integer rank arithmetic "
-    "with (value, event_id) tie-break, one exchange on the group key, "
-    "no global window. Singleton groups pin qnorm=0.0 on BOTH engines "
-    "(0/0 is NULL under Spark non-ANSI but NaN under DuckDB's default "
-    "ieee_floating_point_ops — a latent cross-engine break otherwise)",
+    "z-scoring (q_zscore_outliers) is not. The per-type rank "
+    "decomposes as a (type, value) histogram cumsum (distinct-value "
+    "bounded) plus a within-(type, value) row_number by event_id "
+    "joined back — never a per-type sort of the raw stream. Singleton "
+    "groups pin qnorm=0.0 on BOTH engines (0/0 is NULL under Spark "
+    "non-ANSI but NaN under DuckDB's default ieee_floating_point_ops "
+    "— a latent cross-engine break otherwise)",
 )
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank() over (value, event_id) == cum-count of strictly smaller
+    # values + position within the tied-value group, because event_id
+    # is unique: the q_weighted_median value-histogram trick applied to
+    # ranking, so the per-type window runs over the distinct-value
+    # table and the raw stream only shuffles on (type, value).
     from pyspark.sql import Window
 
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    return events.select(
-        "event_id",
+    base = events.select("event_id", "event_type", "value")
+    hist = base.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = hist.select(
         "event_type",
-        F.rank().over(w).alias("_rk"),
-        F.count(F.lit(1)).over(wn).alias("_n"),
-    ).select(
+        "value",
+        (F.sum("_cnt").over(wv) - F.col("_cnt")).alias("_before"),
+        F.sum("_cnt").over(wn).alias("_n"),
+    )
+    wiv = Window.partitionBy("event_type", "value").orderBy("event_id")
+    ranked = base.withColumn("_rnv", F.row_number().over(wiv)).join(
+        hist, ["event_type", "value"]
+    )
+    rk = F.col("_before") + F.col("_rnv")
+    return ranked.select(
         "event_id",
         "event_type",
         F.when(F.col("_n") == 1, F.lit(0.0))
-        .otherwise(_q((F.col("_rk") - 1) / (F.col("_n") - 1), 10000))
+        .otherwise(_q((rk - 1) / (F.col("_n") - 1), 10000))
         .alias("qnorm"),
     )
 
@@ -326,16 +349,23 @@ def minmax_scale(events: DataFrame) -> DataFrame:
     one double division of exact operands quantized 1e-6; constant
     groups (max = min) pin 0.0 on both engines instead of a 0/0
     NULL-vs-NaN divergence (the q_quantile_normalize guard).
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type")
+    Scale: the per-type min/max is a partial-agged groupBy broadcast
+    back onto the stream (the q_fixed_effects shape) — NOT an
+    unordered ``min() OVER (PARTITION BY event_type)`` window, which
+    funnels each type's full raw stream through one task (~5 tasks
+    total at any scale; flagged by plan_audit's low-cardinality-window
+    check). The stream itself never sorts.
+    """
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", cents.alias("_c")
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("_c").alias("_mn"), F.max("_c").alias("_mx")
+    )
     return (
-        events.filter(F.col("value").isNotNull())
-        .select("event_id", "event_type", cents.alias("_c"))
-        .withColumn("_mn", F.min("_c").over(w))
-        .withColumn("_mx", F.max("_c").over(w))
+        base.join(F.broadcast(bounds), "event_type")
         .select(
             "event_id",
             "event_type",
