@@ -200,6 +200,13 @@ EXTRAS = [
     "q_interarrival",
     "q_markout",
     "q_return_split",
+    # round-8 additions
+    "q_ndcg",
+    "q_triple_barrier",
+    "q_mann_whitney",
+    "q_volume_concentration",
+    "q_srm_check",
+    "q_label_balance",
 ]
 
 RUNS = 3

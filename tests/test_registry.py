@@ -170,3 +170,30 @@ def test_round9_window_proposal_is_sound():
     }
     missing = new_ops - set(_PRIORITY_ROUND9)
     assert not missing, f"round-7 additions missing from round-9 window: {sorted(missing)}"
+
+
+def test_round10_window_proposal_is_sound():
+    """_PRIORITY_ROUND10 is the round-10 staged driver window — validated
+    now so renames can't silently break the rotation: every name
+    registered, exactly 50, canaries first, no duplicates, no overlap
+    with the round-9 window, and it must contain every round-8 session
+    addition (none has a driver row before round 10)."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND9,
+        _PRIORITY_ROUND10,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND10 if n not in qs]
+    assert not unknown, f"round-10 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND10) == 50, len(_PRIORITY_ROUND10)
+    assert len(set(_PRIORITY_ROUND10)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND10[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND10[2:]) & set(_PRIORITY_ROUND9)
+    assert not overlap, f"slots wasted on round-9-covered queries: {sorted(overlap)}"
+    new_ops = {
+        "q_ndcg", "q_triple_barrier", "q_mann_whitney",
+        "q_volume_concentration", "q_srm_check", "q_label_balance",
+    }
+    missing = new_ops - set(_PRIORITY_ROUND10)
+    assert not missing, f"round-8 additions missing from round-10 window: {sorted(missing)}"

@@ -1,0 +1,184 @@
+"""Hand-computed fixtures for the round-8 operator batch: triple-barrier
+labels, Mann-Whitney U, nDCG@k, volume concentration, SRM check, and
+label balance. Identical-wrong-formula bugs pass DuckDB parity (the
+round-6 kurtosis lesson), so every operator gets a worked example whose
+expected values were derived by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+
+from trading_data_pipeline_spark.operators.bi_queries import (
+    srm_check,
+    volume_concentration,
+)
+from trading_data_pipeline_spark.operators.retrieval_queries import (
+    NDCG_DISC,
+    ndcg_eval,
+)
+from trading_data_pipeline_spark.operators.stattests_queries import (
+    mann_whitney,
+)
+from trading_data_pipeline_spark.operators.trading_queries import (
+    triple_barrier,
+)
+from trading_data_pipeline_spark.operators.trainprep_queries import (
+    label_balance,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, day, type, price, qty, user)."""
+    return spark.createDataFrame(
+        [
+            (
+                eid,
+                dt.datetime(2024, 1, day, 12, 0, 0),
+                user,
+                etype,
+                float(price),
+                json.dumps({"k": qty}),
+            )
+            for eid, day, etype, price, qty, user in rows
+        ],
+        EVENT_SCHEMA,
+    )
+
+
+def test_triple_barrier_hand_computed(spark):
+    """Closes 100.00, 101.00, 97.90, 102.50, 103.00, 100.00, 100.00 —
+    every label and first-touch offset derived by hand against the
+    exact +-2%% integer barrier tests (50*fc >= 51*ec / <= 49*ec)."""
+    closes = [10000, 10100, 9790, 10250, 10300, 10000, 10000]
+    rows = [
+        (i + 1, i + 1, "x", c / 100.0, 1, 1) for i, c in enumerate(closes)
+    ]
+    out = {
+        r.day.day: r for r in triple_barrier(_ev(spark, rows), h=5).collect()
+    }
+    # entry d1 ec=10000: d3 9790 <= 9800 first -> -1 at offset 2
+    assert (out[1].label, out[1].bars_to_hit, out[1].n_future) == (-1, 2, 5)
+    # entry d2 ec=10100: d3 9790 <= 9898 -> -1 at 1
+    assert (out[2].label, out[2].bars_to_hit) == (-1, 1)
+    # entry d3 ec=9790: up barrier 50*fc >= 51*9790 -> fc >= 9985.8;
+    # d4 10250 hits -> +1 at 1
+    assert (out[3].label, out[3].bars_to_hit) == (1, 1)
+    # entry d4 ec=10250: dn <= 10045; d5 10300 no, d6 10000 -> -1 at 2
+    assert (out[4].label, out[4].bars_to_hit) == (-1, 2)
+    # entry d5 ec=10300: d6 10000 <= 10094 -> -1 at 1
+    assert (out[5].label, out[5].bars_to_hit) == (-1, 1)
+    # entry d6: only d7 10000, inside both barriers -> time barrier
+    assert (out[6].label, out[6].bars_to_hit, out[6].n_future) == (0, None, 1)
+    # entry d7 has no future bar -> dropped
+    assert 7 not in out and len(out) == 6
+    assert out[1].entry_close == 100.0
+
+
+def test_mann_whitney_hand_computed(spark):
+    """A = {1, 2, 3}, B = {2, 4}: midranks 1, 2.5, 2.5, 4, 5 ->
+    R_A = 7.5, U_A = 1.5; tie group of 2 -> tie-corrected
+    var = 0.5 * (6 - 6/20) = 2.85, z = (1.5 - 3)/sqrt(2.85)."""
+    rows = [
+        (1, 1, "a", 0.01, 1, 1),
+        (2, 1, "a", 0.02, 1, 1),
+        (3, 1, "a", 0.03, 1, 1),
+        (4, 1, "b", 0.02, 1, 1),
+        (5, 1, "b", 0.04, 1, 1),
+    ]
+    r = mann_whitney(_ev(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.type_a, row.type_b, row.n_a, row.n_b) == ("a", "b", 3, 2)
+    assert row.u_a == 1.5
+    expect_z = (1.5 - 3.0) / math.sqrt(2.85)
+    assert row.z == math.floor(expect_z * 10**6 + 0.5) / 10**6
+
+
+def test_ndcg_hand_computed(spark):
+    """One query (label 1), corpus cosines rank ids (1, 3, 5) with
+    relevance (1, 0, 1): DCG = D1 + D3, IDCG = D1 + D2 (two relevant
+    docs in corpus), with D_i the injected fixed-point discounts."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),       # query (vec_id % 2 == 0)
+            (1, [1.0, 0.0], 1),       # cos 1.0, relevant
+            (3, [0.9, 0.1], 0),       # cos ~0.994, not relevant
+            (5, [0.5, 0.5], 1),       # cos ~0.707, relevant
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = ndcg_eval(emb, qmod=2, k=10).collect()
+    assert len(r) == 1 and r[0].qid == 0 and r[0].n_rel_k == 2
+    dcg = NDCG_DISC[0] + NDCG_DISC[2]
+    idcg = NDCG_DISC[0] + NDCG_DISC[1]
+    assert r[0].ndcg == math.floor(dcg / idcg * 10**6 + 0.5) / 10**6
+    # the perfect-retrieval identity: all-relevant top-k -> ndcg 1.0
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [1.0, 0.0], 7), (3, [0.5, 0.5], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r2 = ndcg_eval(emb2, qmod=2, k=10).collect()
+    assert r2[0].ndcg == 1.0
+
+
+def test_volume_concentration_hand_computed(spark):
+    """User volumes 100, 1, 1, 1: top-1%% of 4 users -> k = 1 ->
+    threshold 100, share 100/103."""
+    rows = [
+        (1, 1, "x", 1.0, 100, 1),
+        (2, 1, "x", 1.0, 1, 2),
+        (3, 1, "x", 1.0, 1, 3),
+        (4, 1, "x", 1.0, 1, 4),
+    ]
+    r = volume_concentration(_ev(spark, rows)).collect()[0]
+    assert (r.n_users, r.n_top, r.threshold_vol) == (4, 1, 100)
+    assert (r.top_vol, r.total_vol) == (100, 103)
+    assert r.top_share == math.floor(100 / 103 * 10**6 + 0.5) / 10**6
+
+
+def test_volume_concentration_ties_all_in(spark):
+    """Ties at the cut are all included: four users at the same total
+    -> threshold equals that total and every user is 'top'."""
+    rows = [(i, 1, "x", 1.0, 7, i) for i in range(1, 5)]
+    r = volume_concentration(_ev(spark, rows)).collect()[0]
+    assert (r.n_users, r.n_top, r.top_share) == (4, 4, 1.0)
+
+
+def test_srm_check_hand_computed(spark):
+    """20 even vs 5 odd users: chi2 = 15^2/25 = 9.0 > 3.84 -> detected;
+    a balanced 3/3 split -> chi2 0, clean."""
+    rows = [(i, 1, "x", 1.0, 1, 2 * i) for i in range(20)] + [
+        (100 + i, 1, "x", 1.0, 1, 2 * i + 1) for i in range(5)
+    ]
+    r = srm_check(_ev(spark, rows)).collect()[0]
+    assert (r.n_a, r.n_b, r.chi2, r.srm_detected) == (20, 5, 9.0, True)
+    rows2 = [(i, 1, "x", 1.0, 1, i) for i in range(6)]
+    r2 = srm_check(_ev(spark, rows2)).collect()[0]
+    assert (r2.n_a, r2.n_b, r2.chi2, r2.srm_detected) == (3, 3, 0.0, False)
+
+
+def test_label_balance_hand_computed(spark):
+    """(s1, en) x3 + (s2, fr) x1: shares 0.75/0.25; balanced weights
+    N/(K*n) = 4/6 and 4/2."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa", "en", "s1", 2),
+            (2, "bb", "en", "s1", 2),
+            (3, "cc", "en", "s1", 2),
+            (4, "dd", "fr", "s2", 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.source, r.lang): r for r in label_balance(docs).collect()}
+    assert out[("s1", "en")].n_docs == 3
+    assert out[("s1", "en")].share == 0.75
+    assert out[("s1", "en")].weight == math.floor(4 / 6 * 10**6 + 0.5) / 10**6
+    assert out[("s2", "fr")].share == 0.25
+    assert out[("s2", "fr")].weight == 2.0

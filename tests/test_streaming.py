@@ -1259,3 +1259,74 @@ def test_streaming_dollar_bars_equal_batch_for_finalized_bars(spark, staged_even
     )
     got = {tuple(r) for r in got_df.collect()}
     assert got == want and want
+
+
+def test_streaming_vpin_equal_batch_for_finalized_buckets(spark, staged_events):
+    """Streaming VPIN emits a bucket when a later bucket's first trade
+    arrives; every emitted row must be bit-identical to the batch
+    q_vpin row, and the emitted SET must equal an independent pure-
+    Python replay of the tape minus the per-type pending bucket."""
+    import json as _json
+    import math
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        vpin,
+    )
+    from trading_data_pipeline_spark.streaming.jobs import stream_events
+    from trading_data_pipeline_spark.streaming.stateful import vpin_stream
+
+    v, k = 500, 2
+    batch_rows = {
+        tuple(r) for r in vpin(spark.read.parquet(staged_events), v=v, k=k).collect()
+    }
+    got_df = run_to_completion(
+        vpin_stream(stream_events(spark, staged_events), v=v, k=k),
+        "t_vpin", "append", spark,
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got and got <= batch_rows
+
+    # independent replay: finalized buckets only (pending last excluded)
+    pdf = (
+        spark.read.parquet(staged_events)
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    expect = set()
+    for etype, grp in pdf.groupby("event_type"):
+        buckets = []  # (bucket_id, n, buy, sell) finalized in order
+        last_c = sgn = cum = 0
+        has = False
+        cur = None  # [bucket_id, n, buy, sell]
+        for val, props in zip(grp["value"], grp["props"]):
+            cents = int(math.floor(float(val) * 100 + 0.5))
+            try:
+                q = int(_json.loads(props).get("k", 0) or 0)
+            except (TypeError, ValueError, AttributeError):
+                q = 0
+            if has:
+                d = cents - last_c
+                sgn = 1 if d > 0 else (-1 if d < 0 else sgn)
+            last_c, has = cents, True
+            if sgn == 0:
+                continue
+            b = cum // v
+            if cur is None or b != cur[0]:
+                if cur is not None:
+                    buckets.append(cur)
+                cur = [b, 0, 0, 0]
+            cur[1] += 1
+            cur[2 if sgn > 0 else 3] += q
+            cum += q
+        for i, (b, n, buy, sell) in enumerate(buckets):
+            if i + 1 < k:
+                continue
+            frame = buckets[i - k + 1 : i + 1]
+            sv = sum(x[2] + x[3] for x in frame)
+            si = sum(abs(x[2] - x[3]) for x in frame)
+            if sv > 0:
+                expect.add(
+                    (etype, b, n, buy, sell, abs(buy - sell),
+                     math.floor(si / sv * 1_000_000 + 0.5) / 1_000_000)
+                )
+    assert got == expect

@@ -92,6 +92,13 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_ab_cuped",         # 1-row date-span + 1-row global-moments
                           # scalars broadcast onto the stream / 2-row
                           # arm table
+    "q_mann_whitney",     # |types|²-row pair table self-paired under a
+                          # non-equi (a < b) condition (the
+                          # q_variance_ratio shape)
+    "q_volume_concentration",  # 1-row percentile-threshold scalar
+                          # broadcast onto the per-user totals
+    "q_label_balance",    # 1-row (N, K) corpus totals broadcast onto
+                          # the K-row class table
 }
 
 

@@ -1275,3 +1275,187 @@ def ab_test_cuped(events: DataFrame) -> DataFrame:
 )
 def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_cuped(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------- volume concentration
+
+CONC_PCT = 1       # "top 1%" of users by traded volume
+CONC_SCALE = 10**6
+
+
+def volume_concentration(events: DataFrame, pct: int = CONC_PCT) -> DataFrame:
+    """Volume concentration: the share of total traded volume held by
+    the top ``pct``% of users — the whale-dependence number next to
+    q_gini's full curve summary and q_turnover_hhi's per-type index.
+
+    Exact top-k selection without ranking the user table in one task:
+    the p(100−pct) threshold is an exact order statistic over the
+    VALUE HISTOGRAM of per-user totals (distinct-total bounded cumsum,
+    the q_interarrival shape); "top" = every user whose total ≥ that
+    threshold, so ties at the cut are all in (deterministic, ≥ pct% of
+    users — documented over randomly splitting ties). All counts and
+    volume sums BIGINT; two divisions at the end.
+    """
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    totals = (
+        events.select("user_id", qty.alias("q"))
+        .groupBy("user_id")
+        .agg(F.sum("q").alias("v"))
+    )
+    hist = totals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wv).alias("_cum"),
+        F.sum("cnt").over(wn).alias("_n"),
+    )
+    k = F.floor((F.lit(pct) * F.col("_n") + 99) / F.lit(100.0)).cast("long")
+    thr = ranked.filter(F.col("_cum") >= k).agg(
+        F.max("v").alias("_thr"), F.min("_n").alias("n_users")
+    )
+    agg = totals.crossJoin(F.broadcast(thr)).agg(
+        F.min("n_users").alias("n_users"),
+        F.min("_thr").alias("threshold_vol"),
+        F.sum(F.when(F.col("v") >= F.col("_thr"), 1).otherwise(0)).alias(
+            "n_top"
+        ),
+        F.sum(F.when(F.col("v") >= F.col("_thr"), F.col("v")).otherwise(0)).alias(
+            "top_vol"
+        ),
+        F.sum("v").alias("total_vol"),
+    )
+    return agg.select(
+        "n_users",
+        "n_top",
+        "threshold_vol",
+        "top_vol",
+        "total_vol",
+        F.when(F.col("total_vol") == 0, F.lit(0.0))
+        .otherwise(_q(F.col("top_vol") / F.col("total_vol"), CONC_SCALE))
+        .alias("top_share"),
+    )
+
+
+@register(
+    "q_volume_concentration",
+    f"""
+    WITH totals AS (
+      SELECT user_id,
+             CAST(sum(coalesce(json_extract_string(props, '$.k')::BIGINT,
+                               0)) AS BIGINT) AS v
+      FROM events GROUP BY user_id
+    ), hist AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM totals GROUP BY v
+    ), ranked AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS _cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS _n
+      FROM hist
+    ), thr AS (
+      SELECT max(v) AS _thr, min(_n) AS n_users
+      FROM ranked
+      WHERE _cum >= CAST(floor(({CONC_PCT} * _n + 99) / 100.0) AS BIGINT)
+    )
+    SELECT CAST(t.n_users AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN v >= t._thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top,
+           CAST(t._thr AS BIGINT) AS threshold_vol,
+           CAST(sum(CASE WHEN v >= t._thr THEN v ELSE 0 END) AS BIGINT)
+             AS top_vol,
+           CAST(sum(v) AS BIGINT) AS total_vol,
+           CASE WHEN sum(v) = 0 THEN 0.0
+                ELSE floor(sum(CASE WHEN v >= t._thr THEN v ELSE 0 END)
+                           * 1.0 / sum(v) * {CONC_SCALE} + 0.5)
+                     / {CONC_SCALE}
+           END AS top_share
+    FROM totals, thr t
+    GROUP BY t.n_users, t._thr
+    """,
+    doc=f"Volume concentration: share of total traded volume held by "
+    f"the top {CONC_PCT}% of users (ties at the cut all in) — the "
+    "whale-dependence gauge. Exact percentile threshold via a value-"
+    "histogram cumsum over per-user totals (never a global sort of the "
+    "user table); BIGINT sums, one division",
+)
+def q_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_concentration(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- SRM check
+
+SRM_SCALE = 10**6
+SRM_CRIT = 3.841459  # chi-square 95% critical value, 1 dof (constant)
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of any A/B readout:
+    users hash into two arms (user_id parity, the q_ab_cuped
+    assignment); under a healthy 50/50 split the arm counts follow a
+    binomial, and χ² = (n_a − n_b)²/(n_a + n_b) (the 2-cell Pearson
+    statistic against equal expectation) flags a broken randomizer /
+    lossy logging pipeline before anyone reads the metric deltas.
+    All-integer counts, one division; the 95% verdict compares against
+    the 3.84 critical constant on both engines.
+    """
+    arms = (
+        events.select("user_id")
+        .distinct()
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias(
+                "n_a"
+            ),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias(
+                "n_b"
+            ),
+        )
+    )
+    d = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    chi2 = F.when(n > 0, _q((d * d) / n, SRM_SCALE))
+    return arms.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > SRM_CRIT).alias("srm_detected"),
+    )
+
+
+@register(
+    "q_srm_check",
+    f"""
+    WITH arms AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a + n_b > 0 THEN
+             floor((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)
+                   * {SRM_SCALE} + 0.5) / {SRM_SCALE}
+           END AS chi2,
+           CASE WHEN n_a + n_b > 0 THEN
+             (floor((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)
+                    * {SRM_SCALE} + 0.5) / {SRM_SCALE}) > {SRM_CRIT}
+           END AS srm_detected
+    FROM arms
+    """,
+    doc="Sample-ratio-mismatch gate for A/B readouts: 2-cell Pearson "
+    "χ² of the user_id-parity arm split against 50/50 — flags broken "
+    "randomization / lossy logging before metric deltas are read. "
+    "Integer counts, one division, constant critical value",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srm_check(load(spark, sf_dir, "events"))

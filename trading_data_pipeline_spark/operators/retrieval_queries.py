@@ -486,3 +486,182 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=ivf_index_for(spark, sf_dir),
         n_probe=2,
     )
+
+
+# ----------------------------------------------------------- nDCG@k
+
+# log2 discounts as FIXED-POINT LITERALS: floor(1/log2(i+1) * 1e9)
+# computed ONCE in Python and injected into both the Spark plan and the
+# DuckDB oracle — the MACD literal-weights discipline. Neither engine
+# evaluates a libm log at query time, so the "NDCG crosses the libm
+# boundary" limitation in q_retrieval_eval's doc does not apply here:
+# every per-position gain is an exact BIGINT, the per-query DCG/IDCG
+# sums are order-free integer sums, and the single division happens on
+# exact operands.
+import math as _math
+
+NDCG_DISC = tuple(
+    int(_math.floor(1.0 / _math.log2(i + 1) * 10**9)) for i in range(1, EVAL_K + 1)
+)
+NDCG_IDEAL = tuple(
+    sum(NDCG_DISC[:m]) for m in range(0, EVAL_K + 1)
+)  # NDCG_IDEAL[m] = ideal DCG with m relevant docs in the top-k
+
+
+def ndcg_eval(
+    emb: DataFrame,
+    qmod: int = EVAL_QMOD,
+    k: int = EVAL_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    index=None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Per-query nDCG@k of cosine retrieval with binary same-label
+    relevance: DCG = Σ rel_i·disc_i over ranks, IDCG = the best
+    achievable DCG given min(R, k) relevant docs, nDCG = DCG/IDCG
+    (0.0 when R = 0, never a 0/0). Discounts are the injected
+    fixed-point literals above — identical BIGINTs on both engines.
+
+    Plan: same retrieval arm as :func:`retrieval_eval` — the exact
+    cell-pruned :meth:`IvfIndex.knn_join_exact` when an index is given
+    (no corpus × holdout product), broadcast-holdout scoring otherwise;
+    same (cosine desc, id asc) tie discipline.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+
+    queries = emb.filter(F.col(id_col) % qmod == 0).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    corpus = emb.filter(F.col(id_col) % qmod != 0).select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        label_col,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
+    if index is not None:
+        topk = index.knn_join_exact(
+            queries.select("qid", "qvec"),
+            k=k,
+            n_probe=n_probe,
+            corpus_filter=F.col(id_col) % qmod != 0,
+            keep_cols=(label_col,),
+        )
+        ranked = (
+            topk.join(F.broadcast(queries.select("qid", "qlabel")), "qid")
+            .withColumn("_r", F.row_number().over(w))
+            .withColumn(
+                "rel", (F.col(label_col) == F.col("qlabel")).cast("long")
+            )
+        )
+    else:
+        pairs = corpus.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "qlabel",
+            id_col,
+            label_col,
+            cosine_similarity(F.col("vec"), F.col("qvec")).alias("_sim"),
+        )
+        ranked = (
+            pairs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .withColumn(
+                "rel", (F.col(label_col) == F.col("qlabel")).cast("long")
+            )
+        )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISC]), F.col("_r").cast("int")
+    )
+    per_q = ranked.select(
+        "qid", "qlabel", (F.col("rel") * disc).alias("_g")
+    ).groupBy("qid", "qlabel").agg(
+        F.sum("_g").alias("_dcg"), F.count(F.lit(1)).alias("_nk")
+    )
+    rel_counts = corpus.groupBy(F.col(label_col).alias("qlabel")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    ideal = F.element_at(
+        F.array(*[F.lit(v) for v in NDCG_IDEAL]),
+        (F.least(F.col("n_rel"), F.lit(k)) + 1).cast("int"),
+    )
+    return (
+        per_q.join(F.broadcast(rel_counts), "qlabel", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+        .select(
+            "qid",
+            F.least(F.col("n_rel"), F.lit(k)).alias("n_rel_k"),
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(_q(F.col("_dcg") / ideal, 1_000_000))
+            .alias("ndcg"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _ndcg_disc_sql() -> str:
+    return "[" + ", ".join(str(d) for d in NDCG_DISC) + "]"
+
+
+def _ndcg_ideal_sql() -> str:
+    return "[" + ", ".join(str(v) for v in NDCG_IDEAL) + "]"
+
+
+@register(
+    "q_ndcg",
+    f"""
+    WITH queries AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id % {EVAL_QMOD} = 0
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec, label
+      FROM embeddings WHERE vec_id % {EVAL_QMOD} <> 0
+    ), ranked AS (
+      SELECT q.qid, q.qlabel, c.label,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(c.vec, q.qvec)
+                          DESC, c.vec_id) AS _r
+      FROM corpus c, queries q
+      QUALIFY _r <= {EVAL_K}
+    ), per_q AS (
+      SELECT qid, qlabel,
+             CAST(sum(CASE WHEN label = qlabel
+                      THEN {_ndcg_disc_sql()}[_r] ELSE 0 END) AS BIGINT)
+               AS _dcg
+      FROM ranked GROUP BY qid, qlabel
+    ), rel_counts AS (
+      SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_rel
+      FROM corpus GROUP BY label
+    )
+    SELECT p.qid,
+           CAST(least(coalesce(r.n_rel, 0), {EVAL_K}) AS BIGINT) AS n_rel_k,
+           CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+                ELSE floor(p._dcg * 1.0
+                           / {_ndcg_ideal_sql()}
+                             [least(r.n_rel, {EVAL_K}) + 1]
+                           * 1000000 + 0.5) / 1000000
+           END AS ndcg
+    FROM per_q p LEFT JOIN rel_counts r USING (qlabel)
+    ORDER BY p.qid
+    """,
+    doc="nDCG@10 of cosine retrieval against same-label relevance — "
+    "the graded-discount IR metric completing MAP/MRR. The log2 "
+    "discounts are fixed-point BIGINT literals computed once in Python "
+    "and injected into BOTH plans (the MACD literal-weights trick), so "
+    "no engine evaluates libm at query time and the per-query sums are "
+    "order-free integer sums. Registered on the exact cell-pruned IVF "
+    "path (knn_join_exact), identical to brute force by construction",
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity_queries import ivf_index_for
+
+    return ndcg_eval(
+        load(spark, sf_dir, "embeddings"),
+        index=ivf_index_for(spark, sf_dir),
+        n_probe=2,
+    )

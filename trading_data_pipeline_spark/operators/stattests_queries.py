@@ -470,3 +470,158 @@ def kendall_tau(events: DataFrame) -> DataFrame:
 )
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- Mann–Whitney U test
+
+MW_SCALE = 10**6
+
+
+def mann_whitney(events: DataFrame) -> DataFrame:
+    """Pairwise Mann–Whitney U between event types' value
+    distributions — the rank-sum location test that needs no normality
+    (the distribution-free sibling of q_variance_ratio's F and
+    q_ks_test's D). Midranks handle ties exactly: with the merged
+    distribution reduced to a per-(pair, value) count histogram,
+    2·midrank(v) = 2·(#rows below v) + ties(v) + 1 is an integer, so
+    2·R_a = Σ cnt_a(v)·2midrank(v) and 2·U_a = 2R_a − n_a(n_a+1) stay
+    BIGINT; U_a itself is an exact .5-step double. The normal
+    approximation z uses the standard tie-corrected variance
+    σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))) — the tie sum runs in
+    DECIMAL(38,0) (t³ overflows BIGINT once a single value holds >2M
+    rows), then ONE fixed double expression and sqrt on both engines;
+    all-tied pairs (σ = 0) yield NULL.
+
+    Scale: the raw stream reduces to the (type, value) histogram in one
+    partial-agged exchange; everything after is |types|·|values|-
+    bounded, pair fan-out via two broadcast joins of the |types|²-row
+    pair table. The per-pair cumsum windows over the merged histogram —
+    never over raw events.
+    """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        events.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = hist.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    pa = pairs.join(
+        hist.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "c", F.col("cnt").alias("cnt_a"), F.lit(0).alias("cnt_b"))
+    pb = pairs.join(
+        hist.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "c", F.lit(0).alias("cnt_a"), F.col("cnt").alias("cnt_b"))
+    merged = (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "c")
+        .agg(F.sum("cnt_a").alias("cnt_a"), F.sum("cnt_b").alias("cnt_b"))
+    )
+    wv = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.col("cnt_a") + F.col("cnt_b")
+    ranked = merged.withColumn("_cum", F.sum(t).over(wv)).withColumn(
+        "_2mid", 2 * (F.col("_cum") - t) + t + 1
+    )
+    t3 = (
+        t.cast("decimal(38,0)") * t.cast("decimal(38,0)") * t.cast("decimal(38,0)")
+        - t.cast("decimal(38,0)")
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.sum(F.col("cnt_a") * F.col("_2mid")).alias("r2a"),
+        F.sum(t3).alias("tie3"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u2 = F.col("r2a") - na * (na + 1)
+    var = (na * nb).cast("double") / 12.0 * (
+        (n + 1).cast("double")
+        - F.col("tie3").cast("double") / (n.cast("double") * (n - 1).cast("double"))
+    )
+    z = F.when(
+        var > 0,
+        (u2 - na * nb).cast("double") / (2.0 * F.sqrt(var)),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        _q(z, MW_SCALE).alias("z"),
+    )
+
+
+@register(
+    "q_mann_whitney",
+    f"""
+    WITH hist AS (
+      SELECT event_type, {_CENTS} AS c, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM hist),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), u AS (
+      SELECT p.type_a, p.type_b, h.c, h.cnt AS cnt_a,
+             CAST(0 AS BIGINT) AS cnt_b
+      FROM pairs p JOIN hist h ON h.event_type = p.type_a
+      UNION ALL
+      SELECT p.type_a, p.type_b, h.c, CAST(0 AS BIGINT), h.cnt
+      FROM pairs p JOIN hist h ON h.event_type = p.type_b
+    ), merged AS (
+      SELECT type_a, type_b, c,
+             CAST(sum(cnt_a) AS BIGINT) AS cnt_a,
+             CAST(sum(cnt_b) AS BIGINT) AS cnt_b
+      FROM u GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *,
+             CAST(2 * (sum(cnt_a + cnt_b) OVER
+                 (PARTITION BY type_a, type_b ORDER BY c
+                  ROWS UNBOUNDED PRECEDING) - (cnt_a + cnt_b))
+                  + (cnt_a + cnt_b) + 1 AS BIGINT) AS mid2
+      FROM merged
+    ), agg AS (
+      SELECT type_a, type_b,
+             CAST(sum(cnt_a) AS BIGINT) AS na,
+             CAST(sum(cnt_b) AS BIGINT) AS nb,
+             CAST(sum(cnt_a * mid2) AS BIGINT) AS r2a,
+             sum(CAST(cnt_a + cnt_b AS HUGEINT)
+                 * (cnt_a + cnt_b) * (cnt_a + cnt_b)
+                 - (cnt_a + cnt_b)) AS tie3
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, na AS n_a, nb AS n_b,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+           CASE WHEN CAST(na * nb AS DOUBLE) / 12.0
+                     * ((na + nb + 1)
+                        - CAST(tie3 AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE) * (na + nb - 1))) > 0
+           THEN floor(
+             CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+             / (2.0 * sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                 * ((na + nb + 1)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))))
+             * {MW_SCALE} + 0.5) / {MW_SCALE}
+           END AS z
+    FROM agg
+    """,
+    doc="Pairwise Mann–Whitney U (rank-sum) test between event types — "
+    "the distribution-free location screen. Midranks over the merged "
+    "(pair, value) count histogram keep 2U_a a BIGINT; tie-corrected "
+    "normal z via DECIMAL/HUGEINT tie sums and ONE double sqrt; "
+    "all-tied pairs NULL. Raw stream reduces to the value histogram "
+    "first — |types|²-bounded pair fan-out, no raw-event window",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney(load(spark, sf_dir, "events"))

@@ -868,3 +868,148 @@ def return_split(events: DataFrame) -> DataFrame:
 )
 def q_return_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return return_split(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------ triple-barrier labels
+
+TB_HORIZON = 5        # vertical barrier: trading days ahead
+TB_PCT_NUM = 1        # horizontal barriers at ±(NUM/DEN) = ±2%
+TB_PCT_DEN = 50
+
+
+def triple_barrier(events: DataFrame, h: int = TB_HORIZON) -> DataFrame:
+    """Triple-barrier labeling (López de Prado, "Advances in Financial
+    Machine Learning" ch. 3, standard public formulation): each daily
+    bar is an entry; the label is which barrier the close path touches
+    FIRST within the next ``h`` bars — +1 profit-take at +2%, −1
+    stop-loss at −2%, 0 the vertical (time) barrier. The supervised
+    target generator for financial ML training sets.
+
+    Exactness: barrier tests are pure integer cross-multiplications
+    (up when 50·c_future ≥ 51·c_entry, down when 50·c_future ≤
+    49·c_entry — no float percent arithmetic); first-touch is an
+    integer min over horizon offsets; a future bar cannot hit both
+    barriers, so the tie case does not exist.
+
+    Scale: bars come from the one (type, day) rollup; the per-type
+    row index runs over the calendar-bounded bar table; the horizon
+    fan-out is an offset-exploded equi-join on (type, rn + off) — the
+    q_markout shape, h× expansion of the BAR table, never a raw-event
+    window or a range join. Entries whose remaining tape is shorter
+    than ``h`` label against the bars that exist; the final bar per
+    type (no future) is dropped.
+    """
+    from .microstructure_queries import daily_bars
+
+    bars = daily_bars(events).select("event_type", "day", "c_c")
+    wt = Window.partitionBy("event_type").orderBy("day")
+    b = bars.withColumn("rn", F.row_number().over(wt))
+    entry = b.select(
+        "event_type",
+        "day",
+        F.col("c_c").alias("ec"),
+        "rn",
+        F.explode(F.array(*[F.lit(i) for i in range(1, h + 1)])).alias(
+            "off"
+        ),
+    ).withColumn("frn", F.col("rn") + F.col("off"))
+    fut = b.select(
+        "event_type", F.col("rn").alias("frn"), F.col("c_c").alias("fc")
+    )
+    num, hi, lo = TB_PCT_DEN, TB_PCT_DEN + TB_PCT_NUM, TB_PCT_DEN - TB_PCT_NUM
+    dirn = (
+        F.when(F.col("fc") * num >= F.col("ec") * hi, F.lit(1))
+        .when(F.col("fc") * num <= F.col("ec") * lo, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    scored = entry.join(fut, ["event_type", "frn"]).select(
+        "event_type", "day", "ec", "off", dirn.alias("dirn")
+    )
+    agg = scored.groupBy("event_type", "day", "ec").agg(
+        F.min(F.when(F.col("dirn") == 1, F.col("off"))).alias("_up"),
+        F.min(F.when(F.col("dirn") == -1, F.col("off"))).alias("_dn"),
+        F.count(F.lit(1)).alias("n_future"),
+    )
+    label = (
+        F.when(
+            F.col("_up").isNotNull()
+            & (F.col("_dn").isNull() | (F.col("_up") < F.col("_dn"))),
+            F.lit(1),
+        )
+        .when(F.col("_dn").isNotNull(), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        (F.col("ec") / 100.0).alias("entry_close"),
+        label.cast("int").alias("label"),
+        F.when(label == 1, F.col("_up"))
+        .when(label == -1, F.col("_dn"))
+        .cast("int")
+        .alias("bars_to_hit"),
+        F.col("n_future").cast("int").alias("n_future"),
+    )
+
+
+@register(
+    "q_triple_barrier",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT *,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), b AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY event_type ORDER BY day) AS rn
+      FROM bars
+    ), entry AS (
+      SELECT event_type, day, c_c AS ec, rn, off, rn + off AS frn
+      FROM b, unnest(generate_series(1, {TB_HORIZON})) AS t(off)
+    ), scored AS (
+      SELECT en.event_type, en.day, en.ec, en.off,
+             CASE WHEN f.c_c * {TB_PCT_DEN} >= en.ec * {TB_PCT_DEN + TB_PCT_NUM}
+                  THEN 1
+                  WHEN f.c_c * {TB_PCT_DEN} <= en.ec * {TB_PCT_DEN - TB_PCT_NUM}
+                  THEN -1 ELSE 0 END AS dirn
+      FROM entry en JOIN b f
+        ON f.event_type = en.event_type AND f.rn = en.frn
+    ), agg AS (
+      SELECT event_type, day, ec,
+             min(CASE WHEN dirn = 1 THEN off END) AS up_off,
+             min(CASE WHEN dirn = -1 THEN off END) AS dn_off,
+             CAST(count(*) AS BIGINT) AS n_future
+      FROM scored GROUP BY event_type, day, ec
+    )
+    SELECT event_type, day, ec / 100.0 AS entry_close,
+           CAST(CASE WHEN up_off IS NOT NULL
+                      AND (dn_off IS NULL OR up_off < dn_off) THEN 1
+                WHEN dn_off IS NOT NULL THEN -1 ELSE 0 END AS INT)
+             AS label,
+           CAST(CASE WHEN up_off IS NOT NULL
+                      AND (dn_off IS NULL OR up_off < dn_off) THEN up_off
+                WHEN dn_off IS NOT NULL THEN dn_off END AS INT)
+             AS bars_to_hit,
+           CAST(n_future AS INT) AS n_future
+    FROM agg
+    """,
+    doc=f"Triple-barrier labels per (type, day): first touch of "
+    f"+{TB_PCT_NUM * 100 // TB_PCT_DEN}%/-{TB_PCT_NUM * 100 // TB_PCT_DEN}% "
+    f"close barriers within {TB_HORIZON} bars, else the time barrier "
+    "(label 0) — the standard supervised-target generator for "
+    "financial ML. Integer cross-multiplied barrier tests, offset-"
+    "exploded equi-join over the calendar-bounded bar table (the "
+    "q_markout shape), no raw-event window",
+)
+def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triple_barrier(load(spark, sf_dir, "events"))

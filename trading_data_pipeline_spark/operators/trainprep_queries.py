@@ -609,3 +609,65 @@ def tcloseness(events: DataFrame, t_max: float = T_CLOSE) -> DataFrame:
 )
 def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tcloseness(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------- label balance
+
+LB_SCALE = 10**6
+
+
+def label_balance(docs: DataFrame) -> DataFrame:
+    """Class-balance audit + inverse-frequency loss weights over the
+    (source, lang) label grid: share of the corpus per class and the
+    balanced-training weight w = N / (K·n_class) (the scikit-learn
+    "balanced" convention — weights average to 1 over the corpus), the
+    number every imbalanced-sampling / weighted-loss run needs next to
+    q_rebalance_sample's materialized draw.
+
+    One partial-agged exchange to the K-row class table, the corpus
+    total joined back as a 1-row broadcast scalar; shares and weights
+    are single divisions of exact BIGINTs, quantized 1e-6.
+    """
+    cls = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cls.agg(
+        F.sum("n_docs").alias("_n"), F.count(F.lit(1)).alias("_k")
+    )
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        _q(F.col("n_docs") / F.col("_n"), LB_SCALE).alias("share"),
+        _q(
+            F.col("_n") / (F.col("_k") * F.col("n_docs")), LB_SCALE
+        ).alias("weight"),
+    )
+
+
+@register(
+    "q_label_balance",
+    f"""
+    WITH cls AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS _n,
+             CAST(count(*) AS BIGINT) AS _k
+      FROM cls
+    )
+    SELECT source, lang, n_docs,
+           floor(n_docs * 1.0 / _n * {LB_SCALE} + 0.5) / {LB_SCALE}
+             AS share,
+           floor(_n * 1.0 / (_k * n_docs) * {LB_SCALE} + 0.5) / {LB_SCALE}
+             AS weight
+    FROM cls, tot
+    """,
+    doc="Class-balance audit over (source, lang): per-class share and "
+    "the inverse-frequency balanced-loss weight N/(K·n) — the "
+    "weighted-training companion to q_rebalance_sample. One exchange "
+    "to the K-row class table, 1-row total broadcast back, exact "
+    "BIGINT ratios",
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_balance(load(spark, sf_dir, "documents"))

@@ -819,3 +819,121 @@ def dollar_bars_stream(events: DataFrame, threshold: int = 10_000_000) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------ streaming VPIN
+
+VPIN_SCHEMA = (
+    "event_type string, bucket_id long, n_trades long, buy long, "
+    "sell long, imb long, vpin double"
+)
+VPIN_STATE = (
+    "last_c long, has int, sgn int, cum long, cur_b long, n long, "
+    "buy long, sell long, seq long, imbs array<long>, vols array<long>"
+)
+
+
+def vpin_stream(events: DataFrame, v: int = 5000, k: int = 5) -> DataFrame:
+    """Streaming VPIN — the stateful form of
+    ``operators.microstructure_queries.vpin``: O(k) state per event
+    type (last price + carried tick sign + running classified volume +
+    the open bucket's partials + the trailing k−1 completed buckets'
+    (imb, vol) pairs, all exact integers). A bucket is emitted the
+    moment the first trade of a LATER bucket arrives and the trailing
+    frame holds k buckets with positive volume — identical finality
+    contract to dollar_bars_stream (the per-type final partial bucket
+    stays pending), bit-identical rows to the batch plan for every
+    finalized bucket (asserted in tests/test_streaming.py).
+
+    Rows before the first nonzero price change carry no tick evidence
+    and are excluded from the volume clock on both paths; bucket
+    assignment is the same exact integer ``cum // v``. Ordering
+    contract as drawdown_stream: (ts, event_id)-sorted within a
+    micro-batch, per-key event-time order across batches.
+    """
+    import json
+    import math
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (last_c, has, sgn, cum, cur_b, n, buy, sell, seq,
+             imbs, vols) = state.get
+            imbs, vols = list(imbs), list(vols)
+        else:
+            last_c, has, sgn, cum, cur_b, n, buy, sell, seq = (
+                0, 0, 0, 0, -1, 0, 0, 0, 0
+            )
+            imbs, vols = [], []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: dict[str, list] = {
+            "event_type": [], "bucket_id": [], "n_trades": [], "buy": [],
+            "sell": [], "imb": [], "vpin": [],
+        }
+
+        def finalize():
+            nonlocal seq
+            imb, vol = abs(buy - sell), buy + sell
+            seq += 1
+            if seq >= k:
+                si = imb + sum(imbs)
+                sv = vol + sum(vols)
+                if sv > 0:
+                    out["event_type"].append(key[0])
+                    out["bucket_id"].append(cur_b)
+                    out["n_trades"].append(n)
+                    out["buy"].append(buy)
+                    out["sell"].append(sell)
+                    out["imb"].append(imb)
+                    out["vpin"].append(
+                        math.floor(si / sv * 1_000_000 + 0.5) / 1_000_000
+                    )
+            imbs.append(imb)
+            vols.append(vol)
+            if k > 1:
+                del imbs[: -(k - 1)], vols[: -(k - 1)]
+            else:
+                imbs.clear()
+                vols.clear()
+
+        for val, props in zip(pdf["value"], pdf["props"]):
+            cents = int(math.floor(float(val) * 100 + 0.5))
+            try:
+                q = int(json.loads(props).get("k", 0) or 0)
+            except (TypeError, ValueError, AttributeError):
+                q = 0
+            if has:
+                dc = cents - last_c
+                if dc > 0:
+                    sgn = 1
+                elif dc < 0:
+                    sgn = -1
+            last_c, has = cents, 1
+            if sgn == 0:
+                continue
+            b = cum // v
+            if b != cur_b:
+                if cur_b != -1:
+                    finalize()
+                cur_b, n, buy, sell = b, 0, 0, 0
+            n += 1
+            if sgn > 0:
+                buy += q
+            else:
+                sell += q
+            cum += q
+        state.update(
+            (last_c, has, sgn, cum, cur_b, n, buy, sell, seq, imbs, vols)
+        )
+        yield pd.DataFrame(out)
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=VPIN_SCHEMA,
+        stateStructType=VPIN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
