@@ -1330,3 +1330,37 @@ def test_streaming_vpin_equal_batch_for_finalized_buckets(spark, staged_events):
                      math.floor(si / sv * 1_000_000 + 0.5) / 1_000_000)
                 )
     assert got == expect
+
+
+def test_streaming_markouts_aggregate_to_batch_means(spark, staged_events):
+    """Per-trade streaming markouts, aggregated per (type, horizon)
+    with the batch quantization, must reproduce q_markout's rows
+    bit-for-bit: the emitted (trade, horizon) pairs are exactly the
+    batch inner-join's pairs (signed trades whose horizon completed)."""
+    import collections
+    import math
+
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        markouts,
+    )
+    from trading_data_pipeline_spark.streaming.jobs import stream_events
+    from trading_data_pipeline_spark.streaming.stateful import markout_stream
+
+    batch = {
+        (r.event_type, r.horizon): (r.n_trades, r.mean_markout)
+        for r in markouts(spark.read.parquet(staged_events)).collect()
+    }
+    got_df = run_to_completion(
+        markout_stream(stream_events(spark, staged_events)),
+        "t_markouts", "append", spark,
+    )
+    acc: dict = collections.defaultdict(lambda: [0, 0])
+    for r in got_df.collect():
+        a = acc[(r.event_type, r.horizon)]
+        a[0] += 1
+        a[1] += r.mv
+    got = {
+        k: (n, math.floor(s / (n * 100.0) * 10000 + 0.5) / 10000)
+        for k, (n, s) in acc.items()
+    }
+    assert got == batch and batch

@@ -937,3 +937,82 @@ def vpin_stream(events: DataFrame, v: int = 5000, k: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------------- streaming markouts
+
+MARKOUT_SCHEMA = "event_type string, horizon int, seq long, mv long"
+MARKOUT_STATE = (
+    "last_c long, has int, sgn int, seq long, cs array<long>, "
+    "ss array<long>"
+)
+
+
+def markout_stream(
+    events: DataFrame, horizons: tuple = (1, 5, 20)
+) -> DataFrame:
+    """Streaming per-trade markouts — the event feed behind the batch
+    ``operators.microstructure_queries.markouts`` aggregate: when trade
+    n arrives, the trade n−h (for each horizon h) gets its signed
+    forward move ``s·(c_n − c_{n−h})`` emitted, so execution quality is
+    observable per venue in near-real-time instead of end-of-day.
+
+    State is O(max(h)) per event type: the trailing max-horizon ring of
+    (cents, carried tick sign) plus the carry — exact integers only.
+    A trade whose sign is still undefined (no price change seen yet)
+    occupies its ring slot but emits nothing, matching the batch
+    probe-side filter; trades at the end of the stream whose horizon
+    never completes are never emitted, matching the batch inner join.
+    Aggregating the emitted rows per (type, horizon) reproduces the
+    batch q_markout means bit-for-bit (asserted in
+    tests/test_streaming.py). Ordering contract as drawdown_stream.
+    """
+    import math
+
+    hmax = max(horizons)
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_c, has, sgn, seq, cs, ss = state.get
+            cs, ss = list(cs), list(ss)
+        else:
+            last_c, has, sgn, seq = 0, 0, 0, 0
+            cs, ss = [], []
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: dict[str, list] = {
+            "event_type": [], "horizon": [], "seq": [], "mv": [],
+        }
+        for val in pdf["value"]:
+            cents = int(math.floor(float(val) * 100 + 0.5))
+            if has:
+                dc = cents - last_c
+                if dc > 0:
+                    sgn = 1
+                elif dc < 0:
+                    sgn = -1
+            last_c, has = cents, 1
+            for h in horizons:
+                i = len(cs) - h
+                if i >= 0 and ss[i] != 0:
+                    out["event_type"].append(key[0])
+                    out["horizon"].append(h)
+                    out["seq"].append(seq - h)
+                    out["mv"].append(ss[i] * (cents - cs[i]))
+            cs.append(cents)
+            ss.append(sgn)
+            del cs[:-hmax], ss[:-hmax]
+            seq += 1
+        state.update((last_c, has, sgn, seq, cs, ss))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=MARKOUT_SCHEMA,
+        stateStructType=MARKOUT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
