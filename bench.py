@@ -207,6 +207,11 @@ EXTRAS = [
     "q_volume_concentration",
     "q_srm_check",
     "q_label_balance",
+    "q_donchian",
+    "q_acf_profile",
+    "q_xsec_momentum",
+    "q_pairs_signal",
+    "q_embedding_norms",
 ]
 
 RUNS = 3

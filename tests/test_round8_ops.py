@@ -182,3 +182,90 @@ def test_label_balance_hand_computed(spark):
     assert out[("s1", "en")].weight == math.floor(4 / 6 * 10**6 + 0.5) / 10**6
     assert out[("s2", "fr")].share == 0.25
     assert out[("s2", "fr")].weight == 2.0
+
+
+def test_donchian_hand_computed(spark):
+    """Closes 10..19 then a 25 breakout-up and a 5 breakout-down; with
+    one event per day O=H=L=C, so the 10-bar channel extremes are the
+    prior closes themselves."""
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        donchian,
+    )
+
+    closes = [10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 25, 5]
+    rows = [(i + 1, i + 1, "x", float(c), 1, 1) for i, c in enumerate(closes)]
+    out = {r.day.day: r for r in donchian(_ev(spark, rows), n=10).collect()}
+    assert set(out) == {11, 12}
+    assert (out[11].upper, out[11].lower, out[11].mid) == (19.0, 10.0, 14.5)
+    assert out[11].breakout_up and not out[11].breakout_dn
+    # day 12 channel = days 2..11: hh 25, ll 11
+    assert (out[12].upper, out[12].lower) == (25.0, 11.0)
+    assert out[12].breakout_dn and not out[12].breakout_up
+
+
+def test_acf_profile_alternating_tape(spark):
+    """Perfectly alternating +-1.00 daily moves: ACF is exactly -1 at
+    lag 1 and exactly +1 at lag 2 (hand-verified integer sums)."""
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        acf_profile,
+    )
+
+    closes = [100 + (i % 2) for i in range(12)]  # 100,101,100,101,...
+    rows = [(i + 1, i + 1, "x", float(c), 1, 1) for i, c in enumerate(closes)]
+    out = {r.lag: r for r in acf_profile(_ev(spark, rows), lags=2).collect()}
+    assert out[1].n_pairs == 10 and out[1].acf == -1.0
+    assert out[2].n_pairs == 9 and out[2].acf == 1.0
+
+
+def test_xsec_momentum_hand_computed(spark):
+    """Type b climbs 2.00/day, type a 1.00/day: after the 10-bar
+    formation the single ranked day puts b first."""
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        xsec_momentum,
+    )
+
+    rows = []
+    for i in range(11):
+        rows.append((100 + i, i + 1, "a", 100.0 + i, 1, 1))
+        rows.append((200 + i, i + 1, "b", 100.0 + 2 * i, 1, 1))
+    out = {r.event_type: r for r in xsec_momentum(_ev(spark, rows)).collect()}
+    assert len(out) == 2 and out["b"].day.day == 11
+    assert (out["b"].mom, out["b"].rank) == (20.0, 1)
+    assert (out["a"].mom, out["a"].rank) == (10.0, 2)
+
+
+def test_pairs_signal_exact_hedge(spark):
+    """ca = 2*cb + 10 exactly: beta = 2.0, constant $10 spread, z NULL
+    (degenerate variance guarded, not 0/0)."""
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        pairs_signal,
+    )
+
+    rows = []
+    for i, (cb, ca) in enumerate([(100, 210), (200, 410), (300, 610)]):
+        rows.append((10 + i, i + 1, "purchase", float(cb), 1, 1))
+        rows.append((20 + i, i + 1, "click", float(ca), 1, 1))
+    out = pairs_signal(_ev(spark, rows)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.beta, r.spread, r.spread_z) == (2.0, 10.0, None)
+
+
+def test_embedding_norms_hand_computed(spark):
+    """Norms 0, 5, 10 in one label: exact order statistics pick p50 = 5
+    and p99 = 10; mean squared norm = 125/3."""
+    import math
+
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        embedding_norms,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], 7), (2, [3.0, 4.0], 7), (3, [6.0, 8.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = embedding_norms(emb).collect()[0]
+    assert (r.label, r.n_vecs) == (7, 3)
+    assert r.mean_sq_norm == math.floor(125 / 3 * 10**6 + 0.5) / 10**6
+    assert (r.p50_norm, r.p99_norm) == (5.0, 10.0)
+

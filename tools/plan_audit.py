@@ -99,6 +99,9 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # broadcast onto the per-user totals
     "q_label_balance",    # 1-row (N, K) corpus totals broadcast onto
                           # the K-row class table
+    "q_pairs_signal",     # 1-row OLS-beta + 1-row spread-moments
+                          # scalars broadcast onto the calendar-sized
+                          # day-pair table
 }
 
 

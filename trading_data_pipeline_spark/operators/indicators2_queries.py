@@ -688,3 +688,170 @@ def _ewma_oracle() -> str:
 )
 def q_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_vol(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------- Donchian channels
+
+DONCHIAN_N = 10  # channel lookback (previous N bars, current excluded)
+
+
+def donchian(events: DataFrame, n: int = DONCHIAN_N) -> DataFrame:
+    """Donchian channel breakouts: upper/lower = highest high / lowest
+    low of the PREVIOUS ``n`` bars (current excluded — the classic
+    turtle-trading entry rule), mid = channel midpoint; a close outside
+    the channel is a breakout. All-integer extrema and comparisons on
+    daily OHLC cents; the midpoint halves an integer sum (exact binary
+    .5 cents). Rows without a full lookback are dropped. One (type,
+    day) rollup, then per-type windows over the calendar-bounded bar
+    table."""
+    bars = ohlc_bars(events)
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wn = wt.rowsBetween(-n, -1)
+    out = (
+        bars.withColumn("rn", F.row_number().over(wt))
+        .withColumn("up_c", F.max("h_c").over(wn))
+        .withColumn("dn_c", F.min("l_c").over(wn))
+        .filter(F.col("rn") > n)
+    )
+    return out.select(
+        "event_type",
+        "day",
+        (F.col("c_c") / 100.0).alias("close"),
+        (F.col("up_c") / 100.0).alias("upper"),
+        (F.col("dn_c") / 100.0).alias("lower"),
+        ((F.col("up_c") + F.col("dn_c")) / 200.0).alias("mid"),
+        (F.col("c_c") > F.col("up_c")).alias("breakout_up"),
+        (F.col("c_c") < F.col("dn_c")).alias("breakout_dn"),
+    )
+
+
+@register(
+    "q_donchian",
+    f"""
+    WITH {_OHLC_SQL}, r AS (
+      SELECT *,
+             row_number() OVER w AS rn,
+             max(h_c) OVER (w ROWS BETWEEN {DONCHIAN_N} PRECEDING
+                            AND 1 PRECEDING) AS up_c,
+             min(l_c) OVER (w ROWS BETWEEN {DONCHIAN_N} PRECEDING
+                            AND 1 PRECEDING) AS dn_c
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           c_c / 100.0 AS close,
+           up_c / 100.0 AS upper,
+           dn_c / 100.0 AS lower,
+           (up_c + dn_c) / 200.0 AS mid,
+           c_c > up_c AS breakout_up,
+           c_c < dn_c AS breakout_dn
+    FROM r WHERE rn > {DONCHIAN_N}
+    """,
+    doc=f"Donchian channel ({DONCHIAN_N}-bar, current excluded) with "
+    "breakout flags — the turtle-trading entry rule. Integer extrema "
+    "and comparisons on daily OHLC cents, exact .5-cent midpoint; "
+    "per-type windows over the calendar-bounded bar table only",
+)
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return donchian(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- ACF profile
+
+ACF_LAGS = 5
+ACF_SCALE = 10**6
+
+
+def acf_profile(events: DataFrame, lags: int = ACF_LAGS) -> DataFrame:
+    """Autocorrelation function of daily close moves per type at lags
+    1..``lags`` — the standard time-series diagnostic table
+    (q_autocorr's lag-1 generalized to the full profile; near-zero
+    everywhere = efficient tape, structure = exploitable dynamics).
+
+    Pearson r per (type, lag) from exact BIGINT power sums over pairs
+    (m_t, m_{t+lag}); pairs come from a lag-exploded equi-join on
+    (type, rn + lag) over the calendar-bounded bar table (the
+    q_markout shape — one join for all lags, no repeated window
+    passes). Degenerate (constant) series yield NULL; one sqrt each
+    side of the denominator, quantized 1e-6."""
+    bars = daily_bars(events).filter(F.col("dc").isNotNull())
+    wt = Window.partitionBy("event_type").orderBy("day")
+    b = bars.select("event_type", "day", "dc").withColumn(
+        "rn", F.row_number().over(wt)
+    )
+    probe = b.select(
+        "event_type",
+        "rn",
+        F.col("dc").alias("x"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, lags + 1)])
+        ).alias("lag"),
+    ).withColumn("trn", F.col("rn") + F.col("lag"))
+    target = b.select(
+        "event_type", F.col("rn").alias("trn"), F.col("dc").alias("y")
+    )
+    pairs = probe.join(target, ["event_type", "trn"])
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    r = F.when(
+        (denx > 0) & (deny > 0),
+        (n * sxy - sx * sy).cast("double")
+        / (F.sqrt(denx) * F.sqrt(deny)),
+    )
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        _q(r, ACF_SCALE).alias("acf"),
+    )
+
+
+@register(
+    "q_acf_profile",
+    f"""
+    WITH {_BARS_SQL}, b AS (
+      SELECT event_type, day, dc,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM moves WHERE dc IS NOT NULL
+    ), pairs AS (
+      SELECT p.event_type, t.lag, p.dc AS x, f.dc AS y
+      FROM b p
+      CROSS JOIN unnest(generate_series(1, {ACF_LAGS})) AS t(lag)
+      JOIN b f ON f.event_type = p.event_type AND f.rn = p.rn + t.lag
+    ), agg AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                      * {ACF_SCALE} + 0.5) / {ACF_SCALE}
+           END AS acf
+    FROM agg
+    """,
+    doc=f"ACF profile of daily close moves at lags 1..{ACF_LAGS} per "
+    "type — q_autocorr generalized to the full diagnostic table. "
+    "BIGINT power sums over lag-exploded equi-join pairs on the "
+    "calendar-bounded bar table (one join for all lags); constant "
+    "series NULL, two sqrts + one division",
+)
+def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return acf_profile(load(spark, sf_dir, "events"))

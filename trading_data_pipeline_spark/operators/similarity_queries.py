@@ -1446,3 +1446,124 @@ def label_centroid_similarity(
 )
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_similarity(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------- embedding-norm audit
+
+NORM_QS = 10**4   # per-component fixed-point scale
+NORM_OUT = 10**6
+
+
+def embedding_norms(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Embedding-health audit per label: count, mean squared L2 norm,
+    and exact p50/p99 norms — collapsed or exploding norms per class
+    are the first symptom of a broken encoder or a bad normalization
+    step, checked before any ANN index or similarity threshold is
+    trusted.
+
+    Exactness: each COMPONENT is fixed to an integer
+    (floor(x·10⁴ + ½)) so the per-row squared norm is an exact BIGINT
+    fold (order-free on any engine); percentiles are exact
+    ⌈p·n/100⌉-th order statistics over the (label, norm²) value
+    histogram (the q_interarrival shape); the mean and the two sqrts
+    run once on exact operands. No per-row float accumulates anywhere.
+    """
+    from pyspark.sql import Window
+
+    q = lambda x: F.floor(x * NORM_QS + F.lit(0.5)).cast("long")  # noqa: E731
+    n2q = F.aggregate(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: q(x) * q(x),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rows = emb.select(F.col(label_col).alias("label"), n2q.alias("n2"))
+    hist = rows.groupBy("label", "n2").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = (
+        Window.partitionBy("label")
+        .orderBy("n2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("label").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        "label",
+        "n2",
+        "cnt",
+        F.sum("cnt").over(wv).alias("_cum"),
+        F.sum("cnt").over(wn).alias("_n"),
+    )
+    aggs = [
+        F.sum("cnt").alias("n_vecs"),
+        F.sum(F.col("n2") * F.col("cnt")).alias("_s"),
+    ]
+    for p in (50, 99):
+        k = F.floor((F.lit(p) * F.col("_n") + 99) / F.lit(100.0)).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= k, F.col("n2"))).alias(f"_p{p}")
+        )
+    den = float(NORM_QS) * float(NORM_QS)
+    out = ranked.groupBy("label").agg(*aggs)
+    return out.select(
+        "label",
+        "n_vecs",
+        _q(F.col("_s") / (F.col("n_vecs") * den), NORM_OUT).alias(
+            "mean_sq_norm"
+        ),
+        _q(F.sqrt(F.col("_p50").cast("double")) / NORM_QS, NORM_OUT).alias(
+            "p50_norm"
+        ),
+        _q(F.sqrt(F.col("_p99").cast("double")) / NORM_QS, NORM_OUT).alias(
+            "p99_norm"
+        ),
+    )
+
+
+@register(
+    "q_embedding_norms",
+    f"""
+    WITH comps AS (
+      SELECT label, vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {NORM_QS}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings
+    ), rows_ AS (
+      SELECT label, vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2
+      FROM comps GROUP BY label, vec_id
+    ), hist AS (
+      SELECT label, n2, CAST(count(*) AS BIGINT) AS cnt
+      FROM rows_ GROUP BY label, n2
+    ), ranked AS (
+      SELECT label, n2, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY label ORDER BY n2
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS _cum,
+             CAST(sum(cnt) OVER (PARTITION BY label) AS BIGINT) AS _n
+      FROM hist
+    )
+    SELECT label,
+           CAST(sum(cnt) AS BIGINT) AS n_vecs,
+           floor(CAST(sum(n2 * cnt) AS BIGINT)
+                 / (sum(cnt) * {NORM_QS}.0 * {NORM_QS}.0)
+                 * {NORM_OUT} + 0.5) / {NORM_OUT} AS mean_sq_norm,
+           floor(sqrt(CAST(min(CASE WHEN _cum >=
+                 CAST(floor((50 * _n + 99) / 100.0) AS BIGINT)
+                 THEN n2 END) AS DOUBLE)) / {NORM_QS}
+                 * {NORM_OUT} + 0.5) / {NORM_OUT} AS p50_norm,
+           floor(sqrt(CAST(min(CASE WHEN _cum >=
+                 CAST(floor((99 * _n + 99) / 100.0) AS BIGINT)
+                 THEN n2 END) AS DOUBLE)) / {NORM_QS}
+                 * {NORM_OUT} + 0.5) / {NORM_OUT} AS p99_norm
+    FROM ranked GROUP BY label
+    """,
+    doc="Embedding-health audit per label: mean squared L2 norm + "
+    "exact p50/p99 norms — the collapsed/exploding-encoder screen. "
+    "Components fixed to integers so per-row norms are exact BIGINT "
+    "folds; percentiles are exact order statistics over the (label, "
+    "norm²) histogram; no cross-row float accumulation",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms(load(spark, sf_dir, "embeddings"))

@@ -1013,3 +1013,224 @@ def triple_barrier(events: DataFrame, h: int = TB_HORIZON) -> DataFrame:
 )
 def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_barrier(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------- cross-sectional momentum
+
+XSEC_R = 10  # trailing formation window (bars)
+
+
+def xsec_momentum(events: DataFrame, r: int = XSEC_R) -> DataFrame:
+    """Cross-sectional momentum ranks: each day, instruments (event
+    types) are ranked by their trailing ``r``-bar cumulative close move
+    — the formation step of a cross-sectional momentum portfolio
+    (winners-minus-losers), and the panel feature a ranking model
+    trains on. Trailing move is an exact BIGINT rolling sum of integer
+    cent moves over the calendar-bounded bar table; the daily rank
+    window holds |types| rows per day. Days without full formation
+    history are dropped; ties rank by type name (deterministic)."""
+    from .microstructure_queries import daily_bars
+
+    bars = daily_bars(events).filter(F.col("dc").isNotNull())
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wr = wt.rowsBetween(-(r - 1), 0)
+    formed = (
+        bars.withColumn("mom_c", F.sum("dc").over(wr))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") >= r)
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.desc("mom_c"), F.asc("event_type")
+    )
+    return formed.select(
+        "day",
+        "event_type",
+        (F.col("mom_c") / 100.0).alias("mom"),
+        F.row_number().over(wd).cast("int").alias("rank"),
+    )
+
+
+@register(
+    "q_xsec_momentum",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT *,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), moves AS (
+      SELECT event_type, day,
+             c_c - lag(c_c) OVER tw AS dc
+      FROM bars WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+    ), formed AS (
+      SELECT event_type, day,
+             CAST(sum(dc) OVER (tw ROWS BETWEEN {XSEC_R - 1} PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS mom_c,
+             row_number() OVER tw AS rn
+      FROM moves WHERE dc IS NOT NULL
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT day, event_type, mom_c / 100.0 AS mom,
+           CAST(row_number() OVER (PARTITION BY day
+                ORDER BY mom_c DESC, event_type) AS INT) AS rank
+    FROM formed WHERE rn >= {XSEC_R}
+    """,
+    doc=f"Cross-sectional momentum: daily instrument ranks by trailing "
+    f"{XSEC_R}-bar cumulative close move — the winners-minus-losers "
+    "formation step. BIGINT rolling sums over the calendar-bounded bar "
+    "table; |types|-row daily rank windows; deterministic tie-break",
+)
+def q_xsec_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return xsec_momentum(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------- pairs-trading signal
+
+PAIRS_A = "click"
+PAIRS_B = "purchase"
+PAIRS_Z = 10**6
+
+
+def pairs_signal(
+    events: DataFrame, type_a: str = PAIRS_A, type_b: str = PAIRS_B
+) -> DataFrame:
+    """Pairs-trading spread signal between two instruments' daily
+    closes: full-sample OLS hedge ratio β (b on a), residual spread
+    s_t = c_a − β·c_b, and the spread z-score whose ±2σ excursions are
+    the classic stat-arb entry/exit signal.
+
+    Exactness: β is ONE double division of exact BIGINT power sums
+    (the q_kyle_lambda discipline); each day's spread is then FIXED to
+    an integer (floor(s·100 + ½) — "spread milli-cents") before the
+    cross-day mean/std power sums, so no float ever accumulates across
+    rows; z is one final double chain, degenerate (constant-spread)
+    series NULL. Everything after the (type, day) rollup is
+    calendar-bounded."""
+    from .microstructure_queries import daily_bars
+
+    bars = daily_bars(events).select("event_type", "day", "c_c")
+    a = bars.filter(F.col("event_type") == type_a).select(
+        "day", F.col("c_c").alias("ca")
+    )
+    b = bars.filter(F.col("event_type") == type_b).select(
+        "day", F.col("c_c").alias("cb")
+    )
+    j = a.join(b, "day")
+    ols = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cb").alias("sx"),
+        F.sum("ca").alias("sy"),
+        F.sum(F.col("cb") * F.col("ca")).alias("sxy"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sxx"),
+    )
+    beta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ).alias("beta")
+    withb = j.crossJoin(F.broadcast(ols.select(beta)))
+    spread_mc = F.floor(
+        (F.col("ca") - F.col("beta") * F.col("cb")) * 100 + F.lit(0.5)
+    ).cast("long")
+    sp = withb.select("day", "ca", "cb", "beta", spread_mc.alias("smc"))
+    mom = sp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("smc").alias("s1"),
+        F.sum(F.col("smc") * F.col("smc")).alias("s2"),
+    )
+    out = sp.crossJoin(F.broadcast(mom))
+    varn = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    # z = (x − mean)/sample_std reduces to (n·x − s1)/√(varn·n/(n−1))
+    # with varn = n·s2 − s1² — exact integer operands, one sqrt
+    z = F.when(
+        varn > 0,
+        (F.col("n") * F.col("smc") - F.col("s1")).cast("double")
+        / F.sqrt(
+            varn
+            * F.col("n").cast("double")
+            / (F.col("n") - 1).cast("double")
+        ),
+    )
+    return out.select(
+        "day",
+        (F.col("ca") / 100.0).alias("close_a"),
+        (F.col("cb") / 100.0).alias("close_b"),
+        _q(F.col("beta"), PAIRS_Z).alias("beta"),
+        (F.col("smc") / 10000.0).alias("spread"),
+        _q(z, PAIRS_Z).alias("spread_z"),
+    )
+
+
+@register(
+    "q_pairs_signal",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN ('{PAIRS_A}', '{PAIRS_B}')
+    ), w AS (
+      SELECT *,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), j AS (
+      SELECT a.day, a.c_c AS ca, b.c_c AS cb
+      FROM bars a JOIN bars b ON a.day = b.day
+      WHERE a.event_type = '{PAIRS_A}' AND b.event_type = '{PAIRS_B}'
+    ), ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cb) AS BIGINT) AS sx, CAST(sum(ca) AS BIGINT) AS sy,
+             CAST(sum(cb * ca) AS BIGINT) AS sxy,
+             CAST(sum(cb * cb) AS BIGINT) AS sxx
+      FROM j
+    ), sp AS (
+      SELECT day, ca, cb,
+             CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
+               / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE) AS beta,
+             CAST(floor((ca - (CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
+                   / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE)) * cb)
+                   * 100 + 0.5) AS BIGINT) AS smc
+      FROM j, ols o
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(smc) AS BIGINT) AS s1,
+             CAST(sum(smc * smc) AS BIGINT) AS s2
+      FROM sp
+    )
+    SELECT day, ca / 100.0 AS close_a, cb / 100.0 AS close_b,
+           floor(beta * {PAIRS_Z} + 0.5) / {PAIRS_Z} AS beta,
+           smc / 10000.0 AS spread,
+           CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+             floor(CAST(m.n * smc - m.s1 AS DOUBLE)
+                   / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                          * CAST(m.n AS DOUBLE) / CAST(m.n - 1 AS DOUBLE))
+                   * {PAIRS_Z} + 0.5) / {PAIRS_Z}
+           END AS spread_z
+    FROM sp, mom m
+    """,
+    doc=f"Pairs-trading signal ({PAIRS_A} vs {PAIRS_B}): OLS hedge "
+    "ratio from BIGINT power sums (one division), per-day residual "
+    "spread fixed to integer milli-cents BEFORE the cross-day moment "
+    "sums (no float accumulation), spread z-score with one sqrt — the "
+    "stat-arb entry/exit feed. Calendar-bounded after the bar rollup",
+)
+def q_pairs_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pairs_signal(load(spark, sf_dir, "events"))

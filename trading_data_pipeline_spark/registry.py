@@ -59,6 +59,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # A duplicate name would silently SHADOW an existing operator
+        # (last import wins) — the registry, driver windows, docs index
+        # and parity harness would all quietly test the wrong plan.
+        # Happened once in round 8 (a second q_lateral_topn); fail loud.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered by {_REGISTRY[name].fn.__module__}"
+            )
         _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn
     return deco
@@ -258,17 +267,22 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
 # ROUND-10 WINDOW (apply at the start of round 10 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-9 window). Composition: canaries; the 6 round-8 session
-# additions (E174–E179, never driver-verified); then 42
-# re-verification slots selected programmatically as the queries with
-# the OLDEST last-green driver row (15 from round 2, 27 from round 3 —
-# the deepest re-verification debt once the r8/r9 windows land).
+# round-9 window). Composition: canaries; the 12 round-8 session
+# additions (E174–E179 + the second batch E182–E186, never
+# driver-verified); then 37 re-verification slots selected
+# programmatically as the queries with the OLDEST last-green driver
+# row (15 from round 2, 22 from round 3 — the deepest re-verification
+# debt once the r8/r9 windows land). Five round-3 slots were displaced
+# for the second batch: all five are bench headliners that run in
+# every BENCH_rN (the round-7-verdict-approved swap).
 # At round-10 open, set ``_PRIORITY = _PRIORITY_ROUND10``.
 _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
     # round-8 session additions, never driver-verified
     "q_ndcg", "q_triple_barrier", "q_mann_whitney",
     "q_volume_concentration", "q_srm_check", "q_label_balance",
+    "q_donchian", "q_acf_profile", "q_xsec_momentum", "q_pairs_signal",
+    "q_embedding_norms",
     # re-verification: newest green rows date to round 2
     "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
     "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
@@ -276,14 +290,12 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_string_funcs", "q_window_rank", "q_window_running",
     # re-verification: newest green rows date to round 3
     "q_asof_pandas", "q_contamination", "q_curation_pipeline",
-    "q_dataset_split", "q_dedup_embed", "q_dedup_exact", "q_dedup_ngram",
+    "q_dataset_split", "q_dedup_embed", "q_dedup_ngram",
     "q_filter_date", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
     "q_json_extract", "q_lang_id", "q_multimodal_meta",
     "q_quality_filter", "q_quality_repetition", "q_range_join",
-    "q_redact", "q_scan_partition", "q_sentiment_lexicon",
-    "q_sequence_packing", "q_session_window", "q_simhash",
-    "q_source_stats", "q_stratified_sample", "q_text_stats",
-    "q_token_count",
+    "q_redact", "q_scan_partition", "q_sequence_packing",
+    "q_source_stats", "q_stratified_sample", "q_token_count",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
