@@ -212,6 +212,10 @@ EXTRAS = [
     "q_xsec_momentum",
     "q_pairs_signal",
     "q_embedding_norms",
+    "q_imbalance_profile",
+    "q_exec_shortfall",
+    "q_pack_efficiency",
+    "q_power_analysis",
 ]
 
 RUNS = 3

@@ -6,10 +6,15 @@ make the plan shape part of the contract."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 from pyspark.sql import functions as F
 
 from trading_data_pipeline_spark.registry import all_queries, load
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def plan_of(df) -> str:
@@ -212,12 +217,19 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir, queries):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_sequence_packing_single_exchange(spark, sf_dir, queries):
-    """Packing is one window over the shard key: exactly one hash
-    exchange (shards pack independently — no global coordination)."""
+def test_sequence_packing_two_pass_shape(spark, sf_dir, queries):
+    """Packing is the round-8 two-pass decomposition: within-(source,
+    doc_id-bucket) windows + per-bucket offsets joined back — a bounded
+    shuffle budget and NEVER a per-source window over the raw corpus
+    (source has ~5 values; the old single-exchange shape was one sort
+    task per shard, flagged by plan_audit's low-cardinality check)."""
     plan = plan_of(queries["q_sequence_packing"].fn(spark, sf_dir))
-    assert "SinglePartition" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from plan_audit import lowcard_windows
+
+    assert not lowcard_windows(plan), plan
 
 
 def test_heavy_hitters_and_leakage_shuffle_budgets(spark, sf_dir, queries):
@@ -752,12 +764,18 @@ def test_time_rollup_reuses_hour_exchange(spark, sf_dir, queries):
     assert "ReusedExchange" in plan, plan
 
 
-def test_quantile_normalize_single_exchange(spark, sf_dir, queries):
-    """Rank + group count share the event_type partitioning: one exchange,
-    no global window funnel."""
+def test_quantile_normalize_two_pass_shape(spark, sf_dir, queries):
+    """Rank decomposes as the (type, value) histogram cumsum + a
+    within-(type, value) row_number joined back — bounded exchanges and
+    NEVER a per-type rank window over raw events (the old one-exchange
+    shape sorted a type's full stream in one task)."""
     plan = plan_of(queries["q_quantile_normalize"].fn(spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "Exchange SinglePartition" not in plan, plan
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from plan_audit import lowcard_windows
+
+    assert not lowcard_windows(plan), plan
 
 
 def test_interval_join_is_equi_not_nested_loop(spark, sf_dir, queries):

@@ -195,7 +195,8 @@ def test_round10_window_proposal_is_sound():
         "q_ndcg", "q_triple_barrier", "q_mann_whitney",
         "q_volume_concentration", "q_srm_check", "q_label_balance",
         "q_donchian", "q_acf_profile", "q_xsec_momentum",
-        "q_pairs_signal", "q_embedding_norms",
+        "q_pairs_signal", "q_embedding_norms", "q_imbalance_profile",
+        "q_exec_shortfall", "q_pack_efficiency", "q_power_analysis",
     }
     missing = new_ops - set(_PRIORITY_ROUND10)
     assert not missing, f"round-8 additions missing from round-10 window: {sorted(missing)}"

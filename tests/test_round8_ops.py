@@ -269,3 +269,85 @@ def test_embedding_norms_hand_computed(spark):
     assert r.mean_sq_norm == math.floor(125 / 3 * 10**6 + 0.5) / 10**6
     assert (r.p50_norm, r.p99_norm) == (5.0, 10.0)
 
+
+
+def test_imbalance_profile_hand_computed(spark):
+    """Prices 100,101,102,101 sizes 10,20,30,40 in one hour: first row
+    carries no sign (excluded), then buy 20+30, sell 40 ->
+    imbalance (50-40)/90."""
+    from trading_data_pipeline_spark.operators.microstructure_queries import (
+        imbalance_profile,
+    )
+
+    rows = [
+        (1, 1, "x", 100.0, 10, 1),
+        (2, 1, "x", 101.0, 20, 1),
+        (3, 1, "x", 102.0, 30, 1),
+        (4, 1, "x", 101.0, 40, 1),
+    ]
+    r = imbalance_profile(_ev(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.hr, row.n_trades, row.buy, row.sell) == (12, 3, 50, 40)
+    assert row.imbalance == math.floor(10 / 90 * 10**6 + 0.5) / 10**6
+
+
+def test_exec_shortfall_hand_computed(spark):
+    """Arrival 100.00, fills 10@100 + 10@110: VWAP 105 -> +500 bps."""
+    from trading_data_pipeline_spark.operators.trading_queries import (
+        exec_shortfall,
+    )
+
+    rows = [
+        (1, 1, "x", 100.0, 10, 7),
+        (2, 1, "x", 110.0, 10, 7),
+    ]
+    r = exec_shortfall(_ev(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.user_id, row.arrival, row.vol) == (7, 100.0, 20)
+    assert row.shortfall_bps == 500.0
+
+
+def test_pack_efficiency_hand_computed(spark):
+    """Token counts 512, 512, 100 pack as three packs (512, 512, 100):
+    mean fill 1124/1536, full share 2/3."""
+    from trading_data_pipeline_spark.operators.quality_queries import (
+        pack_efficiency,
+    )
+
+    def txt(n):
+        return " ".join(["w"] * n)
+
+    docs = spark.createDataFrame(
+        [
+            (1, txt(512), "en", "s1", 1),
+            (2, txt(512), "en", "s1", 1),
+            (3, txt(100), "en", "s1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = pack_efficiency(docs).collect()[0]
+    assert (r.source, r.n_packs, r.tok) == ("s1", 3, 1124)
+    assert r.mean_fill == math.floor(1124 / 1536 * 10**6 + 0.5) / 10**6
+    assert r.full_share == math.floor(2 / 3 * 10**6 + 0.5) / 10**6
+
+
+def test_power_analysis_hand_computed(spark):
+    """Per-user totals 100..400 cents, 2 users per arm: sigma and MDE
+    from the closed-form power formula with the injected z constants."""
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        PW_Z_ALPHA,
+        PW_Z_BETA,
+        power_analysis,
+    )
+
+    rows = [(u + 1, 1, "x", float(u + 1), 1, u) for u in range(4)]
+    # user u has one event of value (u+1).00 -> totals 100..400 cents
+    r = power_analysis(_ev(spark, rows)).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    sigma_c = math.sqrt((4 * 300000 - 1000**2) / (4.0 * 3.0))
+    mde_c = (PW_Z_ALPHA + PW_Z_BETA) * sigma_c * math.sqrt(2.0 / 2.0)
+    assert r.sigma == math.floor(sigma_c / 100.0 * 10**6 + 0.5) / 10**6
+    assert r.mde_abs == math.floor(mde_c / 100.0 * 10**6 + 0.5) / 10**6
+    assert r.mde_rel == math.floor(mde_c / 250.0 * 10**6 + 0.5) / 10**6

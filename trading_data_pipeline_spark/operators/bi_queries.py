@@ -1459,3 +1459,116 @@ def srm_check(events: DataFrame) -> DataFrame:
 )
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_check(load(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------------- power analysis
+
+PW_Z_ALPHA = 1.959964  # two-sided 5% (constant literal, both engines)
+PW_Z_BETA = 0.841621   # 80% power
+PW_SCALE = 10**6
+
+
+def power_analysis(events: DataFrame) -> DataFrame:
+    """A/B pre-test power analysis: the minimum detectable effect (MDE)
+    on the per-user total-value metric at α = 5% (two-sided) / 80%
+    power, given the CURRENT arm sizes — the go/no-go number read
+    BEFORE launching an experiment (q_srm_check's design-time
+    companion; an MDE above the plausible effect means the test is
+    underpowered and shouldn't run).
+
+    MDE = (z_α + z_β)·σ·√(2/n) with n = min(arm sizes) and σ the
+    pooled user-metric standard deviation. z constants are injected
+    literals; σ² comes from exact BIGINT power sums of per-user cent
+    totals; one sqrt chain at the end, degenerate (σ = 0 or n < 2)
+    rows NULL. Two partial-agged exchanges (user rollup + 1-row
+    stats)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    users = (
+        events.select("user_id", cents.alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("m"))
+    )
+    agg = users.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias(
+            "n_b"
+        ),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    varn = (n * s2 - s1 * s1).cast("double")
+    sigma = F.sqrt(varn / (n.cast("double") * (n - 1).cast("double")))
+    nmin = F.least(F.col("n_a"), F.col("n_b"))
+    mde = (
+        F.lit(PW_Z_ALPHA + PW_Z_BETA)
+        * sigma
+        * F.sqrt(F.lit(2.0) / nmin.cast("double"))
+    )
+    mean = s1.cast("double") / n.cast("double")
+    ok = (n > 1) & (varn > 0) & (nmin > 0)
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        _q(F.when(ok, sigma / 100.0), PW_SCALE).alias("sigma"),
+        _q(F.when(ok, mde / 100.0), PW_SCALE).alias("mde_abs"),
+        _q(
+            F.when(ok & (s1 != 0), mde / mean), PW_SCALE
+        ).alias("mde_rel"),
+    )
+
+
+@register(
+    "q_power_analysis",
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(m) AS BIGINT) AS s1,
+             CAST(sum(m * m) AS BIGINT) AS s2
+      FROM users
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+                 AND least(n_a, n_b) > 0 THEN
+             floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   / 100.0 * {PW_SCALE} + 0.5) / {PW_SCALE}
+           END AS sigma,
+           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+                 AND least(n_a, n_b) > 0 THEN
+             floor({PW_Z_ALPHA + PW_Z_BETA}
+                   * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   * sqrt(2.0 / CAST(least(n_a, n_b) AS DOUBLE))
+                   / 100.0 * {PW_SCALE} + 0.5) / {PW_SCALE}
+           END AS mde_abs,
+           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+                 AND least(n_a, n_b) > 0 AND s1 <> 0 THEN
+             floor({PW_Z_ALPHA + PW_Z_BETA}
+                   * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                   * sqrt(2.0 / CAST(least(n_a, n_b) AS DOUBLE))
+                   / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * {PW_SCALE} + 0.5) / {PW_SCALE}
+           END AS mde_rel
+    FROM agg
+    """,
+    doc="A/B power analysis: minimum detectable effect on the per-user "
+    "total-value metric at 5%/80% with current arm sizes — the "
+    "design-time gate next to q_srm_check. Injected z constants, "
+    "BIGINT power sums, one sqrt chain; degenerate inputs NULL",
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return power_analysis(load(spark, sf_dir, "events"))

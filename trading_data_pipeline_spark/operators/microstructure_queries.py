@@ -1129,3 +1129,84 @@ def markouts(
 )
 def q_markout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markouts(load(spark, sf_dir, "events"))
+
+
+# -------------------------------------------- intraday flow imbalance
+
+IMB_SCALE = 10**6
+
+
+def imbalance_profile(events: DataFrame) -> DataFrame:
+    """Intraday order-flow imbalance heatmap: tick-rule buy/sell volume
+    per (event_type, hour-of-day) and the normalized imbalance
+    (buy − sell)/(buy + sell) — where in the session the flow leans,
+    the companion to q_seasonal_profile's count seasonality and the
+    input to intraday execution scheduling.
+
+    Signs come from the shared two-pass ``_tick_signed`` (no raw-event
+    window); everything after is one partial-agged exchange to the
+    |types|·24 grid. BIGINT volume sums; zero-volume cells pin the
+    ratio to 0.0 on both engines (0/0 guard)."""
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    signed = _tick_signed(events, {"q": qty}).filter(F.col("s").isNotNull())
+    agg = signed.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.when(F.col("s") > 0, F.col("q")).otherwise(0)).alias("buy"),
+        F.sum(F.when(F.col("s") < 0, F.col("q")).otherwise(0)).alias("sell"),
+    )
+    vol = F.col("buy") + F.col("sell")
+    return agg.select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        "n_trades",
+        "buy",
+        "sell",
+        F.when(vol == 0, F.lit(0.0))
+        .otherwise(_q((F.col("buy") - F.col("sell")) / vol, IMB_SCALE))
+        .alias("imbalance"),
+    )
+
+
+@register(
+    "q_imbalance_profile",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id, {_CENTS} AS c,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+    ), d AS (
+      SELECT *, CASE WHEN c - lag(c) OVER w > 0 THEN 1
+                     WHEN c - lag(c) OVER w < 0 THEN -1 END AS s0
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_type, ts, q,
+             last_value(s0 IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d
+    ), agg AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN s > 0 THEN q ELSE 0 END) AS BIGINT) AS buy,
+             CAST(sum(CASE WHEN s < 0 THEN q ELSE 0 END) AS BIGINT) AS sell
+      FROM s WHERE s IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, hr, n_trades, buy, sell,
+           CASE WHEN buy + sell = 0 THEN 0.0
+                ELSE floor((buy - sell) * 1.0 / (buy + sell)
+                           * {IMB_SCALE} + 0.5) / {IMB_SCALE}
+           END AS imbalance
+    FROM agg
+    """,
+    doc="Intraday flow-imbalance heatmap per (type, hour): tick-rule "
+    "buy/sell volume and (buy−sell)/(buy+sell) — where the flow leans "
+    "inside the session. Two-pass carried signs (no raw-event window), "
+    "one exchange to the |types|x24 grid, BIGINT sums, 0-volume cells "
+    "pinned 0.0",
+)
+def q_imbalance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return imbalance_profile(load(spark, sf_dir, "events"))

@@ -724,3 +724,118 @@ def q_score_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         _q((F.col("_grn") - 1) / F.lit(float(max(n - 1, 1))), 1_000_000).alias("pct"),
     )
+
+
+# ------------------------------------------------- packing efficiency
+
+PACK_EFF_SCALE = 10**6
+
+
+def pack_efficiency(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Packing-efficiency audit over q_sequence_packing's assignment:
+    per source shard — pack count, mean fill ratio (tokens per pack /
+    budget) and the share of packs at ≥90% fill. The wasted-compute
+    number a training run reads before launching: fill < 1 is padding,
+    fill > 1 is the doc that straddles its pack boundary (greedy
+    packing closes a pack only after it overflows, so the LAST doc of
+    a pack can push it past budget — documented, not a bug).
+
+    All-integer pack sums; two divisions per shard; the ≥90% test is
+    the integer cross-multiplication 10·tokens ≥ 9·budget."""
+    from pyspark.sql import Window
+
+    from ..functions.quantize import q as _q
+
+    n_tokens = F.size(F.split("text", " "))
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.expr("CAST(doc_id DIV 4096 AS BIGINT)").alias("_bk"),
+    )
+    wbk = (
+        Window.partitionBy("source", "_bk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("_cum_in", F.sum("n_tokens").over(wbk))
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "_bk")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "source",
+            "_bk",
+            F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"),
+        )
+    )
+    packed = within.join(offsets, ["source", "_bk"]).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"CAST((_off + _cum_in - n_tokens) DIV {int(budget)} AS BIGINT)"
+        ).alias("pack_id"),
+    )
+    packs = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").alias("ptok")
+    )
+    agg = packs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("ptok").alias("tok"),
+        F.sum(
+            F.when(F.col("ptok") * 10 >= 9 * budget, 1).otherwise(0)
+        ).alias("n_full"),
+    )
+    return agg.select(
+        "source",
+        "n_packs",
+        "tok",
+        _q(F.col("tok") / (F.col("n_packs") * budget), PACK_EFF_SCALE).alias(
+            "mean_fill"
+        ),
+        _q(F.col("n_full") / F.col("n_packs"), PACK_EFF_SCALE).alias(
+            "full_share"
+        ),
+    )
+
+
+@register(
+    "q_pack_efficiency",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER
+                 (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) / 512) AS BIGINT) AS pack_id
+      FROM t
+    ), packs AS (
+      SELECT source, pack_id, CAST(sum(n_tokens) AS BIGINT) AS ptok
+      FROM packed GROUP BY source, pack_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(ptok) AS BIGINT) AS tok,
+           floor(sum(ptok) * 1.0 / (count(*) * 512)
+                 * {PACK_EFF_SCALE} + 0.5) / {PACK_EFF_SCALE} AS mean_fill,
+           floor(sum(CASE WHEN ptok * 10 >= 9 * 512 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*) * {PACK_EFF_SCALE} + 0.5)
+             / {PACK_EFF_SCALE} AS full_share
+    FROM packs GROUP BY source
+    """,
+    doc="Packing-efficiency audit per source shard: pack count, mean "
+    "fill vs the 512-token budget, share of >=90%-full packs — the "
+    "padding-waste number read before a training launch. Integer pack "
+    "sums over the q_sequence_packing two-pass assignment, two "
+    "divisions per shard",
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_efficiency(load(spark, sf_dir, "documents"))

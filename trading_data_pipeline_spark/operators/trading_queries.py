@@ -1234,3 +1234,85 @@ def pairs_signal(
 )
 def q_pairs_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_signal(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------- implementation shortfall
+
+SHORTFALL_SCALE = 100  # 0.01-bps fixed point
+
+
+def exec_shortfall(events: DataFrame) -> DataFrame:
+    """Per-(user, day) implementation shortfall: the volume-weighted
+    average execution price versus the day's arrival price (the user's
+    first print), in basis points — the execution-quality report card
+    every desk produces per account per day (Perold's implementation-
+    shortfall decomposition, paper-portfolio side omitted: no order
+    intents in the tape).
+
+    Exactness: arrival is min_by cents over (ts, event_id); the VWAP
+    never materializes as a float — shortfall_bps =
+    (Σc·q − arrival·Σq)·10⁴ / (arrival·Σq) is ONE division of exact
+    BIGINTs, quantized to 0.01 bps. One (user, day) partial-agged
+    exchange; zero-volume or zero-arrival days drop."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    qty = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    base = events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        cents.alias("c"),
+        qty.alias("q"),
+    )
+    agg = base.groupBy("user_id", "day").agg(
+        F.min_by("c", F.struct("ts", "event_id")).alias("arrival_c"),
+        F.sum(F.col("c") * F.col("q")).alias("cq"),
+        F.sum("q").alias("vol"),
+    ).filter((F.col("vol") > 0) & (F.col("arrival_c") > 0))
+    num = (F.col("cq") - F.col("arrival_c") * F.col("vol")) * 10000
+    den = F.col("arrival_c") * F.col("vol")
+    return agg.select(
+        "user_id",
+        "day",
+        (F.col("arrival_c") / 100.0).alias("arrival"),
+        "vol",
+        _q(num / den, SHORTFALL_SCALE).alias("shortfall_bps"),
+    )
+
+
+@register(
+    "q_exec_shortfall",
+    f"""
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             coalesce(json_extract_string(props, '$.k')::BIGINT, 0) AS q
+      FROM events
+    ), w AS (
+      SELECT *,
+             first_value(c) OVER
+               (PARTITION BY user_id, day ORDER BY ts, event_id)
+               AS arrival0
+      FROM base
+    ), agg AS (
+      SELECT user_id, day,
+             CAST(min(arrival0) AS BIGINT) AS arrival_c,
+             CAST(sum(c * q) AS BIGINT) AS cq,
+             CAST(sum(q) AS BIGINT) AS vol
+      FROM w GROUP BY user_id, day
+    )
+    SELECT user_id, day, arrival_c / 100.0 AS arrival, vol,
+           floor((cq - arrival_c * vol) * 10000.0 / (arrival_c * vol)
+                 * {SHORTFALL_SCALE} + 0.5) / {SHORTFALL_SCALE}
+             AS shortfall_bps
+    FROM agg WHERE vol > 0 AND arrival_c > 0
+    """,
+    doc="Implementation shortfall per (user, day): VWAP vs the day's "
+    "arrival print in bps — the per-account execution report card. "
+    "The VWAP never materializes as a float: one BIGINT-rational "
+    "division, quantized 0.01 bps; one (user, day) exchange",
+)
+def q_exec_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exec_shortfall(load(spark, sf_dir, "events"))

@@ -268,13 +268,16 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
 # round-9 window). Composition: canaries; the 12 round-8 session
-# additions (E174–E179 + the second batch E182–E186, never
-# driver-verified); then 37 re-verification slots selected
+# additions (E174–E179 + the later batches E182–E190, never
+# driver-verified); then 33 re-verification slots selected
 # programmatically as the queries with the OLDEST last-green driver
-# row (15 from round 2, 22 from round 3 — the deepest re-verification
-# debt once the r8/r9 windows land). Five round-3 slots were displaced
-# for the second batch: all five are bench headliners that run in
-# every BENCH_rN (the round-7-verdict-approved swap).
+# row (15 from round 2, 18 from round 3 — the deepest re-verification
+# debt once the r8/r9 windows land). Nine round-3 slots were
+# displaced for the later batches: five are bench headliners that run
+# in every BENCH_rN (the round-7-verdict-approved swap — never-
+# verified ops beat a 4th green row), plus q_redact, q_scan_partition,
+# q_source_stats and q_token_count (each r3-green; re-staged for the
+# round-11 rotation).
 # At round-10 open, set ``_PRIORITY = _PRIORITY_ROUND10``.
 _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
@@ -282,7 +285,8 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_ndcg", "q_triple_barrier", "q_mann_whitney",
     "q_volume_concentration", "q_srm_check", "q_label_balance",
     "q_donchian", "q_acf_profile", "q_xsec_momentum", "q_pairs_signal",
-    "q_embedding_norms",
+    "q_embedding_norms", "q_imbalance_profile", "q_exec_shortfall",
+    "q_pack_efficiency", "q_power_analysis",
     # re-verification: newest green rows date to round 2
     "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
     "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
@@ -294,8 +298,7 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_filter_date", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
     "q_json_extract", "q_lang_id", "q_multimodal_meta",
     "q_quality_filter", "q_quality_repetition", "q_range_join",
-    "q_redact", "q_scan_partition", "q_sequence_packing",
-    "q_source_stats", "q_stratified_sample", "q_token_count",
+    "q_sequence_packing", "q_stratified_sample",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
