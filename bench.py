@@ -216,6 +216,8 @@ EXTRAS = [
     "q_exec_shortfall",
     "q_pack_efficiency",
     "q_power_analysis",
+    "q_var_backtest",
+    "q_rolling_corr",
 ]
 
 RUNS = 3

@@ -197,6 +197,7 @@ def test_round10_window_proposal_is_sound():
         "q_donchian", "q_acf_profile", "q_xsec_momentum",
         "q_pairs_signal", "q_embedding_norms", "q_imbalance_profile",
         "q_exec_shortfall", "q_pack_efficiency", "q_power_analysis",
+        "q_var_backtest", "q_rolling_corr",
     }
     missing = new_ops - set(_PRIORITY_ROUND10)
     assert not missing, f"round-8 additions missing from round-10 window: {sorted(missing)}"

@@ -351,3 +351,53 @@ def test_power_analysis_hand_computed(spark):
     assert r.sigma == math.floor(sigma_c / 100.0 * 10**6 + 0.5) / 10**6
     assert r.mde_abs == math.floor(mde_c / 100.0 * 10**6 + 0.5) / 10**6
     assert r.mde_rel == math.floor(mde_c / 250.0 * 10**6 + 0.5) / 10**6
+
+
+def test_var_backtest_hand_computed(spark):
+    """12 daily moves, 8 train / 4 test: VaR = min train move (-1.00),
+    test breaches -2.00 and -1.50 -> 2/4, z = 1.8/sqrt(0.19)."""
+    from trading_data_pipeline_spark.operators.risk_queries import (
+        var_backtest,
+    )
+
+    moves = [-100, 50, 50, 50, 50, 50, 50, 50, -200, 10, -150, 20]
+    closes, c = [10000], 10000
+    for m in moves:
+        c += m
+        closes.append(c)
+    rows = [
+        (i + 1, i + 1, "x", cc / 100.0, 1, 1) for i, cc in enumerate(closes)
+    ]
+    r = var_backtest(_ev(spark, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n_train, row.n_test, row.var_95) == (8, 4, -1.0)
+    assert (row.n_breach, row.breach_rate) == (2, 0.5)
+    z = (2 - 4 * 0.05) / math.sqrt(4 * 0.05 * 0.95)
+    assert row.z == math.floor(z * 10**6 + 0.5) / 10**6
+
+
+def test_rolling_corr_perfect_tapes(spark):
+    """Identical alternating move series -> corr exactly 1.0 on every
+    full frame; mirrored series -> exactly -1.0."""
+    from trading_data_pipeline_spark.operators.indicators2_queries import (
+        rolling_corr,
+    )
+
+    def rows_for(sign):
+        out = []
+        ca = cb = 10000
+        out.append((1, 1, "click", ca / 100.0, 1, 1))
+        out.append((101, 1, "purchase", cb / 100.0, 1, 1))
+        for i in range(11):
+            m = 100 if i % 2 == 0 else -100
+            ca += m
+            cb += sign * m
+            out.append((2 + i, i + 2, "click", ca / 100.0, 1, 1))
+            out.append((102 + i, i + 2, "purchase", cb / 100.0, 1, 1))
+        return out
+
+    pos = rolling_corr(_ev(spark, rows_for(1))).collect()
+    assert len(pos) == 2 and all(r.corr == 1.0 for r in pos)
+    neg = rolling_corr(_ev(spark, rows_for(-1))).collect()
+    assert len(neg) == 2 and all(r.corr == -1.0 for r in neg)

@@ -855,3 +855,117 @@ def acf_profile(events: DataFrame, lags: int = ACF_LAGS) -> DataFrame:
 )
 def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_profile(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------- rolling correlation
+
+RCORR_N = 10
+RCORR_SCALE = 10**6
+RCORR_A = "click"
+RCORR_B = "purchase"
+
+
+def rolling_corr(
+    events: DataFrame,
+    type_a: str = RCORR_A,
+    type_b: str = RCORR_B,
+    n: int = RCORR_N,
+) -> DataFrame:
+    """Rolling ``n``-day Pearson correlation between two instruments'
+    daily close moves — the co-movement monitor a pairs desk watches
+    for regime breaks (q_pairs_signal gives the full-sample hedge;
+    this says when the relationship is drifting).
+
+    All five rolling sums are exact BIGINTs over the day-joined move
+    series; r is one double chain per day, degenerate (flat) frames
+    NULL; rows without a full frame drop. The joined series is
+    calendar-bounded (one row per shared trading day), so the single
+    ordered window holds thousands of rows, not the fact table."""
+    bars = daily_bars(events).filter(F.col("dc").isNotNull())
+    a = bars.filter(F.col("event_type") == type_a).select(
+        "day", F.col("dc").alias("x")
+    )
+    b = bars.filter(F.col("event_type") == type_b).select(
+        "day", F.col("dc").alias("y")
+    )
+    j = a.join(b, "day")
+    w = Window.orderBy("day")
+    wf = w.rowsBetween(-(n - 1), 0)
+    rolled = (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("sx", F.sum("x").over(wf))
+        .withColumn("sy", F.sum("y").over(wf))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(wf))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(wf))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(wf))
+        .filter(F.col("rn") >= n)
+    )
+    k = F.lit(n)
+    denx = (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (k * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (denx > 0) & (deny > 0),
+        (k * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt(denx) * F.sqrt(deny)),
+    )
+    return rolled.select("day", _q(r, RCORR_SCALE).alias("corr"))
+
+
+@register(
+    "q_rolling_corr",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             {_CENTS} AS cents
+      FROM events
+      WHERE event_type IN ('{RCORR_A}', '{RCORR_B}')
+    ), w AS (
+      SELECT *,
+             last_value(cents) OVER
+               (PARTITION BY event_type, day ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS c
+      FROM e
+    ), bars AS (
+      SELECT event_type, day, min(c) AS c_c
+      FROM w GROUP BY event_type, day
+    ), moves AS (
+      SELECT event_type, day,
+             c_c - lag(c_c) OVER (PARTITION BY event_type ORDER BY day)
+               AS dc
+      FROM bars
+    ), j AS (
+      SELECT a.day, a.dc AS x, b.dc AS y
+      FROM moves a JOIN moves b ON a.day = b.day
+      WHERE a.event_type = '{RCORR_A}' AND b.event_type = '{RCORR_B}'
+        AND a.dc IS NOT NULL AND b.dc IS NOT NULL
+    ), rolled AS (
+      SELECT day,
+             row_number() OVER dw AS rn,
+             CAST(sum(x) OVER f AS BIGINT) AS sx,
+             CAST(sum(y) OVER f AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER f AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER f AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER f AS BIGINT) AS syy
+      FROM j
+      WINDOW dw AS (ORDER BY day),
+             f AS (ORDER BY day
+                   ROWS BETWEEN {RCORR_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CASE WHEN {RCORR_N} * sxx - sx * sx > 0
+                 AND {RCORR_N} * syy - sy * sy > 0
+           THEN floor(CAST({RCORR_N} * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST({RCORR_N} * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST({RCORR_N} * syy - sy * sy AS DOUBLE)))
+                      * {RCORR_SCALE} + 0.5) / {RCORR_SCALE}
+           END AS corr
+    FROM rolled WHERE rn >= {RCORR_N}
+    """,
+    doc=f"Rolling {RCORR_N}-day Pearson correlation between "
+    f"{RCORR_A}/{RCORR_B} daily close moves — the pairs-desk regime "
+    "monitor. Exact BIGINT rolling sums over the calendar-bounded "
+    "day-joined series, one double chain per day, flat frames NULL",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_corr(load(spark, sf_dir, "events"))

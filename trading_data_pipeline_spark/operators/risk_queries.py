@@ -17,9 +17,9 @@ each exact until one final IEEE step:
   conditional and baseline means are integer sums divided once.
 
 Scale: VaR/Sharpe run on the (type, day) bar table (one exchange, the
-report1 shape). The event study's leads run per-type ordered windows on
-raw events — the same shape as q_window_lag; horizons are a 3-element
-stack over one exchange.
+report1 shape). The event study's leads use the q_markout two-pass
+global row index + horizon-exploded equi-join (round-8 rework) — no
+per-type window ever sorts the raw stream in one task.
 """
 
 from __future__ import annotations
@@ -594,3 +594,150 @@ def tail_dependence(events: DataFrame, pct: int = TAIL_PCT) -> DataFrame:
 )
 def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tail_dependence(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- VaR backtest
+
+VB_ALPHA_NUM, VB_ALPHA_DEN = 5, 100   # 95% VaR (exact rational 5/100)
+VB_SCALE = 10**6
+
+
+def var_backtest(events: DataFrame) -> DataFrame:
+    """VaR breach backtest per type: the 95% historical VaR estimated
+    on the FIRST two thirds of trading days is scored on the held-out
+    last third — breach count vs the 5% expectation as a binomial
+    z-score (the model-risk traffic light regulators run on desk VaR;
+    |z| > 2 means the VaR model is mis-calibrated).
+
+    Exactness: the train/test cut is an integer rank split over the
+    calendar-bounded bar table; VaR is the EXACT ⌈α·n_train⌉-th
+    smallest train move via a (type, move) value-histogram cumsum (the
+    q_interarrival shape, never a per-type sort of raw data); breaches
+    are integer comparisons (test move strictly below the VaR cut);
+    z = (x − m·α)/√(m·α(1−α)) is one double chain on exact operands
+    with the α literal identical in both plans. Types whose test leg
+    is empty drop."""
+    bars = daily_bars(events).filter(F.col("dc").isNotNull())
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = bars.select("event_type", "day", "dc").withColumn(
+        "rn", F.row_number().over(wt)
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    ntrain = F.expr("CAST((2 * n) DIV 3 AS BIGINT)")
+    b = b.withColumn("ntrain", ntrain).filter(F.col("ntrain") >= 1)
+    train = b.filter(F.col("rn") <= F.col("ntrain"))
+    test = b.filter(F.col("rn") > F.col("ntrain"))
+    hist = train.groupBy("event_type", "dc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("dc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wh = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.floor(
+        (F.lit(VB_ALPHA_NUM) * F.sum("cnt").over(wh)
+         + (VB_ALPHA_DEN - 1)) / F.lit(float(VB_ALPHA_DEN))
+    ).cast("long")
+    ranked = hist.select(
+        "event_type",
+        "dc",
+        F.sum("cnt").over(wv).alias("_cum"),
+        k.alias("_k"),
+        F.sum("cnt").over(wh).alias("n_train"),
+    )
+    var_cut = ranked.groupBy("event_type", "n_train").agg(
+        F.min(F.when(F.col("_cum") >= F.col("_k"), F.col("dc"))).alias(
+            "var_c"
+        )
+    )
+    scored = test.join(var_cut, "event_type").groupBy(
+        "event_type", "n_train", "var_c"
+    ).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("dc") < F.col("var_c"), 1).otherwise(0)
+        ).alias("n_breach"),
+    )
+    alpha = VB_ALPHA_NUM / VB_ALPHA_DEN
+    m = F.col("n_test").cast("double")
+    z = (F.col("n_breach").cast("double") - m * F.lit(alpha)) / F.sqrt(
+        m * F.lit(alpha * (1.0 - alpha))
+    )
+    return scored.select(
+        "event_type",
+        "n_train",
+        "n_test",
+        (F.col("var_c") / 100.0).alias("var_95"),
+        "n_breach",
+        _q(F.col("n_breach") / F.col("n_test"), VB_SCALE).alias(
+            "breach_rate"
+        ),
+        _q(z, VB_SCALE).alias("z"),
+    )
+
+
+@register(
+    "q_var_backtest",
+    f"""
+    WITH {_BARS_SQL}, b AS (
+      SELECT event_type, day, dc,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM moves WHERE dc IS NOT NULL
+    ), split AS (
+      SELECT *, CAST((2 * n) // 3 AS BIGINT) AS ntrain FROM b
+      WHERE (2 * n) // 3 >= 1
+    ), hist AS (
+      SELECT event_type, dc, CAST(count(*) AS BIGINT) AS cnt
+      FROM split WHERE rn <= ntrain GROUP BY event_type, dc
+    ), ranked AS (
+      SELECT event_type, dc,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dc
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS _cum,
+             CAST(floor(({VB_ALPHA_NUM} * sum(cnt) OVER
+                         (PARTITION BY event_type)
+                         + {VB_ALPHA_DEN - 1}) / {VB_ALPHA_DEN}.0)
+                  AS BIGINT) AS _k,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_train
+      FROM hist
+    ), var_cut AS (
+      SELECT event_type, n_train,
+             CAST(min(CASE WHEN _cum >= _k THEN dc END) AS BIGINT)
+               AS var_c
+      FROM ranked GROUP BY event_type, n_train
+    ), scored AS (
+      SELECT s.event_type, v.n_train, v.var_c,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN s.dc < v.var_c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_breach
+      FROM split s JOIN var_cut v ON v.event_type = s.event_type
+      WHERE s.rn > s.ntrain
+      GROUP BY s.event_type, v.n_train, v.var_c
+    )
+    SELECT event_type, n_train, n_test,
+           var_c / 100.0 AS var_95, n_breach,
+           floor(n_breach * 1.0 / n_test * {VB_SCALE} + 0.5) / {VB_SCALE}
+             AS breach_rate,
+           floor((n_breach - n_test * {VB_ALPHA_NUM / VB_ALPHA_DEN})
+                 / sqrt(n_test * {VB_ALPHA_NUM / VB_ALPHA_DEN}
+                        * {1.0 - VB_ALPHA_NUM / VB_ALPHA_DEN})
+                 * {VB_SCALE} + 0.5) / {VB_SCALE} AS z
+    FROM scored
+    """,
+    doc="VaR breach backtest per type: exact 95% historical VaR from "
+    "the first 2/3 of days (value-histogram order statistic), breach "
+    "count on the held-out third, binomial z vs the 5% expectation — "
+    "the desk-VaR traffic light. Integer splits/comparisons, one "
+    "double chain",
+)
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return var_backtest(load(spark, sf_dir, "events"))

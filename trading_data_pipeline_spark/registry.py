@@ -269,15 +269,15 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
 # exactly 50, canaries first, no duplicates, no overlap with the
 # round-9 window). Composition: canaries; the 12 round-8 session
 # additions (E174–E179 + the later batches E182–E190, never
-# driver-verified); then 33 re-verification slots selected
+# driver-verified); then 31 re-verification slots selected
 # programmatically as the queries with the OLDEST last-green driver
-# row (15 from round 2, 18 from round 3 — the deepest re-verification
-# debt once the r8/r9 windows land). Nine round-3 slots were
+# row (15 from round 2, 16 from round 3 — the deepest re-verification
+# debt once the r8/r9 windows land). Eleven round-3 slots were
 # displaced for the later batches: five are bench headliners that run
 # in every BENCH_rN (the round-7-verdict-approved swap — never-
 # verified ops beat a 4th green row), plus q_redact, q_scan_partition,
-# q_source_stats and q_token_count (each r3-green; re-staged for the
-# round-11 rotation).
+# q_source_stats, q_token_count, q_quality_filter and q_lang_id (each
+# r3-green; re-staged for the round-11 rotation).
 # At round-10 open, set ``_PRIORITY = _PRIORITY_ROUND10``.
 _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
@@ -286,7 +286,8 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_volume_concentration", "q_srm_check", "q_label_balance",
     "q_donchian", "q_acf_profile", "q_xsec_momentum", "q_pairs_signal",
     "q_embedding_norms", "q_imbalance_profile", "q_exec_shortfall",
-    "q_pack_efficiency", "q_power_analysis",
+    "q_pack_efficiency", "q_power_analysis", "q_var_backtest",
+    "q_rolling_corr",
     # re-verification: newest green rows date to round 2
     "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
     "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
@@ -296,8 +297,8 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_asof_pandas", "q_contamination", "q_curation_pipeline",
     "q_dataset_split", "q_dedup_embed", "q_dedup_ngram",
     "q_filter_date", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
-    "q_json_extract", "q_lang_id", "q_multimodal_meta",
-    "q_quality_filter", "q_quality_repetition", "q_range_join",
+    "q_json_extract", "q_multimodal_meta",
+    "q_quality_repetition", "q_range_join",
     "q_sequence_packing", "q_stratified_sample",
 )
 
