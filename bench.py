@@ -218,6 +218,12 @@ EXTRAS = [
     "q_power_analysis",
     "q_var_backtest",
     "q_rolling_corr",
+    # round-8 batch 5 (risk ratios)
+    "q_omega_ratio",
+    "q_hill_tail",
+    "q_kupiec_pof",
+    "q_ulcer_index",
+    "q_calmar",
 ]
 
 RUNS = 3

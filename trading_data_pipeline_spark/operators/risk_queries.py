@@ -682,10 +682,10 @@ def var_backtest(events: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_var_backtest",
-    f"""
-    WITH {_BARS_SQL}, b AS (
+# Shared CTE chain through `scored` (train/test split, exact VaR order
+# statistic, held-out breach counts) — reused by q_var_backtest here and
+# q_kupiec_pof in risk2_queries.
+_VB_SCORED_SQL = f"""{_BARS_SQL}, b AS (
       SELECT event_type, day, dc,
              row_number() OVER (PARTITION BY event_type ORDER BY day)
                AS rn,
@@ -722,7 +722,13 @@ def var_backtest(events: DataFrame) -> DataFrame:
       FROM split s JOIN var_cut v ON v.event_type = s.event_type
       WHERE s.rn > s.ntrain
       GROUP BY s.event_type, v.n_train, v.var_c
-    )
+    )"""
+
+
+@register(
+    "q_var_backtest",
+    f"""
+    WITH {_VB_SCORED_SQL}
     SELECT event_type, n_train, n_test,
            var_c / 100.0 AS var_95, n_breach,
            floor(n_breach * 1.0 / n_test * {VB_SCALE} + 0.5) / {VB_SCALE}

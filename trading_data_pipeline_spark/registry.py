@@ -336,6 +336,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_queries6,
         report1_queries,
         retrieval_queries,
+        risk2_queries,
         risk_queries,
         scale_ops,
         similarity_queries,
