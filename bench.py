@@ -224,6 +224,19 @@ EXTRAS = [
     "q_kupiec_pof",
     "q_ulcer_index",
     "q_calmar",
+    # round-8 batch 6 (range/flow indicators)
+    "q_williams_r",
+    "q_aroon",
+    "q_cci",
+    "q_vortex",
+    "q_chaikin",
+    "q_ichimoku",
+    # round-8 batch 7 (k-sample / resampling stat tests)
+    "q_kruskal_wallis",
+    "q_brown_forsythe",
+    "q_cramers_v",
+    "q_jackknife_sharpe",
+    "q_runs_test",
 ]
 
 RUNS = 3

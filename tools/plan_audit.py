@@ -102,6 +102,11 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_pairs_signal",     # 1-row OLS-beta + 1-row spread-moments
                           # scalars broadcast onto the calendar-sized
                           # day-pair table
+    "q_kruskal_wallis",   # 1-row tie-correction aggregate broadcast
+                          # onto the |types|-row rank-sum table
+    "q_cramers_v",        # 1-row (T, |r|, |c|) totals broadcast onto
+                          # the |r|×|c| cell table (the q_chi_square
+                          # shape)
 }
 
 

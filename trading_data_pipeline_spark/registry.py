@@ -319,6 +319,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         graph_queries,
         indicators2_queries,
+        indicators3_queries,
         indicators_queries,
         io_queries,
         lake_queries,
@@ -342,6 +343,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         sketch_queries,
         spark4_queries,
+        stattests2_queries,
         stattests_queries,
         text_queries,
         textqc_queries,
