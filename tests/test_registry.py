@@ -201,3 +201,33 @@ def test_round10_window_proposal_is_sound():
     }
     missing = new_ops - set(_PRIORITY_ROUND10)
     assert not missing, f"round-8 additions missing from round-10 window: {sorted(missing)}"
+
+
+def test_round11_window_proposal_is_sound():
+    """_PRIORITY_ROUND11 is the round-11 staged driver window — validated
+    now so renames can't silently break the rotation: every name
+    registered, exactly 50, canaries first, no duplicates, no overlap
+    with the round-10 window, and it must contain every late round-8
+    session addition (E193–E208, none has a driver row before round 11)."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND10,
+        _PRIORITY_ROUND11,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND11 if n not in qs]
+    assert not unknown, f"round-11 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND11) == 50, len(_PRIORITY_ROUND11)
+    assert len(set(_PRIORITY_ROUND11)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND11[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND11[2:]) & set(_PRIORITY_ROUND10)
+    assert not overlap, f"slots wasted on round-10-covered queries: {sorted(overlap)}"
+    new_ops = {
+        "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
+        "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
+        "q_chaikin", "q_ichimoku", "q_kruskal_wallis",
+        "q_brown_forsythe", "q_cramers_v", "q_jackknife_sharpe",
+        "q_runs_test",
+    }
+    missing = new_ops - set(_PRIORITY_ROUND11)
+    assert not missing, f"late round-8 additions missing from round-11 window: {sorted(missing)}"

@@ -302,6 +302,35 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_sequence_packing", "q_stratified_sample",
 )
 
+# ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
+# earlier). Validated NOW by tests/test_registry.py (names exist,
+# exactly 50, canaries first, no duplicates, no overlap with the
+# round-10 window). Composition: canaries; the 16 late round-8
+# session additions (E193–E208 — risk ratios, range/flow indicators,
+# and the stat-test batch, none with a driver row); then 32
+# re-verification slots with the OLDEST last-green rows not already
+# staged in the r8/r9/r10 windows (15 from round 3, 17 from round 4).
+# At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
+_PRIORITY_ROUND11: tuple[str, ...] = (
+    "q_report1", "q_dedup_near",
+    # late round-8 session additions, never driver-verified
+    "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
+    "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
+    "q_chaikin", "q_ichimoku", "q_kruskal_wallis", "q_brown_forsythe",
+    "q_cramers_v", "q_jackknife_sharpe", "q_runs_test",
+    # re-verification: newest green rows date to round 3
+    "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
+    "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
+    "q_simhash", "q_source_stats", "q_text_stats", "q_token_count",
+    "q_topn", "q_window_first", "q_window_lag", "q_window_last",
+    # re-verification: newest green rows date to round 4
+    "q_ann_ivf", "q_ann_lsh", "q_argminmax", "q_array_funcs",
+    "q_bitwise_agg", "q_collect_sorted", "q_conditional_agg",
+    "q_cross_join", "q_curation_full", "q_date_trunc",
+    "q_dedup_clusters", "q_exists_subquery", "q_heavy_hitters",
+    "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
+)
+
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
 # plan above; the round-7 list is kept for the no-wasted-slot check).
 _PRIORITY: tuple[str, ...] = _PRIORITY_ROUND8
