@@ -344,6 +344,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_queries,
         bi_queries,
         corpus2_queries,
+        corpus3_queries,
         corpus_queries,
         dedup_queries,
         graph_queries,
