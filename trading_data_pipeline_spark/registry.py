@@ -374,6 +374,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sketch_queries,
         spark4_queries,
         stattests2_queries,
+        stattests3_queries,
         stattests_queries,
         text_queries,
         textqc_queries,
