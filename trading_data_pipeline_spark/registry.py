@@ -350,6 +350,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_queries,
         indicators2_queries,
         indicators3_queries,
+        indicators4_queries,
         indicators_queries,
         io_queries,
         lake_queries,
