@@ -380,6 +380,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries,
         textqc_queries,
         trading_queries,
+        tsdiag_queries,
         volatility_queries,
         trainprep_queries,
         window_queries,
