@@ -237,6 +237,38 @@ EXTRAS = [
     "q_cramers_v",
     "q_jackknife_sharpe",
     "q_runs_test",
+    # round-8 batch 8 (corpus curation)
+    "q_gopher_rules",
+    "q_prefix_dedup",
+    "q_psi",
+    "q_mutual_info",
+    "q_brier",
+    "q_zipf_fit",
+    "q_token_entropy",
+    # round-8 batch 9 (OHLC range volatility)
+    "q_parkinson",
+    "q_garman_klass",
+    "q_rogers_satchell",
+    "q_yang_zhang",
+    "q_corwin_schultz",
+    # round-8 batch 10 (classical stat tests)
+    "q_jarque_bera",
+    "q_ljung_box",
+    "q_durbin_watson",
+    "q_anova",
+    "q_welch_t",
+    "q_cohens_kappa",
+    "q_bartlett",
+    # round-8 batch 11 (DMI / volume-flow indicators)
+    "q_adx",
+    "q_ultimate_osc",
+    "q_keltner",
+    "q_force_index",
+    "q_ease_of_movement",
+    # round-8 batch 12 (time-series diagnostics)
+    "q_hurst",
+    "q_granger",
+    "q_quantile_binning",
 ]
 
 RUNS = 3

@@ -228,6 +228,17 @@ def test_round11_window_proposal_is_sound():
         "q_chaikin", "q_ichimoku", "q_kruskal_wallis",
         "q_brown_forsythe", "q_cramers_v", "q_jackknife_sharpe",
         "q_runs_test",
+        # E209-E235 (corpus curation, range volatility, stat tests,
+        # indicators, ts diagnostics)
+        "q_gopher_rules", "q_prefix_dedup", "q_psi", "q_mutual_info",
+        "q_brier", "q_zipf_fit", "q_token_entropy",
+        "q_parkinson", "q_garman_klass", "q_rogers_satchell",
+        "q_yang_zhang", "q_corwin_schultz",
+        "q_jarque_bera", "q_ljung_box", "q_durbin_watson", "q_anova",
+        "q_welch_t", "q_cohens_kappa", "q_bartlett",
+        "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
+        "q_ease_of_movement",
+        "q_hurst", "q_granger", "q_quantile_binning",
     }
     missing = new_ops - set(_PRIORITY_ROUND11)
     assert not missing, f"late round-8 additions missing from round-11 window: {sorted(missing)}"

@@ -107,6 +107,14 @@ PRODUCT_JOIN_ALLOWLIST = {
     "q_cramers_v",        # 1-row (T, |r|, |c|) totals broadcast onto
                           # the |r|×|c| cell table (the q_chi_square
                           # shape)
+    "q_mutual_info",      # 1-row (mn, mx, n) range scalar broadcast
+                          # onto the scan, then three 1-row aggregates
+                          # (mi, hx, hy) folded into the output row
+    "q_brier",            # 1-row corpus doc-count broadcast onto the
+                          # token table + 1-row overall Brier onto the
+                          # ≤5-row reliability bins
+    "q_cohens_kappa",     # 1-row total broadcast onto the ≤9-row
+                          # confusion cells; po × pe 1-row × 1-row fold
 }
 
 

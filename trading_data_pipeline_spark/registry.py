@@ -305,30 +305,37 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
 # ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-10 window). Composition: canaries; the 16 late round-8
-# session additions (E193–E208 — risk ratios, range/flow indicators,
-# and the stat-test batch, none with a driver row); then 32
-# re-verification slots with the OLDEST last-green rows not already
-# staged in the r8/r9/r10 windows (15 from round 3, 17 from round 4).
+# round-10 window). Composition: canaries; ALL 43 round-8 session
+# additions without a driver row — the 16 early-session batches
+# (E193–E208: risk ratios, range/flow indicators, stat tests) plus
+# the 27 late-session batches (E209–E235: corpus curation, OHLC
+# range volatility, classical stat tests, DMI/volume-flow
+# indicators, time-series diagnostics); then 5 re-verification slots
+# with the OLDEST last-green rows (round 3) not already staged in the
+# r8/r9/r10 windows. Never-verified ops displace re-verification —
+# the round-7-verdict-approved swap; the remaining round-3/4 debt
+# re-stages in the round-12 rotation.
 # At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
 _PRIORITY_ROUND11: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
-    # late round-8 session additions, never driver-verified
+    # early round-8 session additions (E193–E208), never driver-verified
     "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
     "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
     "q_chaikin", "q_ichimoku", "q_kruskal_wallis", "q_brown_forsythe",
     "q_cramers_v", "q_jackknife_sharpe", "q_runs_test",
+    # late round-8 session additions (E209–E235), never driver-verified
+    "q_gopher_rules", "q_prefix_dedup", "q_psi", "q_mutual_info",
+    "q_brier", "q_zipf_fit", "q_token_entropy",
+    "q_parkinson", "q_garman_klass", "q_rogers_satchell",
+    "q_yang_zhang", "q_corwin_schultz",
+    "q_jarque_bera", "q_ljung_box", "q_durbin_watson", "q_anova",
+    "q_welch_t", "q_cohens_kappa", "q_bartlett",
+    "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
+    "q_ease_of_movement",
+    "q_hurst", "q_granger", "q_quantile_binning",
     # re-verification: newest green rows date to round 3
     "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
-    "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
-    "q_simhash", "q_source_stats", "q_text_stats", "q_token_count",
-    "q_topn", "q_window_first", "q_window_lag", "q_window_last",
-    # re-verification: newest green rows date to round 4
-    "q_ann_ivf", "q_ann_lsh", "q_argminmax", "q_array_funcs",
-    "q_bitwise_agg", "q_collect_sorted", "q_conditional_agg",
-    "q_cross_join", "q_curation_full", "q_date_trunc",
-    "q_dedup_clusters", "q_exists_subquery", "q_heavy_hitters",
-    "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
+    "q_scan_partition",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
