@@ -269,6 +269,11 @@ EXTRAS = [
     "q_hurst",
     "q_granger",
     "q_quantile_binning",
+    # round-8 batch 13 (jump/trend/unit-root + calibration)
+    "q_bipower",
+    "q_mann_kendall",
+    "q_adf",
+    "q_ece",
 ]
 
 RUNS = 3

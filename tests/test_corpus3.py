@@ -249,3 +249,26 @@ def test_token_entropy_hand_computed(spark):
     assert rows["s1"].perplexity == math.floor(math.exp(h1) * 10**4 + 0.5) / 10**4
     assert rows["s2"].entropy == 0.0
     assert rows["s2"].perplexity == 1.0
+
+
+def test_ece_hand_computed(spark):
+    """Same 4-doc fixture as the Brier test: bins {1,2,4} with
+    (conf, acc) = (0.25,1), (0.5,0), (1.0,0.5)."""
+    from trading_data_pipeline_spark.operators.corpus3_queries import ece
+
+    df = _docs(
+        spark,
+        [
+            (1, "w w w w", "en", "s1"),
+            (2, "w x x x", "en", "s1"),
+            (3, "w w x y", "de", "s1"),
+            (4, "w w w w", "de", "s1"),
+        ],
+    )
+    r = ece(df).collect()[0]
+    gaps = {1: (0.25, 1.0, 1), 2: (0.5, 0.0, 1), 4: (1.0, 0.5, 2)}
+    e = sum(n * abs(a - c) for c, a, n in gaps.values()) / 4
+    m = max(abs(a - c) for c, a, _ in gaps.values())
+    assert (r.n, r.n_bins) == (4, 3)
+    assert r.ece == _q6(e)
+    assert r.mce == _q6(m)

@@ -239,6 +239,7 @@ def test_round11_window_proposal_is_sound():
         "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
         "q_ease_of_movement",
         "q_hurst", "q_granger", "q_quantile_binning",
+        "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
     }
     missing = new_ops - set(_PRIORITY_ROUND11)
     assert not missing, f"late round-8 additions missing from round-11 window: {sorted(missing)}"

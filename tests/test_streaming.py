@@ -1364,3 +1364,93 @@ def test_streaming_markouts_aggregate_to_batch_means(spark, staged_events):
         for k, (n, s) in acc.items()
     }
     assert got == batch and batch
+
+
+def test_psi_stream_matches_python_fold_over_batches(spark, sf_dir, tmp_path):
+    """Streaming PSI monitor ≡ a pure-Python fold over the same
+    micro-batch sequence: per-day files replayed one per trigger; the
+    first batch per type freezes the reference histogram, every later
+    batch's PSI must match the reference fold exactly (same ln chain)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.registry import load
+    from trading_data_pipeline_spark.streaming.stateful import (
+        PSI_MN_C,
+        PSI_MX_C,
+        psi_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    days = [r.d for r in ev.select(F.dayofmonth("ts").alias("d")).distinct().collect()]
+    order = sorted(days)
+    src = str(tmp_path / "staged_psi")
+    for i, d in enumerate(order):
+        (
+            ev.filter(F.dayofmonth("ts") == d)
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(f"{src}/f={i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        psi_stream(stream)
+        .writeStream.format("memory")
+        .queryName("psi_mon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_type, r.seq): (r.batch_n, r.ref_n, r.psi)
+        for r in spark.sql("SELECT * FROM psi_mon").collect()
+    }
+
+    bins, width = 10, PSI_MX_C - PSI_MN_C + 1
+
+    def hist(vals):
+        h = [0] * bins
+        for v in vals:
+            c = int(math.floor(v * 100 + 0.5))
+            h[min(bins - 1, max(0, ((c - PSI_MN_C) * bins) // width))] += 1
+        return h
+
+    import collections
+
+    ref: dict = {}
+    seqs: dict = collections.defaultdict(int)
+    expect = {}
+    for i in range(len(order)):
+        pdf = spark.read.parquet(f"{src}/f={i:03d}").toPandas()
+        for etype, grp in pdf.groupby("event_type"):
+            cur = hist(grp["value"].tolist())
+            if etype not in ref:
+                ref[etype] = cur
+                expect[(etype, seqs[etype])] = (len(grp), len(grp), None)
+            else:
+                r = ref[etype]
+                nr, nc = sum(r), sum(cur)
+                psi = sum(
+                    ((r[b] + 1) / (nr + bins) - (cur[b] + 1) / (nc + bins))
+                    * math.log(
+                        ((r[b] + 1) / (nr + bins))
+                        / ((cur[b] + 1) / (nc + bins))
+                    )
+                    for b in range(bins)
+                )
+                expect[(etype, seqs[etype])] = (len(grp), nr, psi)
+            seqs[etype] += 1
+    assert set(got) == set(expect)
+    for k, (bn, rn, psi) in expect.items():
+        gbn, grn, gpsi = got[k]
+        assert (gbn, grn) == (bn, rn), k
+        if psi is None:
+            assert gpsi is None, k
+        else:
+            assert abs(gpsi - psi) < 1e-12, (k, gpsi, psi)

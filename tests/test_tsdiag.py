@@ -9,8 +9,10 @@ import json
 import math
 
 from trading_data_pipeline_spark.operators.tsdiag_queries import (
+    adf,
     granger,
     hurst,
+    mann_kendall,
     quantile_binning,
 )
 
@@ -134,3 +136,58 @@ def test_quantile_binning_hand_computed(spark):
     assert r[1].n == 3 and r[1].lo == 2.0 and r[1].hi == 2.0
     assert r[2].n == 2 and r[2].lo == 3.0 and r[2].hi == 3.0
     assert r[3].n == 2 and r[3].lo == 4.0 and r[3].hi == 5.0
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Closes [100,102,101,104,103]: S = sum of pair signs."""
+    closes = [100, 102, 101, 104, 103]
+    df = _ev(spark, {"a": closes})
+    r = mann_kendall(df).collect()[0]
+    n = len(closes)
+    s = sum(
+        (closes[j] > closes[i]) - (closes[j] < closes[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var = n * (n - 1) * (2 * n + 5) / 18.0  # no ties
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var)
+    assert r.n == n and r.s_stat == s
+    assert r.var_s == _q4(var)
+    assert r.z_stat == _q4(z)
+
+
+def test_mann_kendall_tie_correction(spark):
+    """Closes [100,100,101]: one tie pair of t=2 -> tie term 18."""
+    df = _ev(spark, {"a": [100, 100, 101]})
+    r = mann_kendall(df).collect()[0]
+    var = (3 * 2 * 11 - 2 * 1 * 9) / 18.0
+    assert r.s_stat == 2
+    assert r.var_s == _q4(var)
+
+
+def test_adf_hand_computed(spark):
+    """Closes for 'purchase': mean-reverting [100,105,98,106,97,107]."""
+    closes = [100, 105, 98, 106, 97, 107]
+    df = _ev(spark, {"purchase": closes})
+    r = adf(df).collect()[0]
+    y = closes
+    dy = [y[t] - y[t - 1] for t in range(2, len(y))]
+    z1 = [y[t - 1] for t in range(2, len(y))]
+    z2 = [y[t - 1] - y[t - 2] for t in range(2, len(y))]
+    n = len(dy)
+    sy, s1, s2 = sum(dy), sum(z1), sum(z2)
+    cyy = sum(v * v for v in dy) - sy * sy / n
+    c11 = sum(v * v for v in z1) - s1 * s1 / n
+    c22 = sum(v * v for v in z2) - s2 * s2 / n
+    c12 = sum(a * b for a, b in zip(z1, z2)) - s1 * s2 / n
+    c1y = sum(a * b for a, b in zip(dy, z1)) - s1 * sy / n
+    c2y = sum(a * b for a, b in zip(dy, z2)) - s2 * sy / n
+    det = c11 * c22 - c12 * c12
+    g = (c1y * c22 - c2y * c12) / det
+    dl = (c2y * c11 - c1y * c12) / det
+    rss = cyy - g * c1y - dl * c2y
+    t = g / math.sqrt(rss / (n - 3) * c22 / det)
+    assert r.n == n
+    assert r.gamma == _q4(g)
+    assert r.delta_lag == _q4(dl)
+    assert r.adf_t == _q4(t)

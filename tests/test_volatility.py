@@ -144,3 +144,36 @@ def test_corwin_schultz_hand_computed(spark):
     assert r.alpha_cs == _q6(alpha)
     assert r.spread == _q6(spread)
     assert r.spread_clamped == _q6(max(spread, 0.0))
+
+
+def test_bipower_hand_computed(spark):
+    """Moves [10, -20, 30] (from closes): RV = 1400 cents²,
+    BPV = (pi/2)(200+600)."""
+    from trading_data_pipeline_spark.operators.volatility_queries import (
+        bipower_variation,
+    )
+
+    ticks = [
+        (1, 1, 100), (2, 2, 110), (3, 3, 90), (4, 4, 120),
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                eid,
+                dt.datetime(2024, 1, day, 12, 0, 0),
+                1,
+                "trade",
+                float(px),
+                json.dumps({"k": 1}),
+            )
+            for eid, day, px in ticks
+        ],
+        EVENT_SCHEMA,
+    )
+    r = bipower_variation(df).collect()[0]
+    rv = (1000**2 + 2000**2 + 3000**2) / 10000.0
+    bpv = (math.pi / 2) * (1000 * 2000 + 2000 * 3000) / 10000.0
+    assert r.n == 3
+    assert r.rv == _q6(rv)
+    assert r.bpv == _q6(bpv)
+    assert r.jump_ratio == _q6(1 - bpv / rv)

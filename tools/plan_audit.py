@@ -115,6 +115,11 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # ≤5-row reliability bins
     "q_cohens_kappa",     # 1-row total broadcast onto the ≤9-row
                           # confusion cells; po × pe 1-row × 1-row fold
+    "q_ece",              # 1-row corpus doc-count broadcast onto the
+                          # token table (the q_brier scored pipeline)
+    "q_mann_kendall",     # calendar-bounded non-equi (day < day)
+                          # self-join of the |types|×|days| bar table —
+                          # ≤|calendar|² pairs per type by construction
 }
 
 

@@ -462,10 +462,8 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- Brier / reliability
 
 
-def brier_reliability(docs: DataFrame) -> DataFrame:
-    """Reliability diagram + Brier score for the common-token-ratio
-    probability p (token doc-freq ≥ DF_NUM/DF_DEN of the corpus)
-    against y = (lang = 'en')."""
+def _brier_scored(docs: DataFrame) -> DataFrame:
+    """(p, y) per doc: common-token-ratio probability vs lang='en'."""
     tok = (
         ensure_parallelism(docs)
         .select(
@@ -477,7 +475,7 @@ def brier_reliability(docs: DataFrame) -> DataFrame:
     )
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tok.groupBy("h").agg(F.countDistinct("doc_id").alias("dfq"))
-    scored = (
+    return (
         tok.join(dfreq, "h")
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id", "lang")
@@ -494,6 +492,13 @@ def brier_reliability(docs: DataFrame) -> DataFrame:
             (F.col("lang") == "en").cast("int").alias("y"),
         )
     )
+
+
+def brier_reliability(docs: DataFrame) -> DataFrame:
+    """Reliability diagram + Brier score for the common-token-ratio
+    probability p (token doc-freq ≥ DF_NUM/DF_DEN of the corpus)
+    against y = (lang = 'en')."""
+    scored = _brier_scored(docs)
     overall = scored.agg(
         F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
             "_brier"
@@ -711,3 +716,68 @@ def token_entropy(docs: DataFrame) -> DataFrame:
 )
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------- expected calibration error
+
+
+def ece(docs: DataFrame, bins: int = BRIER_BINS) -> DataFrame:
+    """Expected + maximum calibration error over the reliability bins:
+    ECE = Σ_b (n_b/n)·|acc_b − conf_b| — the one-number companion to
+    q_brier's diagram (same (p, y) construction)."""
+    scored = _brier_scored(docs)
+    b = F.least(F.lit(bins - 1), F.floor(F.col("p") * bins))
+    per = scored.groupBy(b.cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.avg("p").alias("conf"),
+        F.avg(F.col("y").cast("double")).alias("acc"),
+    )
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return per.agg(
+        F.sum("nb").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        _q(
+            F.sum(F.col("nb") * gap) / F.sum("nb"), 10**6
+        ).alias("ece"),
+        _q(F.max(gap), 10**6).alias("mce"),
+    )
+
+
+@register(
+    "q_ece",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfq FROM tok
+      GROUP BY t
+    ), scored AS (
+      SELECT tok.doc_id,
+             sum(CASE WHEN dfq * {DF_DEN} >= n_docs * {DF_NUM}
+                      THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS p,
+             CASE WHEN min(lang) = 'en' THEN 1 ELSE 0 END AS y
+      FROM tok JOIN dfreq ON tok.t = dfreq.t, nd
+      GROUP BY tok.doc_id
+    ), per AS (
+      SELECT CAST(least({BRIER_BINS - 1}, floor(p * {BRIER_BINS}))
+                  AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS nb,
+             avg(p) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(sum(nb) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           floor(sum(nb * abs(acc - conf)) / sum(nb) * 1000000 + 0.5)
+             / 1000000 AS ece,
+           floor(max(abs(acc - conf)) * 1000000 + 0.5) / 1000000 AS mce
+    FROM per
+    """,
+    doc="Expected + maximum calibration error over the q_brier "
+    "reliability bins (ECE = weighted |accuracy - confidence| gap) — "
+    "the one-number calibration summary",
+)
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ece(load(spark, sf_dir, "documents"))

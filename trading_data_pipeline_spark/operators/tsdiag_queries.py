@@ -343,3 +343,201 @@ def quantile_binning(events: DataFrame, b: int = BIN_B) -> DataFrame:
 )
 def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_binning(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------- Mann–Kendall
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per type on daily closes: S = Σ sign
+    pairs (exact integers via a calendar-bounded self-join), variance
+    with the tie correction Σt(t−1)(2t+5), one final z chain (the
+    continuity-corrected normal approximation)."""
+    b = daily_bars(events).select("event_type", "day", "c_c")
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.event_type") == F.col("c.event_type"))
+        & (F.col("a.day") < F.col("c.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(
+            (F.col("c.c_c") - F.col("a.c_c")).cast("double")
+        ).cast("long").alias("sg"),
+    )
+    s = pairs.groupBy("event_type").agg(F.sum("sg").alias("s"))
+    nt = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        b.groupBy("event_type", "c_c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie")
+        )
+    )
+    j = s.join(nt, "event_type").join(ties, "event_type")
+    n = F.col("n").cast("double")
+    var = (n * (n - 1.0) * (2.0 * n + 5.0) - F.col("tie")) / 18.0
+    z = F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var)).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "n",
+        F.col("s").alias("s_stat"),
+        _q(var, TS_SCALE).alias("var_s"),
+        _q(z, TS_SCALE).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_mann_kendall",
+    f"""
+    WITH {_BARS_SQL}, b AS (
+      SELECT event_type, day, c_c FROM bars
+    ), s AS (
+      SELECT a.event_type, CAST(sum(sign(c.c_c - a.c_c)) AS BIGINT) AS s
+      FROM b a JOIN b c
+        ON a.event_type = c.event_type AND a.day < c.day
+      GROUP BY a.event_type
+    ), nt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b
+      GROUP BY event_type
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+      FROM (SELECT event_type, c_c, count(*) AS t FROM b
+            GROUP BY event_type, c_c)
+      GROUP BY event_type
+    ), j AS (
+      SELECT s.event_type, s.s, nt.n, ties.tie,
+             (CAST(nt.n AS DOUBLE) * (nt.n - 1) * (2 * nt.n + 5)
+              - ties.tie) / 18.0 AS var
+      FROM s JOIN nt ON s.event_type = nt.event_type
+             JOIN ties ON s.event_type = ties.event_type
+    )
+    SELECT event_type, n, s AS s_stat,
+           floor(var * {TS_SCALE} + 0.5) / {TS_SCALE} AS var_s,
+           floor(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var)
+                      ELSE 0 END * {TS_SCALE} + 0.5)
+             / {TS_SCALE} AS z_stat
+    FROM j ORDER BY event_type
+    """,
+    doc="Mann-Kendall trend test per type on daily closes: exact "
+    "integer S over calendar-bounded day pairs, tie-corrected "
+    "variance, continuity-corrected z — the non-parametric trend "
+    "screen; pair cost bounded by |calendar|² per type",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_kendall(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------------ ADF
+
+
+def adf(events: DataFrame, etype: str = GR_Y) -> DataFrame:
+    """Dickey–Fuller test (one lagged difference, with intercept) on
+    one type's daily closes: Δy_t ~ α + γ·y_{t−1} + δ·Δy_{t−1}. The
+    2-regressor OLS and the t-statistic of γ are closed forms of
+    centered cross-moment sums; se(γ)² = s²·c22/det."""
+    w = Window.orderBy("day")
+    d = (
+        daily_bars(events)
+        .filter(F.col("event_type") == etype)
+        .select("day", F.col("c_c").alias("y"))
+        .withColumn("y1", F.lag("y").over(w))
+        .withColumn("y2", F.lag("y", 2).over(w))
+        .filter(F.col("y2").isNotNull())
+        .select(
+            (F.col("y") - F.col("y1")).alias("dy"),
+            F.col("y1").alias("z1"),
+            (F.col("y1") - F.col("y2")).alias("z2"),
+        )
+    )
+    a = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dy").alias("sy"),
+        F.sum("z1").alias("s1"),
+        F.sum("z2").alias("s2"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("z1") * F.col("z1")).alias("s11"),
+        F.sum(F.col("z2") * F.col("z2")).alias("s22"),
+        F.sum(F.col("z1") * F.col("z2")).alias("s12"),
+        F.sum(F.col("dy") * F.col("z1")).alias("s1y"),
+        F.sum(F.col("dy") * F.col("z2")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    g = (c1y * c22 - c2y * c12) / det
+    dl = (c2y * c11 - c1y * c12) / det
+    rss = cyy - g * c1y - dl * c2y
+    s2v = rss / (n - 3.0)
+    se_g = F.sqrt(s2v * c22 / det)
+    return a.select(
+        "n",
+        _q(g, TS_SCALE).alias("gamma"),
+        _q(dl, TS_SCALE).alias("delta_lag"),
+        _q(g / se_g, TS_SCALE).alias("adf_t"),
+    )
+
+
+@register(
+    "q_adf",
+    f"""
+    WITH {_BARS_SQL}, y AS (
+      SELECT day, c_c AS y,
+             lag(c_c) OVER (ORDER BY day) AS y1,
+             lag(c_c, 2) OVER (ORDER BY day) AS y2
+      FROM bars WHERE event_type = '{GR_Y}'
+    ), d AS (
+      SELECT CAST(y - y1 AS BIGINT) AS dy, CAST(y1 AS BIGINT) AS z1,
+             CAST(y1 - y2 AS BIGINT) AS z2
+      FROM y WHERE y2 IS NOT NULL
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dy) AS DOUBLE) AS sy, CAST(sum(z1) AS DOUBLE) AS s1,
+             CAST(sum(z2) AS DOUBLE) AS s2,
+             CAST(sum(dy * dy) AS DOUBLE) AS syy,
+             CAST(sum(z1 * z1) AS DOUBLE) AS s11,
+             CAST(sum(z2 * z2) AS DOUBLE) AS s22,
+             CAST(sum(z1 * z2) AS DOUBLE) AS s12,
+             CAST(sum(dy * z1) AS DOUBLE) AS s1y,
+             CAST(sum(dy * z2) AS DOUBLE) AS s2y
+      FROM d
+    ), c AS (
+      SELECT n, syy - sy * sy / n AS cyy, s11 - s1 * s1 / n AS c11,
+             s22 - s2 * s2 / n AS c22, s12 - s1 * s2 / n AS c12,
+             s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y
+      FROM a
+    ), o AS (
+      SELECT n, c22, c11 * c22 - c12 * c12 AS det,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS g,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS dl,
+             cyy, c1y, c2y
+      FROM c
+    )
+    SELECT n,
+           floor(g * {TS_SCALE} + 0.5) / {TS_SCALE} AS gamma,
+           floor(dl * {TS_SCALE} + 0.5) / {TS_SCALE} AS delta_lag,
+           floor(g / sqrt((cyy - g * c1y - dl * c2y) / (n - 3)
+                          * c22 / det) * {TS_SCALE} + 0.5)
+             / {TS_SCALE} AS adf_t
+    FROM o
+    """,
+    doc=f"Augmented Dickey-Fuller (1 lagged difference, intercept) on "
+    f"'{GR_Y}' daily closes: closed-form 2-regressor OLS from centered "
+    "cross-moments, t-stat of the unit-root coefficient; "
+    "calendar-sized input",
+)
+def q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return adf(load(spark, sf_dir, "events"))

@@ -368,3 +368,82 @@ def corwin_schultz(events: DataFrame) -> DataFrame:
 )
 def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corwin_schultz(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------- bipower variation / jumps
+
+from .microstructure_queries import _BARS_SQL, daily_bars  # noqa: E402
+
+BPV_MU1SQ_INV = math.pi / 2.0  # 1/mu_1^2, mu_1 = sqrt(2/pi)
+
+
+def bipower_variation(events: DataFrame) -> DataFrame:
+    """Barndorff-Nielsen–Shephard bipower variation vs realized
+    variance per type on daily close moves: RV = Σdc², BPV =
+    (π/2)·Σ|dc_i||dc_{i−1}| — BOTH integer sums (cents²) scaled once;
+    the relative jump measure is 1 − BPV/RV (≤0 clamped raw form kept).
+    Jump-robust because a single jump enters BPV only linearly."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily_bars(events)
+        .filter(F.col("dc").isNotNull())
+        .select("event_type", "day", F.col("dc").alias("x"))
+        .withColumn("px", F.lag("x").over(w))
+    )
+    a = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,0)")
+        ).alias("rv_i"),
+        F.sum(
+            F.when(
+                F.col("px").isNotNull(),
+                (F.abs("x") * F.abs("px")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("bp_i"),
+    )
+    rv = F.col("rv_i").cast("double") / 10000.0
+    bpv = F.lit(BPV_MU1SQ_INV) * F.col("bp_i").cast("double") / 10000.0
+    return a.select(
+        "event_type",
+        "n",
+        _q(rv, 10**6).alias("rv"),
+        _q(bpv, 10**6).alias("bpv"),
+        _q(1.0 - bpv / rv, 10**6).alias("jump_ratio"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_bipower",
+    f"""
+    WITH {_BARS_SQL}, mv AS (
+      SELECT event_type, day, dc AS x FROM moves WHERE dc IS NOT NULL
+    ), lagged AS (
+      SELECT event_type, day, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS px
+      FROM mv
+    ), a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x * x AS HUGEINT)) AS rv_i,
+             sum(CASE WHEN px IS NOT NULL
+                      THEN CAST(abs(x) * abs(px) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS bp_i
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(CAST(rv_i AS DOUBLE) / 10000.0 * 1000000 + 0.5)
+             / 1000000 AS rv,
+           floor({BPV_MU1SQ_INV!r} * CAST(bp_i AS DOUBLE) / 10000.0
+                 * 1000000 + 0.5) / 1000000 AS bpv,
+           floor((1 - ({BPV_MU1SQ_INV!r} * CAST(bp_i AS DOUBLE))
+                      / CAST(rv_i AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000 AS jump_ratio
+    FROM a ORDER BY event_type
+    """,
+    doc="Bipower variation vs realized variance per type "
+    "(Barndorff-Nielsen & Shephard 2004): RV and (pi/2)*sum|dc||dc_-1| "
+    "as exact HUGEINT sums, relative jump measure 1 - BPV/RV; "
+    "daily-bar two-pass input",
+)
+def q_bipower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bipower_variation(load(spark, sf_dir, "events"))

@@ -305,14 +305,15 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
 # ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-10 window). Composition: canaries; ALL 43 round-8 session
+# round-10 window). Composition: canaries; ALL 47 round-8 session
 # additions without a driver row — the 16 early-session batches
 # (E193–E208: risk ratios, range/flow indicators, stat tests) plus
-# the 27 late-session batches (E209–E235: corpus curation, OHLC
+# the 31 late-session batches (E209–E239: corpus curation, OHLC
 # range volatility, classical stat tests, DMI/volume-flow
-# indicators, time-series diagnostics); then 5 re-verification slots
-# with the OLDEST last-green rows (round 3) not already staged in the
-# r8/r9/r10 windows. Never-verified ops displace re-verification —
+# indicators, time-series diagnostics, jump/trend/unit-root tests,
+# calibration error); then 1 re-verification slot with the OLDEST
+# last-green row (round 3) not already staged in the r8/r9/r10
+# windows. Never-verified ops displace re-verification —
 # the round-7-verdict-approved swap; the remaining round-3/4 debt
 # re-stages in the round-12 rotation.
 # At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
@@ -333,9 +334,9 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
     "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
     "q_ease_of_movement",
     "q_hurst", "q_granger", "q_quantile_binning",
-    # re-verification: newest green rows date to round 3
-    "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
-    "q_scan_partition",
+    "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
+    # re-verification: newest green row dates to round 3
+    "q_dedup_exact",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged

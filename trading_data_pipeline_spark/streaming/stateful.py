@@ -1016,3 +1016,98 @@ def markout_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- PSI
+
+PSI_SCHEMA = (
+    "event_type string, seq long, batch_n long, ref_n long, psi double"
+)
+PSI_STATE = "ref array<long>, frozen int, seq long"
+PSI_BINS_S = 10
+PSI_MN_C, PSI_MX_C = 0, 40_000  # integer-cent bin range (test data <= $400)
+
+
+def psi_stream(
+    events: DataFrame,
+    bins: int = PSI_BINS_S,
+    mn_c: int = PSI_MN_C,
+    mx_c: int = PSI_MX_C,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the stateful twin of
+    ``operators.corpus3_queries.psi`` at micro-batch granularity: the
+    FIRST micro-batch per event_type freezes the reference histogram
+    (B fixed equal-width integer-cent bins over [mn_c, mx_c]); every
+    later batch emits its Laplace-smoothed (c+1)/(n+B) PSI against that
+    reference — the live 0.1/0.25-threshold drift dashboard.
+
+    State is O(B) longs per event_type; emission is one row per
+    (type, batch). Deterministic given the micro-batch sequence;
+    equivalence against a pure-Python fold over the same batch
+    boundaries is asserted in tests/test_streaming.py. ln enters only
+    in the final per-bin chain (the batch PSI contract), so stream and
+    batch folds agree bit-for-bit on the same counts.
+    """
+    import math as _math
+
+    width = mx_c - mn_c + 1
+
+    def _hist(vals) -> list:
+        h = [0] * bins
+        for v in vals:
+            c = int(_math.floor(v * 100 + 0.5))
+            b = min(bins - 1, max(0, ((c - mn_c) * bins) // width))
+            h[b] += 1
+        return h
+
+    def _psi(ref: list, cur: list) -> float:
+        nr, nc = sum(ref), sum(cur)
+        out = 0.0
+        for b in range(bins):
+            p = (ref[b] + 1) / (nr + bins)
+            q = (cur[b] + 1) / (nc + bins)
+            out += (p - q) * _math.log(p / q)
+        return out
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ref, frozen, seq = (
+            state.get if state.exists else ([0] * bins, 0, 0)
+        )
+        ref = list(ref)
+        pdf = pd.concat(list(pdfs))
+        cur = _hist(pdf["value"].tolist())
+        if not frozen:
+            # first batch for this key: becomes the reference
+            state.update((cur, 1, seq + 1))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "seq": [seq],
+                    "batch_n": [len(pdf)],
+                    "ref_n": [len(pdf)],
+                    "psi": [None],
+                }
+            )
+            return
+        state.update((ref, 1, seq + 1))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "batch_n": [len(pdf)],
+                "ref_n": [sum(ref)],
+                "psi": [_psi(ref, cur)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=PSI_SCHEMA,
+        stateStructType=PSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
