@@ -117,9 +117,9 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # confusion cells; po × pe 1-row × 1-row fold
     "q_ece",              # 1-row corpus doc-count broadcast onto the
                           # token table (the q_brier scored pipeline)
-    "q_mann_kendall",     # calendar-bounded non-equi (day < day)
-                          # self-join of the |types|×|days| bar table —
-                          # ≤|calendar|² pairs per type by construction
+    # (q_mann_kendall's day<day self-join equi-joins on event_type with
+    # the range predicate as a join filter — no product node, so it
+    # needs no allowlist entry)
 }
 
 
