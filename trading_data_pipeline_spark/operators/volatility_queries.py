@@ -46,10 +46,18 @@ _LN2 = math.log(2.0)
 _CS_DEN = 3.0 - 2.0 * math.sqrt(2.0)
 
 
+def _pos_bars(events: DataFrame) -> DataFrame:
+    """OHLCV bars restricted to positive-low days: a zero-cent print
+    (price rounding to $0.00) makes every log-ratio term undefined —
+    the published estimators assume strictly positive prices, so those
+    bars are excluded on BOTH engines."""
+    return _ohlcv(events).filter(F.col("l_c") > 0)
+
+
 def _with_prev(events: DataFrame) -> DataFrame:
     """OHLCV bars + previous close per type (for overnight/2-day terms)."""
     w = Window.partitionBy("event_type").orderBy("day")
-    b = _ohlcv(events)
+    b = _pos_bars(events)
     return b.select(
         "*",
         F.lag("c_c").over(w).alias("prev_c"),
@@ -58,12 +66,14 @@ def _with_prev(events: DataFrame) -> DataFrame:
     )
 
 
-_PREV_SQL = f"""{_OHLCV_SQL}, pb AS (
+_PREV_SQL = f"""{_OHLCV_SQL}, pos0 AS (
+      SELECT * FROM nbars WHERE l_c > 0
+    ), pb AS (
       SELECT *,
              lag(c_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c,
              lag(h_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_h,
              lag(l_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_l
-      FROM nbars
+      FROM pos0
     )"""
 
 
@@ -78,7 +88,7 @@ def parkinson(events: DataFrame) -> DataFrame:
     """σ_P per type: √(Σ ln²(H/L) / (4·ln2·n))."""
     lhl = _lhl()
     return (
-        _ohlcv(events)
+        _pos_bars(events)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
@@ -99,13 +109,15 @@ def parkinson(events: DataFrame) -> DataFrame:
 @register(
     "q_parkinson",
     f"""
-    WITH {_OHLCV_SQL}
+    WITH {_OHLCV_SQL}, pos AS (
+      SELECT * FROM nbars WHERE l_c > 0
+    )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            floor(sqrt(sum(ln(h_c / CAST(l_c AS DOUBLE))
                           * ln(h_c / CAST(l_c AS DOUBLE)))
                       / (4 * ln(2) * count(*))) * {VOL_SCALE} + 0.5)
              / {VOL_SCALE} AS sigma_p
-    FROM nbars GROUP BY event_type ORDER BY event_type
+    FROM pos GROUP BY event_type ORDER BY event_type
     """,
     doc="Parkinson (1980) high-low range volatility per type: "
     "sqrt(sum(ln^2(H/L)) / (4 ln2 n)) over the daily OHLC bar chain — "
@@ -125,7 +137,7 @@ def garman_klass(events: DataFrame) -> DataFrame:
     lco = F.log(F.col("c_c") / F.col("o_c").cast("double"))
     term = 0.5 * lhl * lhl - (2.0 * _LN2 - 1.0) * lco * lco
     return (
-        _ohlcv(events)
+        _pos_bars(events)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
@@ -145,7 +157,9 @@ def garman_klass(events: DataFrame) -> DataFrame:
 @register(
     "q_garman_klass",
     f"""
-    WITH {_OHLCV_SQL}
+    WITH {_OHLCV_SQL}, pos AS (
+      SELECT * FROM nbars WHERE l_c > 0
+    )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            floor(sqrt(sum(0.5 * ln(h_c / CAST(l_c AS DOUBLE))
                                 * ln(h_c / CAST(l_c AS DOUBLE))
@@ -154,7 +168,7 @@ def garman_klass(events: DataFrame) -> DataFrame:
                             * ln(c_c / CAST(o_c AS DOUBLE)))
                       / count(*)) * {VOL_SCALE} + 0.5)
              / {VOL_SCALE} AS sigma_gk
-    FROM nbars GROUP BY event_type ORDER BY event_type
+    FROM pos GROUP BY event_type ORDER BY event_type
     """,
     doc="Garman-Klass (1980) OHLC volatility per type: "
     "mean[0.5 ln^2(H/L) - (2ln2-1) ln^2(C/O)] — 7.4x close-to-close "
@@ -185,7 +199,7 @@ def rogers_satchell(events: DataFrame) -> DataFrame:
     """σ_RS per type: mean[ln(H/C)ln(H/O) + ln(L/C)ln(L/O)] —
     drift-independent."""
     return (
-        _ohlcv(events)
+        _pos_bars(events)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
@@ -205,11 +219,13 @@ def rogers_satchell(events: DataFrame) -> DataFrame:
 @register(
     "q_rogers_satchell",
     f"""
-    WITH {_OHLCV_SQL}
+    WITH {_OHLCV_SQL}, pos AS (
+      SELECT * FROM nbars WHERE l_c > 0
+    )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            floor(sqrt(sum({_RS_TERM_SQL}) / count(*)) * {VOL_SCALE} + 0.5)
              / {VOL_SCALE} AS sigma_rs
-    FROM nbars GROUP BY event_type ORDER BY event_type
+    FROM pos GROUP BY event_type ORDER BY event_type
     """,
     doc="Rogers-Satchell (1991) drift-independent OHLC volatility per "
     "type: mean[ln(H/C)ln(H/O) + ln(L/C)ln(L/O)]; one fact exchange",
