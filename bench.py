@@ -274,6 +274,10 @@ EXTRAS = [
     "q_mann_kendall",
     "q_adf",
     "q_ece",
+    # round-8 batch 14 (robust / resampling)
+    "q_hodges_lehmann",
+    "q_bootstrap_ci",
+    "q_assortativity",
 ]
 
 RUNS = 3

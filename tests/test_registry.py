@@ -240,6 +240,29 @@ def test_round11_window_proposal_is_sound():
         "q_ease_of_movement",
         "q_hurst", "q_granger", "q_quantile_binning",
         "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
+        "q_hodges_lehmann",
     }
     missing = new_ops - set(_PRIORITY_ROUND11)
     assert not missing, f"late round-8 additions missing from round-11 window: {sorted(missing)}"
+
+
+def test_round12_window_proposal_is_sound():
+    """_PRIORITY_ROUND12 is the round-12 staged driver window — the
+    batch-14 overflow (never driver-verified) plus the oldest
+    re-verification debt: every name registered, exactly 50, canaries
+    first, no duplicates, no overlap with the round-11 window."""
+    from trading_data_pipeline_spark.registry import (
+        _PRIORITY_ROUND11,
+        _PRIORITY_ROUND12,
+    )
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY_ROUND12 if n not in qs]
+    assert not unknown, f"round-12 window names not registered: {unknown}"
+    assert len(_PRIORITY_ROUND12) == 50, len(_PRIORITY_ROUND12)
+    assert len(set(_PRIORITY_ROUND12)) == 50, "duplicate names"
+    assert _PRIORITY_ROUND12[:2] == ("q_report1", "q_dedup_near")
+    overlap = set(_PRIORITY_ROUND12[2:]) & set(_PRIORITY_ROUND11)
+    assert not overlap, f"slots wasted on round-11-covered queries: {sorted(overlap)}"
+    missing = {"q_bootstrap_ci", "q_assortativity"} - set(_PRIORITY_ROUND12)
+    assert not missing, f"batch-14 overflow missing from round-12 window: {sorted(missing)}"

@@ -305,15 +305,16 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
 # ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-10 window). Composition: canaries; ALL 47 round-8 session
+# round-10 window). Composition: canaries; 48 of the 50 round-8 session
 # additions without a driver row — the 16 early-session batches
 # (E193–E208: risk ratios, range/flow indicators, stat tests) plus
 # the 31 late-session batches (E209–E239: corpus curation, OHLC
 # range volatility, classical stat tests, DMI/volume-flow
 # indicators, time-series diagnostics, jump/trend/unit-root tests,
-# calibration error); then 1 re-verification slot with the OLDEST
-# last-green row (round 3) not already staged in the r8/r9/r10
-# windows. Never-verified ops displace re-verification —
+# calibration error, robust location). The batch-14 overflow
+# (q_bootstrap_ci, q_assortativity) is staged in the round-12 window
+# below — every registered query has a green driver row or sits in
+# exactly one staged window. Never-verified ops displace re-verification —
 # the round-7-verdict-approved swap; the remaining round-3/4 debt
 # re-stages in the round-12 rotation.
 # At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
@@ -335,8 +336,37 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
     "q_ease_of_movement",
     "q_hurst", "q_granger", "q_quantile_binning",
     "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
-    # re-verification: newest green row dates to round 3
-    "q_dedup_exact",
+    "q_hodges_lehmann",
+)
+
+# ROUND-12 WINDOW (apply at the start of round 12 — do NOT apply
+# earlier). Validated NOW by tests/test_registry.py (names exist,
+# exactly 50, canaries first, no duplicates, no overlap with the
+# round-11 window). Composition: canaries; the round-8 batch-14
+# overflow the full round-11 window could not absorb
+# (q_bootstrap_ci, q_assortativity — never driver-verified); then 46
+# re-verification slots with the OLDEST last-green rows (15 from
+# round 3, 31 from round 4 — through q_tpch_q15) not staged in any other window.
+# At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
+_PRIORITY_ROUND12: tuple[str, ...] = (
+    "q_report1", "q_dedup_near",
+    # round-8 batch-14 overflow, never driver-verified
+    "q_bootstrap_ci", "q_assortativity",
+    # re-verification: newest green rows date to round 3
+    "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
+    "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
+    "q_simhash", "q_source_stats", "q_text_stats", "q_token_count",
+    "q_topn", "q_window_first", "q_window_lag", "q_window_last",
+    # re-verification: newest green rows date to round 4
+    "q_ann_ivf", "q_ann_lsh", "q_argminmax", "q_array_funcs",
+    "q_bitwise_agg", "q_collect_sorted", "q_conditional_agg",
+    "q_cross_join", "q_curation_full", "q_date_trunc",
+    "q_dedup_clusters", "q_exists_subquery", "q_heavy_hitters",
+    "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
+    "q_median", "q_ntile", "q_null_funcs", "q_regex_funcs", "q_regr",
+    "q_scalar_subquery", "q_split_leakage", "q_stats_agg",
+    "q_string_pad", "q_tfidf", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
@@ -377,6 +407,7 @@ def all_queries() -> dict[str, QuerySpec]:
         report1_queries,
         retrieval_queries,
         risk2_queries,
+        robust_queries,
         risk_queries,
         scale_ops,
         similarity_queries,
