@@ -278,6 +278,11 @@ EXTRAS = [
     "q_hodges_lehmann",
     "q_bootstrap_ci",
     "q_assortativity",
+    # round-8 batch 15 (monitoring / sequence information)
+    "q_cusum",
+    "q_trimmed_mean",
+    "q_markov_entropy",
+    "q_pastor_stambaugh",
 ]
 
 RUNS = 3

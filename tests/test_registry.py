@@ -264,5 +264,8 @@ def test_round12_window_proposal_is_sound():
     assert _PRIORITY_ROUND12[:2] == ("q_report1", "q_dedup_near")
     overlap = set(_PRIORITY_ROUND12[2:]) & set(_PRIORITY_ROUND11)
     assert not overlap, f"slots wasted on round-11-covered queries: {sorted(overlap)}"
-    missing = {"q_bootstrap_ci", "q_assortativity"} - set(_PRIORITY_ROUND12)
+    missing = {
+        "q_bootstrap_ci", "q_assortativity", "q_cusum",
+        "q_trimmed_mean", "q_markov_entropy", "q_pastor_stambaugh",
+    } - set(_PRIORITY_ROUND12)
     assert not missing, f"batch-14 overflow missing from round-12 window: {sorted(missing)}"

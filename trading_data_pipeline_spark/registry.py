@@ -344,14 +344,18 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
 # exactly 50, canaries first, no duplicates, no overlap with the
 # round-11 window). Composition: canaries; the round-8 batch-14
 # overflow the full round-11 window could not absorb
-# (q_bootstrap_ci, q_assortativity — never driver-verified); then 46
+# (q_bootstrap_ci, q_assortativity) plus the batch-15 quartet
+# (q_cusum, q_trimmed_mean, q_markov_entropy, q_pastor_stambaugh),
+# all never driver-verified; then 42
 # re-verification slots with the OLDEST last-green rows (15 from
-# round 3, 31 from round 4 — through q_tpch_q15) not staged in any other window.
+# round 3, 27 from round 4 — through q_tfidf) not staged in any other window.
 # At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
 _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
-    # round-8 batch-14 overflow, never driver-verified
+    # round-8 batch-14/15 overflow, never driver-verified
     "q_bootstrap_ci", "q_assortativity",
+    "q_cusum", "q_trimmed_mean", "q_markov_entropy",
+    "q_pastor_stambaugh",
     # re-verification: newest green rows date to round 3
     "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
     "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
@@ -365,8 +369,7 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
     "q_median", "q_ntile", "q_null_funcs", "q_regex_funcs", "q_regr",
     "q_scalar_subquery", "q_split_leakage", "q_stats_agg",
-    "q_string_pad", "q_tfidf", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15",
+    "q_string_pad", "q_tfidf",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
@@ -378,6 +381,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from .operators import (  # noqa: F401
         analytics2_queries,
+        analytics3_queries,
         analytics_queries,
         asof_queries,
         bi_queries,
