@@ -283,6 +283,11 @@ EXTRAS = [
     "q_trimmed_mean",
     "q_markov_entropy",
     "q_pastor_stambaugh",
+    # round-8 batch 16 (performance ratios / embedding geometry)
+    "q_dual_beta",
+    "q_k_ratio",
+    "q_rachev",
+    "q_embedding_isotropy",
 ]
 
 RUNS = 3
