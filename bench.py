@@ -288,6 +288,8 @@ EXTRAS = [
     "q_k_ratio",
     "q_rachev",
     "q_embedding_isotropy",
+    # round-8 batch 17 (importance resampling)
+    "q_dsir_weights",
 ]
 
 RUNS = 3

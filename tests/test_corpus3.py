@@ -272,3 +272,45 @@ def test_ece_hand_computed(spark):
     assert (r.n, r.n_bins) == (4, 3)
     assert r.ece == _q6(e)
     assert r.mce == _q6(m)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """3 docs (2 en, 1 de) over a 2-token vocab; expected per-gram
+    smoothed LLRs and doc scores recomputed from the DSIR definition."""
+    from trading_data_pipeline_spark.operators.corpus3_queries import (
+        LLR_SCALE,
+        dsir_weights,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "aa aa bb", "en", "s1"),
+            (2, "aa bb bb", "en", "s1"),
+            (3, "bb bb bb", "de", "s2"),
+        ],
+    )
+    rows = {r.source: r for r in dsir_weights(df).collect()}
+    # raw counts: aa 3, bb 6 (nr 9); target (en): aa 3, bb 3 (nt 6); v 2
+    import math
+
+    def llr(ct, cr):
+        return math.floor(
+            (math.log((ct + 1) / 8.0) - math.log((cr + 1) / 11.0))
+            * LLR_SCALE
+        )
+
+    l_aa, l_bb = llr(3, 3), llr(3, 6)
+    s1 = 2 * l_aa + l_bb  # doc 1
+    s2 = l_aa + 2 * l_bb  # doc 2
+    s3 = 3 * l_bb  # doc 3
+    q6 = lambda x: math.floor(x * 10**6 + 0.5) / 10**6  # noqa: E731
+    assert rows["s1"].n_docs == 2
+    assert rows["s1"].mean_llr == q6(
+        ((s1 + s2) / LLR_SCALE) / 2
+    )
+    assert rows["s1"].frac_target_like == q6(
+        ((s1 > 0) + (s2 > 0)) / 2
+    )
+    assert rows["s2"].mean_llr == q6(s3 / LLR_SCALE)
+    assert rows["s2"].frac_target_like == float(s3 > 0)

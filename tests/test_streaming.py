@@ -1454,3 +1454,92 @@ def test_psi_stream_matches_python_fold_over_batches(spark, sf_dir, tmp_path):
             assert gpsi is None, k
         else:
             assert abs(gpsi - psi) < 1e-12, (k, gpsi, psi)
+
+
+def test_cusum_stream_matches_python_fold_over_batches(spark, sf_dir, tmp_path):
+    """Streaming CUSUM ≡ a pure-Python fold over the same micro-batch
+    sequence (per-day files, one per trigger): per-(type, seq) alarm
+    counts and end-of-batch S± must match exactly — the running-min
+    identity is integer arithmetic on both sides."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trading_data_pipeline_spark.registry import load
+    from trading_data_pipeline_spark.streaming.stateful import cusum_stream
+
+    K, H = 100, 1000
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    days = [r.d for r in ev.select(F.dayofmonth("ts").alias("d")).distinct().collect()]
+    order = sorted(days)
+    src = str(tmp_path / "staged_cusum")
+    for i, d in enumerate(order):
+        (
+            ev.filter(F.dayofmonth("ts") == d)
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(f"{src}/f={i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        cusum_stream(stream, k=K, h=H)
+        .writeStream.format("memory")
+        .queryName("cusum_mon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_type, r.seq): (
+            r.batch_n, r.alarms_up, r.alarms_down, r.s_up, r.s_down
+        )
+        for r in spark.sql("SELECT * FROM cusum_mon").collect()
+    }
+
+    import collections
+
+    st: dict = {}
+    seqs: dict = collections.defaultdict(int)
+    expect = {}
+    for i in range(len(order)):
+        pdf = (
+            spark.read.parquet(f"{src}/f={i:03d}")
+            .toPandas()
+            .sort_values(["ts", "event_id"])
+        )
+        for etype, grp in pdf.groupby("event_type", sort=False):
+            last_c, has, cp, mp, cn, mn = st.get(
+                etype, (0, 0, 0, 0, 0, 0)
+            )
+            au = ad = 0
+            sp = sn = 0
+            for val in grp["value"]:
+                cents = int(math.floor(float(val) * 100 + 0.5))
+                if not has:
+                    last_c, has = cents, 1
+                    continue
+                x = cents - last_c
+                last_c = cents
+                cp += x - K
+                mp = min(mp, cp)
+                cn += -x - K
+                mn = min(mn, cn)
+                sp = cp - min(0, mp)
+                sn = cn - min(0, mn)
+                au += sp > H
+                ad += sn > H
+            st[etype] = (last_c, has, cp, mp, cn, mn)
+            expect[(etype, seqs[etype])] = (
+                len(grp), au, ad, sp / 100.0, sn / 100.0
+            )
+            seqs[etype] += 1
+    assert set(got) == set(expect)
+    for kk, v in expect.items():
+        assert got[kk] == v, (kk, got[kk], v)

@@ -781,3 +781,129 @@ def ece(docs: DataFrame, bins: int = BRIER_BINS) -> DataFrame:
 )
 def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ece(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------- DSIR importance weights
+
+LLR_SCALE = 10**9  # per-gram fixed-point (the q_cramers_v term contract)
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023)
+    scores per source: the hashed-unigram log-likelihood ratio between
+    the TARGET distribution (lang = target_lang docs) and the RAW
+    corpus distribution, Laplace-smoothed over the shared vocabulary.
+
+    Per-gram ln(p_t/p_r) is fixed to 1e-9 BIGINTs once (vocab-sized
+    table), so every per-doc score is an exact integer sum — order-free
+    on any engine; ln enters only in that vocab-sized table. Output per
+    source: doc count, mean LLR, share of target-like (LLR > 0) docs —
+    the mixture-reweighting signal DSIR thresholds on.
+    """
+    tok = (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .select(
+            "doc_id", "lang", "source", F.xxhash64("t").alias("h")
+        )
+    )
+    raw = tok.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.join(tgt, "h", "left").agg(
+        F.sum("cr").alias("nr"),
+        F.sum(F.coalesce("ct", F.lit(0))).alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = (
+        raw.join(tgt, "h", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "h",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1)
+                        / (F.col("nr") + F.col("v")).cast("double")
+                    )
+                )
+                * LLR_SCALE
+            ).cast("long").alias("llr_q"),
+        )
+    )
+    scored = (
+        tok.join(lam, "h")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("llr_q").alias("score_q"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _q(
+                F.avg(F.col("score_q") / float(LLR_SCALE)), 10**6
+            ).alias("mean_llr"),
+            _q(
+                F.avg((F.col("score_q") > 0).cast("double")), 10**6
+            ).alias("frac_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), raw AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY t
+    ), tgt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tok
+      WHERE lang = 'en' GROUP BY t
+    ), tots AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(sum(coalesce(ct, 0)) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM raw LEFT JOIN tgt ON raw.t = tgt.t
+    ), lam AS (
+      SELECT raw.t,
+             CAST(floor((ln((coalesce(ct, 0) + 1)
+                            / CAST(nt + v AS DOUBLE))
+                         - ln((cr + 1) / CAST(nr + v AS DOUBLE)))
+                        * {LLR_SCALE}) AS BIGINT) AS llr_q
+      FROM raw LEFT JOIN tgt ON raw.t = tgt.t, tots
+    ), scored AS (
+      SELECT tok.doc_id, tok.source,
+             CAST(sum(llr_q) AS BIGINT) AS score_q
+      FROM tok JOIN lam ON tok.t = lam.t
+      GROUP BY tok.doc_id, tok.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(score_q / {float(LLR_SCALE)!r}) * 1000000 + 0.5)
+             / 1000000 AS mean_llr,
+           floor(avg(CASE WHEN score_q > 0 THEN 1.0 ELSE 0.0 END)
+                 * 1000000 + 0.5) / 1000000 AS frac_target_like
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="DSIR importance scores per source (Xie et al. 2023): hashed-"
+    "unigram log-likelihood ratio between the lang='en' target and "
+    "the raw corpus, Laplace-smoothed; per-gram ln fixed to 1e-9 "
+    "BIGINTs (vocab-sized, the q_cramers_v contract) so doc scores "
+    "are exact integer sums; mean LLR + target-like share",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(load(spark, sf_dir, "documents"))

@@ -347,9 +347,10 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
 # (q_bootstrap_ci, q_assortativity) plus the batch-15 quartet
 # (q_cusum, q_trimmed_mean, q_markov_entropy, q_pastor_stambaugh),
 # plus the batch-16 ratios (q_dual_beta, q_k_ratio,
-# q_rachev, q_embedding_isotropy), all never driver-verified; then 38
+# q_rachev, q_embedding_isotropy) and the DSIR scorer
+# (q_dsir_weights), all never driver-verified; then 37
 # re-verification slots with the OLDEST last-green rows (15 from
-# round 3, 23 from round 4 — through q_scalar_subquery) not staged in any other window.
+# round 3, 22 from round 4 — through q_regr) not staged in any other window.
 # At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
 _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
@@ -358,6 +359,7 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_cusum", "q_trimmed_mean", "q_markov_entropy",
     "q_pastor_stambaugh",
     "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
+    "q_dsir_weights",
     # re-verification: newest green rows date to round 3
     "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
     "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
@@ -370,7 +372,6 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_dedup_clusters", "q_exists_subquery", "q_heavy_hitters",
     "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
     "q_median", "q_ntile", "q_null_funcs", "q_regex_funcs", "q_regr",
-    "q_scalar_subquery",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged

@@ -1111,3 +1111,81 @@ def psi_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- CUSUM
+
+CUSUM_SCHEMA = (
+    "event_type string, seq long, batch_n long, alarms_up long, "
+    "alarms_down long, s_up double, s_down double"
+)
+CUSUM_STATE = (
+    "last_c long, has int, cp long, mp long, cn long, mn long, seq long"
+)
+
+
+def cusum_stream(
+    events: DataFrame, k: int = 100, h: int = 1000
+) -> DataFrame:
+    """Streaming two-sided Page CUSUM — the stateful twin of
+    ``operators.analytics3_queries.cusum`` at per-EVENT granularity
+    (each tick's move vs the previous close; the batch op runs on
+    daily closes): O(1) integer state per type — the running cumsum
+    and running min of both one-sided series — so the alarm decision
+    is exact and the state never grows. Emits per-(type, micro-batch)
+    alarm counts and the end-of-batch S± (dollars).
+
+    Deterministic given the micro-batch sequence; equivalence against
+    a pure-Python fold over the same batch boundaries is asserted in
+    tests/test_streaming.py.
+    """
+    import math as _math
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_c, has, cp, mp, cn, mn, seq = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        au = ad = 0
+        sp = sn = 0
+        for val in pdf["value"]:
+            cents = int(_math.floor(float(val) * 100 + 0.5))
+            if not has:
+                last_c, has = cents, 1
+                continue
+            x = cents - last_c
+            last_c = cents
+            cp += x - k
+            mp = min(mp, cp)
+            cn += -x - k
+            mn = min(mn, cn)
+            sp = cp - min(0, mp)
+            sn = cn - min(0, mn)
+            if sp > h:
+                au += 1
+            if sn > h:
+                ad += 1
+        state.update((last_c, has, cp, mp, cn, mn, seq + 1))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "batch_n": [len(pdf)],
+                "alarms_up": [au],
+                "alarms_down": [ad],
+                "s_up": [sp / 100.0],
+                "s_down": [sn / 100.0],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
