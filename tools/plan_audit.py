@@ -117,6 +117,10 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # confusion cells; po × pe 1-row × 1-row fold
     "q_ece",              # 1-row corpus doc-count broadcast onto the
                           # token table (the q_brier scored pipeline)
+    "q_dsir_weights",     # 1-row (nr, nt, v) totals broadcast onto
+                          # the vocab-sized gram table
+    "q_markov_entropy",   # 1-row transition total broadcast onto the
+                          # |types|²-cell table; h0 × h1 1-row folds
     # (q_mann_kendall's day<day self-join equi-joins on event_type with
     # the range predicate as a join filter — no product node, so it
     # needs no allowlist entry)
