@@ -288,8 +288,10 @@ EXTRAS = [
     "q_k_ratio",
     "q_rachev",
     "q_embedding_isotropy",
-    # round-8 batch 17 (importance resampling)
+    # round-8 batch 17/18 (importance resampling, tokenizer/CCNet prep)
     "q_dsir_weights",
+    "q_bpe_step",
+    "q_ccnet_buckets",
 ]
 
 RUNS = 3

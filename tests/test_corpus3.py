@@ -314,3 +314,46 @@ def test_dsir_weights_hand_computed(spark):
     )
     assert rows["s2"].mean_llr == q6(s3 / LLR_SCALE)
     assert rows["s2"].frac_target_like == float(s3 > 0)
+
+
+def test_bpe_step_hand_computed(spark):
+    """Words 'abab', 'ab': pairs ab,ba,ab + ab -> ab:3, ba:1."""
+    from trading_data_pipeline_spark.operators.corpus3_queries import (
+        bpe_step,
+    )
+
+    df = _docs(spark, [(1, "abab ab", "en", "s1")])
+    rows = bpe_step(df, top=5).collect()
+    assert [(r.rank, r.pair, r.cnt) for r in rows] == [
+        (1, "ab", 3),
+        (2, "ba", 1),
+    ]
+
+
+def test_ccnet_buckets_hand_computed(spark):
+    """Six single-lang docs with controlled bigram scores cut into
+    clean tertiles; repetitive docs rank head (high P(w2|w1))."""
+    from trading_data_pipeline_spark.operators.corpus3_queries import (
+        ccnet_buckets,
+    )
+
+    # doc text engineered so mean conditional P differs monotonically:
+    # 'x x x x' -> all bigrams (x,x): P = 1; mixed docs lower
+    docs = [
+        (1, "x x x x", "en", "s1"),
+        (2, "x x x y", "en", "s1"),
+        (3, "x y x y", "en", "s1"),
+        (4, "y x y z", "en", "s1"),
+        (5, "z y z w", "en", "s1"),
+        (6, "w z w q", "en", "s1"),
+    ]
+    r = ccnet_buckets(_docs(spark, docs)).collect()
+    by = {(x.lang, x.bucket): x for x in r}
+    assert set(by) == {("en", "head"), ("en", "middle"), ("en", "tail")}
+    assert all(x.n_docs == 2 for x in r)
+    # head must out-score middle must out-score tail
+    assert (
+        by[("en", "head")].mean_score
+        > by[("en", "middle")].mean_score
+        > by[("en", "tail")].mean_score
+    )

@@ -907,3 +907,208 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- BPE step
+
+BPE_TOP = 10
+
+
+def bpe_step(docs: DataFrame, top: int = BPE_TOP) -> DataFrame:
+    """One BPE merge-step candidate table: the top adjacent character
+    pairs (within words, occurrence-weighted) across the corpus — the
+    primitive a tokenizer-induction pipeline iterates at scale. Exact
+    integer counts; ties break on the pair string so the merge choice
+    is total; top-k via TakeOrdered (partial per partition)."""
+    pairs = (
+        ensure_parallelism(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return pairs.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pair",
+        "cnt",
+    )
+
+
+@register(
+    "q_bpe_step",
+    f"""
+    WITH pairs AS (
+      SELECT unnest(list_transform(range(len(w) - 1),
+                    i -> substring(w, i + 1, 2))) AS pair
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+    ), cnt AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+             AS rank,
+           pair, cnt
+    FROM cnt
+    """,
+    doc=f"BPE merge-step candidates: top-{BPE_TOP} adjacent character "
+    "pairs within words (occurrence-weighted, lexicographic "
+    "tie-break) — the tokenizer-induction primitive; exact counts, "
+    "TakeOrdered top-k, bounded rank window",
+)
+def q_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_step(load(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------- CCNet buckets
+
+CCNET_SCALE = 1_000_000_000
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail buckets per language (Wenzek et
+    al. 2020): docs ranked inside each language by their bigram-LM
+    mean conditional probability (the q_bigram_lm integer-exact
+    score; HIGH = head) and cut into tertiles by exact rank. Output
+    per (lang, bucket): doc count, mean chars, mean LM score. Docs
+    without a bigram (single-token) are excluded, as in CCNet's
+    LM-scored subset."""
+    tk = F.split(F.col("text"), " ")
+    toks = ensure_parallelism(docs).select(
+        "doc_id", "lang", "n_chars", tk.alias("tk")
+    )
+    bigrams = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1), (x, i) -> "
+                "struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.xxhash64("bg.w1", "bg.w2").alias("h2"),
+        F.xxhash64("bg.w1").alias("h1"),
+    )
+    c2 = bigrams.groupBy("h2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bigrams.join(c2, "h2")
+        .join(c1, "h1")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(f"(c2 * CAST({CCNET_SCALE} AS BIGINT)) div c1").alias(
+                "_p"
+            ),
+        )
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("_p").alias("sp"),
+        )
+        # IEEE division of identical exact integers is exactly rounded:
+        # the double is bit-identical on both engines, so the rank is
+        # deterministic (doc_id breaks exact ties)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                F.col("sp")
+                / (F.col("nb").cast("double") * CCNET_SCALE)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    wl = Window.partitionBy("lang")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nl", F.count(F.lit(1)).over(wl)
+    )
+    bucket = F.expr("((rn - 1) * 3) div nl")
+    named = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (bucket + 1).cast("int"),
+    )
+    return (
+        ranked.groupBy("lang", named.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _q(F.avg("n_chars"), 100).alias("mean_chars"),
+            _q(F.avg("score"), 10**6).alias("mean_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "q_ccnet_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, n_chars,
+             unnest(list_transform(range(len(tk) - 1),
+                    i -> struct_pack(w1 := tk[i + 1], w2 := tk[i + 2])))
+               AS s
+      FROM toks WHERE len(tk) >= 2
+    ), b AS (
+      SELECT doc_id, lang, n_chars, s.w1 AS w1, s.w2 AS w2 FROM bg
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b
+      GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id, b.lang, b.n_chars,
+             CAST(sum((c2.c2 * CAST({CCNET_SCALE} AS BIGINT)) // c1.c1)
+                  AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+             JOIN c1 ON b.w1 = c1.w1
+      GROUP BY b.doc_id, b.lang, b.n_chars
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             sp / (CAST(nb AS DOUBLE) * {CCNET_SCALE}) AS score,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY sp / (CAST(nb AS DOUBLE) * {CCNET_SCALE}) DESC,
+                          doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nl
+      FROM scored
+    )
+    SELECT lang,
+           ['head', 'middle', 'tail'][CAST(((rn - 1) * 3) // nl AS INT)
+                                      + 1] AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars,
+           floor(avg(score) * 1000000 + 0.5) / 1000000 AS mean_score
+    FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+    doc="CCNet head/middle/tail buckets per language (Wenzek et al. "
+    "2020): docs ranked by the integer-exact bigram-LM mean "
+    "conditional probability (q_bigram_lm contract; division of "
+    "identical exact integers is IEEE-exact, so ranks agree "
+    "bit-for-bit), tertile cut by exact rank; per-bucket volume and "
+    "score summary",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_buckets(load(spark, sf_dir, "documents"))
