@@ -292,6 +292,9 @@ EXTRAS = [
     "q_dsir_weights",
     "q_bpe_step",
     "q_ccnet_buckets",
+    # round-8 batch 19 (concentration / inequality)
+    "q_lorenz_deciles",
+    "q_theil_index",
 ]
 
 RUNS = 3

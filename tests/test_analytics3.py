@@ -130,3 +130,74 @@ def test_pastor_stambaugh_hand_computed(spark):
     assert r.beta_ret == _q4(beta)
     assert r.gamma_liq_1e6 == _q4(gamma * 10**6)
     assert r.t_gamma == _q4(t_g)
+
+
+def test_lorenz_deciles_hand_computed(spark):
+    """5 customers, 5 buckets: spends 1,2,3,4,10 dollars -> shares
+    and cumulative shares in ascending-rank order."""
+    import datetime as dt2
+
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        lorenz_deciles,
+    )
+
+    rows = [
+        (i, i, "O", float(v), dt2.datetime(2024, 1, 1, 12), "1-URGENT")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 10.0])
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    r = lorenz_deciles(orders, d=5).collect()
+    q6 = lambda x: math.floor(x * 10**6 + 0.5) / 10**6  # noqa: E731
+    tot = 20.0
+    shares = [1, 2, 3, 4, 10]
+    cum = 0.0
+    for i, row in enumerate(sorted(r, key=lambda x: x.decile)):
+        cum += shares[i]
+        assert row.n_customers == 1
+        assert row.share == q6(shares[i] / tot)
+        assert row.cum_share == q6(cum / tot)
+
+
+def test_theil_index_hand_computed(spark):
+    """Two types: a = [1, 3] cents, b = [2, 2] cents; T decomposition
+    recomputed from the definition; within-b term is 0."""
+    # theil consumes RAW values (not daily moves): build rows directly
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 1, "a", 0.01, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12), 1, "a", 0.03, "{}"),
+        (3, dt.datetime(2024, 1, 3, 12), 1, "b", 0.02, "{}"),
+        (4, dt.datetime(2024, 1, 4, 12), 1, "b", 0.02, "{}"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    from trading_data_pipeline_spark.operators.bi_queries import (
+        theil_index,
+    )
+
+    r = theil_index(df).collect()[0]
+    xs = {"a": [1, 3], "b": [2, 2]}
+    alln = [x for v in xs.values() for x in v]
+    n, s = len(alln), sum(alln)
+    mu = s / n
+    t = sum((x / s) * math.log(x / mu) for x in alln)
+    t_b = sum(
+        (sum(v) / s) * math.log((sum(v) / len(v)) / mu)
+        for v in xs.values()
+    )
+    t_w_terms = []
+    for v in xs.values():
+        sg, ng = sum(v), len(v)
+        tg = sum((x / sg) * math.log(x / (sg / ng)) for x in v)
+        t_w_terms.append((sg / s) * tg)
+    t_w = sum(t_w_terms)
+    q6 = lambda x: math.floor(x * 10**6 + 0.5) / 10**6  # noqa: E731
+    assert r.n == n
+    assert r.theil == q6(t)
+    assert r.theil_between == q6(t_b)
+    assert r.theil_within == q6(t_w)
+    # decomposition identity
+    assert abs(t - (t_b + t_w)) < 1e-12

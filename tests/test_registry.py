@@ -269,5 +269,6 @@ def test_round12_window_proposal_is_sound():
         "q_trimmed_mean", "q_markov_entropy", "q_pastor_stambaugh",
         "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
         "q_dsir_weights", "q_bpe_step", "q_ccnet_buckets",
+        "q_lorenz_deciles", "q_theil_index",
     } - set(_PRIORITY_ROUND12)
     assert not missing, f"batch-14 overflow missing from round-12 window: {sorted(missing)}"

@@ -121,6 +121,8 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # the vocab-sized gram table
     "q_markov_entropy",   # 1-row transition total broadcast onto the
                           # |types|²-cell table; h0 × h1 1-row folds
+    "q_lorenz_deciles",   # 1-row spend-total broadcast onto the
+                          # ≤D-row decile table for the share chains
     # (q_mann_kendall's day<day self-join equi-joins on event_type with
     # the range predicate as a join filter — no product node, so it
     # needs no allowlist entry)

@@ -1572,3 +1572,168 @@ def power_analysis(events: DataFrame) -> DataFrame:
 )
 def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_analysis(load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------- Lorenz decile table
+
+LORENZ_D = 10
+
+
+def lorenz_deciles(orders: DataFrame, d: int = LORENZ_D) -> DataFrame:
+    """Lorenz concentration table: customers ranked ascending by spend
+    (two-pass global row_number — no SinglePartition), cut into d
+    equal-rank buckets; per bucket the exact-cent spend share and the
+    cumulative share (the curve q_gini integrates). Cent sums are
+    DECIMAL-exact; the only divisions are the final share chains."""
+    from ..plans.global_rank import global_row_number
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("x")
+    )
+    ranked, n = global_row_number(
+        spend.withColumn("_xd", F.col("x").cast("double")),
+        ["_xd", "o_custkey"],
+    )
+    per = ranked.withColumn(
+        "decile", F.expr(f"((_grn - 1) * {d}) div {n}")
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+    )
+    tot = per.agg(F.sum("sx").alias("s"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("sx").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            _q(
+                F.col("sx").cast("double") / F.col("s").cast("double"),
+                10**6,
+            ).alias("share"),
+            _q(
+                F.col("cum").cast("double") / F.col("s").cast("double"),
+                10**6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_lorenz_deciles",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    ), per AS (
+      SELECT ((rn - 1) * {LORENZ_D}) // n AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(x) AS HUGEINT) AS sx
+      FROM ranked GROUP BY 1
+    ), tot AS (SELECT sum(sx) AS s FROM per)
+    SELECT decile, n_customers,
+           floor(CAST(sx AS DOUBLE) / CAST(s AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS share,
+           floor(CAST(sum(sx) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS cum_share,
+    FROM per, tot ORDER BY decile
+    """,
+    doc=f"Lorenz concentration table: customers ranked ascending by "
+    f"exact-cent spend (two-pass global row_number, no "
+    f"SinglePartition), {LORENZ_D} equal-rank buckets, per-bucket and "
+    "cumulative spend shares — the curve q_gini integrates",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lorenz_deciles(load(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------------------ Theil index
+
+
+def theil_index(events: DataFrame) -> DataFrame:
+    """Theil T inequality of positive event values with the exact
+    between/within decomposition over event types:
+    T = T_between + Σ_g (s_g/s)·T_g. Per-type aggregates only —
+    Σx exact integers, Σ x·ln x the one double accumulation
+    (q_hill_tail precedent), ln(μ) in the final |types|-row chain."""
+    d = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).filter(F.col("x") > 0)
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(
+            F.col("x").cast("double") * F.log(F.col("x").cast("double"))
+        ).alias("sxlx"),
+    )
+    tw = (F.col("sxlx") - F.col("sg") * F.log(
+        F.col("sg") / F.col("ng").cast("double")
+    )) / F.col("sg")
+    a = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("sxlx").alias("sxlx"),
+        F.sum(F.col("sg") * F.log(F.col("sg") / F.col("ng").cast("double"))).alias("sglmu"),
+        F.sum(F.col("sg") * tw).alias("s_tw"),
+    )
+    mu = F.col("s") / F.col("n").cast("double")
+    t_total = (F.col("sxlx") - F.col("s") * F.log(mu)) / F.col("s")
+    t_within = F.col("s_tw") / F.col("s")
+    t_between = (F.col("sglmu") - F.col("s") * F.log(mu)) / F.col("s")
+    return a.select(
+        "n",
+        _q(t_total, 10**6).alias("theil"),
+        _q(t_between, 10**6).alias("theil_between"),
+        _q(t_within, 10**6).alias("theil_within"),
+    )
+
+
+@register(
+    "q_theil_index",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events WHERE floor(value * 100 + 0.5) > 0
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(x) AS BIGINT) AS sg,
+             sum(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))) AS sxlx
+      FROM d GROUP BY event_type
+    ), a AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+             sum(sxlx) AS sxlx,
+             sum(sg * ln(sg / CAST(ng AS DOUBLE))) AS sglmu,
+             sum(sg * ((sxlx - sg * ln(sg / CAST(ng AS DOUBLE))) / sg))
+               AS s_tw
+      FROM g
+    )
+    SELECT n,
+           floor((sxlx - s * ln(s / CAST(n AS DOUBLE))) / s
+                 * 1000000 + 0.5) / 1000000 AS theil,
+           floor((sglmu - s * ln(s / CAST(n AS DOUBLE))) / s
+                 * 1000000 + 0.5) / 1000000 AS theil_between,
+           floor(s_tw / s * 1000000 + 0.5) / 1000000 AS theil_within
+    FROM a
+    """,
+    doc="Theil T inequality of positive event values with the exact "
+    "between/within decomposition over event types (T = T_between + "
+    "share-weighted T_within) — the decomposable inequality measure "
+    "Gini lacks; per-type aggregates only, ln in the final chain",
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_index(load(spark, sf_dir, "events"))

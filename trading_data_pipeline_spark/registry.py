@@ -348,10 +348,10 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
 # (q_cusum, q_trimmed_mean, q_markov_entropy, q_pastor_stambaugh),
 # plus the batch-16 ratios (q_dual_beta, q_k_ratio,
 # q_rachev, q_embedding_isotropy) and the DSIR scorer
-# (q_dsir_weights), the BPE/CCNet pair, all never driver-verified;
-# then 35
+# (q_dsir_weights), the BPE/CCNet pair, the Lorenz/Theil concentration
+# pair, all never driver-verified; then 33
 # re-verification slots with the OLDEST last-green rows (15 from
-# round 3, 20 from round 4 — through q_null_funcs) not staged in any other window.
+# round 3, 18 from round 4 — through q_median) not staged in any other window.
 # At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
 _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
@@ -361,6 +361,7 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_pastor_stambaugh",
     "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
     "q_dsir_weights", "q_bpe_step", "q_ccnet_buckets",
+    "q_lorenz_deciles", "q_theil_index",
     # re-verification: newest green rows date to round 3
     "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
     "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
@@ -372,7 +373,7 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_cross_join", "q_curation_full", "q_date_trunc",
     "q_dedup_clusters", "q_exists_subquery", "q_heavy_hitters",
     "q_histogram", "q_join_outer", "q_lead_nth", "q_map_funcs",
-    "q_median", "q_ntile", "q_null_funcs",
+    "q_median",
 )
 
 # ACTIVE round-8 driver window (applied at round-8 open per the staged
