@@ -85,25 +85,17 @@ def test_operator_index_is_current():
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
 
 
-def test_round8_window_is_applied_and_sound():
-    """Round 8 is LIVE: _PRIORITY must be the staged round-8 list —
-    every name registered, exactly 50, canaries first, no duplicates, and
-    no wasted slot on a query the round-7 window already covered."""
+def test_round9_window_is_applied():
+    """Round 9 is LIVE: _PRIORITY must be the staged round-9 list (the
+    soundness of that list — 50 names, canaries first, no duplicates, no
+    overlap with round 8 — is pinned by
+    test_round9_window_staged_list_is_sound below)."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY,
-        _PRIORITY_ROUND7,
-        _PRIORITY_ROUND8,
+        _PRIORITY_ROUND9,
     )
 
-    assert _PRIORITY is _PRIORITY_ROUND8, "round-8 window not applied"
-    qs = all_queries()
-    unknown = [n for n in _PRIORITY_ROUND8 if n not in qs]
-    assert not unknown, f"round-8 window names not registered: {unknown}"
-    assert len(_PRIORITY_ROUND8) == 50, len(_PRIORITY_ROUND8)
-    assert len(set(_PRIORITY_ROUND8)) == 50, "duplicate names"
-    assert _PRIORITY_ROUND8[:2] == ("q_report1", "q_dedup_near")
-    overlap = set(_PRIORITY_ROUND8[2:]) & set(_PRIORITY_ROUND7)
-    assert not overlap, f"slots wasted on round-7-covered queries: {sorted(overlap)}"
+    assert _PRIORITY is _PRIORITY_ROUND9, "round-9 window not applied"
 
 
 def test_no_oracle_column_is_duckdb_hugeint():
@@ -138,12 +130,11 @@ def test_no_oracle_column_is_duckdb_hugeint():
 
 
 
-def test_round9_window_proposal_is_sound():
-    """_PRIORITY_ROUND9 is the round-9 staged driver window — validated
-    now so renames can't silently break the rotation: every name
-    registered, exactly 50, canaries first, no duplicates, no overlap
-    with the round-8 window, and it must contain every round-7 session
-    addition (none has a driver row before round 9)."""
+def test_round9_window_staged_list_is_sound():
+    """_PRIORITY_ROUND9 is the (now LIVE) round-9 driver window: every
+    name registered, exactly 50, canaries first, no duplicates, no
+    overlap with the round-8 window, and it must contain every round-7
+    session addition (none had a driver row before round 9)."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND8,
         _PRIORITY_ROUND9,

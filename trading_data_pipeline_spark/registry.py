@@ -308,10 +308,11 @@ _PRIORITY_ROUND10: tuple[str, ...] = (
 # round-10 window). Composition: canaries; 48 of the 50 round-8 session
 # additions without a driver row — the 16 early-session batches
 # (E193–E208: risk ratios, range/flow indicators, stat tests) plus
-# the 31 late-session batches (E209–E239: corpus curation, OHLC
+# the 32 late-session batches (E209–E241: corpus curation, OHLC
 # range volatility, classical stat tests, DMI/volume-flow
 # indicators, time-series diagnostics, jump/trend/unit-root tests,
-# calibration error, robust location). The batch-14 overflow
+# calibration error, robust location — including q_hodges_lehmann,
+# E241). The batch-14 overflow
 # (q_bootstrap_ci, q_assortativity) is staged in the round-12 window
 # below — every registered query has a green driver row or sits in
 # exactly one staged window. Never-verified ops displace re-verification —
@@ -376,9 +377,9 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_median",
 )
 
-# ACTIVE round-8 driver window (applied at round-8 open per the staged
-# plan above; the round-7 list is kept for the no-wasted-slot check).
-_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND8
+# ACTIVE round-9 driver window (applied at round-9 open per the staged
+# plan above; earlier lists are kept for the no-wasted-slot check).
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND9
 
 
 def all_queries() -> dict[str, QuerySpec]:
