@@ -1592,10 +1592,10 @@ def lorenz_deciles(orders: DataFrame, d: int = LORENZ_D) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("x")
     )
-    ranked, n = global_row_number(
-        spend.withColumn("_xd", F.col("x").cast("double")),
-        ["_xd", "o_custkey"],
-    )
+    # Rank on the exact BIGINT x (what the oracle orders by) — a double
+    # cast could collide two distinct cent totals at extreme scale and
+    # shift a decile boundary; approx_percentile bucketing accepts longs.
+    ranked, n = global_row_number(spend, ["x", "o_custkey"])
     per = ranked.withColumn(
         "decile", F.expr(f"((_grn - 1) * {d}) div {n}")
     ).groupBy("decile").agg(

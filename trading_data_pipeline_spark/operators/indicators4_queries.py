@@ -146,10 +146,14 @@ def adx(events: DataFrame, n: int = ADX_N) -> DataFrame:
     )
     di_p = 100.0 * F.col("s_pdm") / F.col("s_tr")
     di_n = 100.0 * F.col("s_ndm") / F.col("s_tr")
+    # dx from the RAW smoothed sums (not from di_p/di_n): the oracle
+    # computes 100*|s_pdm-s_ndm|/(s_pdm+s_ndm); the divide-by-s_tr form
+    # is algebraically equal but differs by ulps, and both engines must
+    # run the identical float chain for quantized-digit parity.
     dx = (
         100.0
-        * F.abs(di_p - di_n)
-        / F.nullif(di_p + di_n, F.lit(0.0))
+        * F.abs(F.col("s_pdm") - F.col("s_ndm"))
+        / F.nullif(F.col("s_pdm") + F.col("s_ndm"), F.lit(0.0))
     )
     d2 = d.select(
         "event_type",
