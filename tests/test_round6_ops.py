@@ -376,6 +376,49 @@ def test_containment_catches_superset_jaccard_misses(spark):
     assert (1, 2) not in sym
 
 
+def test_containment_passes_do_not_accumulate_pinned_storage(spark):
+    """Round-8 ADVICE #5: the shingle persist must have a deterministic
+    lifecycle — N successive containment passes in one session pin at
+    most ONE generation of shingle blocks (each pass releases the
+    previous one via the session-scoped cache slot), and explicit
+    release empties the slot entirely."""
+    from trading_data_pipeline_spark.operators.dedup import containment_pairs
+    from trading_data_pipeline_spark.plans.cache_registry import release_slot
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta unique{i} token{i}", "en", "s", 0)
+         for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    release_slot(spark)  # isolate from any earlier test's slots
+    base = n_cached()
+    containment_pairs(docs).count()
+    after_one = n_cached()
+    containment_pairs(docs).count()
+    after_two = n_cached()
+    assert after_one - base == 1, "first pass should pin one shingle table"
+    assert after_two - base == 1, "second pass must release the first's blocks"
+    release_slot(spark, "containment_shingles")
+    assert n_cached() == base, "explicit release must unpin the slot"
+
+
+def test_cache_registry_release_is_idempotent(spark):
+    from trading_data_pipeline_spark.plans.cache_registry import (
+        persist_slot,
+        release_slot,
+    )
+
+    df = persist_slot(spark.range(10), "tmp_slot")
+    assert df.count() == 10
+    release_slot(spark, "tmp_slot")
+    release_slot(spark, "tmp_slot")  # unknown/already-released: no-op
+    release_slot(spark, "never_registered")
+    release_slot(spark)  # blanket release on an empty registry: no-op
+
+
 def test_containment_skips_boilerplate_shingles(spark):
     from trading_data_pipeline_spark.operators.dedup import containment_pairs
 

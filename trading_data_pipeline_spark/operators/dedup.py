@@ -547,14 +547,15 @@ def containment_pairs(
     # former localCheckpoint, whose lineage-free blocks die with their
     # executor — keeps the (shallow: scan + project) lineage, so a lost
     # block recomputes instead of failing the query. Payload is
-    # |docs| × ~|shingles| int64s, memory-and-disk. INTENTIONALLY not
-    # unpersisted here: the return value is lazy, so the blocks must
-    # outlive this function; they are evicted LRU under memory pressure
-    # (storage level MEMORY_AND_DISK is advisory, not pinned). Callers
-    # running many containment passes in one session should
-    # ``df.unpersist()`` the result's lineage root or
-    # ``spark.catalog.clearCache()`` between passes.
-    sh = sh.persist()
+    # |docs| × ~|shingles| int64s, memory-and-disk. The return value is
+    # lazy, so the blocks must outlive this function; the session-scoped
+    # cache slot bounds pinned storage to ONE shingle table per session
+    # (each pass releases the previous pass's blocks; a stale earlier
+    # result recomputes its shallow lineage instead of failing). Explicit
+    # release: plans.cache_registry.release_slot(spark, "containment_shingles").
+    from ..plans.cache_registry import persist_slot
+
+    sh = persist_slot(sh, "containment_shingles")
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
     posting = (
         inv.groupBy("g")
