@@ -285,13 +285,17 @@ def q_rachev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_isotropy(emb: DataFrame) -> DataFrame:
     """Mean resultant length + vMF concentration per label over
-    unit-normalized embeddings — one pass + (label, dim) aggregation."""
+    unit-normalized embeddings — explode-free: the per-dim resultant
+    sums run as d codegen'd SUM aggregates over array elements (one
+    narrow pass, one (label)-keyed exchange of d doubles) instead of a
+    d× posexplode row inflation. The embedding width is probed once
+    (one-scalar collect, bounded driver state — same class as the
+    repo's other bounded collects); widths are uniform per table, which
+    is also what the oracle's min-over-pos count assumes."""
+    probe = emb.select(F.size("embedding").alias("d")).first()
+    d = int(probe["d"]) if probe and probe["d"] is not None else 1
     v = emb.select(
-        "label",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x,
-        ).alias("e"),
+        "label", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", l2_norm(F.col("e")))
     unit = v.filter(F.col("nrm") > 0).select(
         "label",
@@ -299,28 +303,28 @@ def embedding_isotropy(emb: DataFrame) -> DataFrame:
             F.col("e"), lambda x: x / F.col("nrm")
         ).alias("u"),
     )
-    dims = unit.select(
-        "label", F.posexplode("u").alias("pos", "val")
+    agg = unit.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("u")[i]).alias(f"_s{i}") for i in range(d)],
     )
-    per_dim = dims.groupBy("label", "pos").agg(
-        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    # an all-rows-missing dim sums to NULL: absent from the oracle's
+    # per-pos rows, so it contributes 0 to ss there — coalesce to match
+    svec = F.array(
+        *[F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(d)]
     )
-    agg = per_dim.groupBy("label").agg(
-        F.first("n").alias("n"),
-        F.count(F.lit(1)).alias("d"),
-        F.sum(F.col("s") * F.col("s")).alias("ss"),
-    )
+    ss = F.aggregate(svec, F.lit(0.0), lambda acc, x: acc + x * x)
+    agg = agg.select("label", "n", ss.alias("ss"))
     rbar = F.sqrt(F.col("ss")) / F.col("n")
     # a fully collapsed cloud (R = 1) has infinite concentration: NULL
     kappa = (
         rbar
-        * (F.col("d").cast("double") - rbar * rbar)
+        * (F.lit(float(d)) - rbar * rbar)
         / F.nullif(1.0 - rbar * rbar, F.lit(0.0))
     )
     return agg.select(
         "label",
         "n",
-        F.col("d").alias("dim"),
+        F.lit(d).cast("long").alias("dim"),
         _q(rbar, 10**6).alias("mean_resultant"),
         _q(kappa, RK_SCALE).alias("vmf_kappa"),
     ).orderBy("label")
