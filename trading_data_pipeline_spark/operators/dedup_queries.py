@@ -427,6 +427,14 @@ def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BR_SMOD = 1          # truth over the FULL corpus at test SFs (see doc)
 BR_MIN_J = 0.5
+# Fixed CAP on the evaluated sub-corpus (the q_ann_recall convention):
+# the eval's statistical value comes from the number of sampled truth
+# pairs, not the corpus fraction, and the exhaustive-truth arm's Σdf²
+# grows with the sample. 5000 keeps every sf <= 0.1 evaluation exactly
+# the historical full-corpus one; the round-9 sf1 sweep measured the
+# uncapped op at 225 s (10.2x for 10x data — linear, but the eval has
+# no business scaling with the corpus).
+BR_MAX_SAMPLE = 5000
 
 
 def banding_recall(
@@ -455,7 +463,27 @@ def banding_recall(
     """
     from .dedup import banded_minhash_pairs, hashed_shingles
 
-    sample = docs.filter(F.col("doc_id") % smod == 0)
+    # cap the evaluated sub-corpus at BR_MAX_SAMPLE docs (one cheap
+    # metadata-backed count): near-dup pairs survive id-sampling at
+    # ~1/smod², so the cap is sized to keep hundreds of truth pairs
+    # while the exhaustive arm stays sample-bounded, never corpus-bound
+    import math
+
+    n_docs = docs.count()
+    if n_docs > smod * BR_MAX_SAMPLE:
+        smod = math.ceil(n_docs / BR_MAX_SAMPLE)
+    # The lazy result branches over the sample FOUR ways (truth shingle
+    # self-join's two sides, the banding arm, the n_sampled count); an
+    # id-modulo filter can't prune parquet row groups, so without
+    # materialization each branch re-scans the whole text column of the
+    # 1/smod-times-larger corpus (measured 5x wall at sf1). The sample
+    # is capped at BR_MAX_SAMPLE docs — bounded — so pin one generation
+    # per session (lineage kept; stale results recompute, never fail).
+    from ..plans.cache_registry import persist_slot
+
+    sample = persist_slot(
+        docs.filter(F.col("doc_id") % smod == 0), "banding_recall_sample"
+    )
     sh = (
         sample.filter(F.size(F.split("text", " ")) >= n)
         .select("doc_id", hashed_shingles("text", n).alias("shh"))
@@ -510,10 +538,11 @@ def banding_recall(
     # recall floor + exhaustive-truth construction pinned in tests
     doc="Near-dup banding quality eval: recall of the banded-MinHash "
     "pipeline (9 bands × 2 rows, Jaccard ≥ 0.5) against exhaustive "
-    "exact Jaccard over a 1/5 sampled sub-corpus — the dedup twin of "
-    "q_ann_recall; precision is 1.0 by construction (candidates are "
-    "exact-verified), so the miss rate is the whole story. Truth cost "
-    "bounded by the sample, not the corpus",
+    "exact Jaccard — the dedup twin of q_ann_recall; precision is 1.0 "
+    "by construction (candidates are exact-verified), so the miss rate "
+    "is the whole story. The evaluated sub-corpus is CAPPED at "
+    "BR_MAX_SAMPLE docs (full corpus at test SFs), so the "
+    "exhaustive-truth arm is sample-bounded, never corpus-bounded",
 )
 def q_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banding_recall(load(spark, sf_dir, "documents"))

@@ -1135,6 +1135,23 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_RECALL_QMOD = 50  # every 50th vector probes the index
 ANN_RECALL_NPROBE = 3
+# Fixed CAP on the eval query sample: recall precision depends on the
+# number of sampled queries, not on the corpus fraction, so the sample
+# must not grow with the corpus — a fixed 1/qmod fraction makes the
+# exact ground-truth arm (corpus x queries) quadratic in corpus size
+# (measured: 10x data -> 29.7x wall in the round-9 sf1 sweep). 40 keeps
+# every sf <= 0.1 sample identical to the historical qmod=50 one.
+ANN_RECALL_MAX_QUERIES = 40
+
+
+def _recall_qmod(emb: DataFrame, qmod: int, max_queries: int) -> int:
+    """Effective qmod: at least ``qmod``, raised so at most
+    ``max_queries`` vectors land in the eval sample (one cheap
+    metadata-backed count — bounded driver state)."""
+    n = emb.count()
+    import math
+
+    return max(qmod, math.ceil(n / max_queries)) if n else qmod
 
 
 def ann_recall(
@@ -1228,7 +1245,10 @@ def ann_recall_curve(
 ) -> DataFrame:
     """The dial as a table: (n_probe, n_queries, mean_recall,
     min_recall) — one row per probe width, unioned lazily so the exact
-    arm's plan is shared by Catalyst across widths."""
+    arm's plan is shared by Catalyst across widths. The query sample is
+    capped at ANN_RECALL_MAX_QUERIES regardless of corpus size (see
+    :func:`_recall_qmod`): the exact arm stays corpus-linear."""
+    qmod = _recall_qmod(emb, qmod, ANN_RECALL_MAX_QUERIES)
     out = None
     for np_ in n_probes:
         r = ann_recall(emb, index, k=k, qmod=qmod, n_probe=np_)
@@ -1251,10 +1271,11 @@ def ann_recall_curve(
     "quality dial of the approximate index measured on the production "
     "probe plan itself (mean 0.66->0.92 across the sweep on this "
     "corpus). Broadcast holdout arms, corpus never shuffles. The exact "
-    "ground-truth arm is a corpus x (corpus/qmod) product BY DESIGN — "
-    "exact truth is the measurand; at scale raise qmod so the sampled "
-    "query set keeps the product linear in the corpus (the q_banding "
-    "_recall smod convention)",
+    "ground-truth arm is a corpus x sample product BY DESIGN (exact "
+    "truth is the measurand) with the sample CAPPED at a fixed count "
+    "(ANN_RECALL_MAX_QUERIES) so the product stays corpus-linear — the "
+    "round-9 sf1 sweep measured the uncapped fraction at 29.7x for "
+    "10x data",
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_curve(
