@@ -34,7 +34,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 100_000_000  # far above any sf0.1 key; replica i shifts by i*OFFSET
-REPLICAS = 10
+REPLICAS = 10  # default: sf1-equivalent; pass e.g. 100 for sf10
 
 # table -> key columns to shift per replica
 KEY_SHIFTS = {
@@ -82,7 +82,7 @@ def _replica_select(table: str, cols: list[tuple[str, str]]) -> str:
     return ", ".join(parts)
 
 
-def generate(out_dir: str) -> None:
+def generate(out_dir: str, replicas: int = REPLICAS) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
@@ -98,14 +98,16 @@ def generate(out_dir: str) -> None:
         sel = _replica_select(t, [(c[0], c[1]) for c in cols])
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-            f"range({REPLICAS}) AS r(i)) "
+            f"range({replicas}) AS r(i)) "
             f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
-        print(f"{t}: {n} rows ({REPLICAS} replicas)")
+        print(f"{t}: {n} rows ({replicas} replicas)")
 
 
 if __name__ == "__main__":
-    generate(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
+    generate(out, reps)
