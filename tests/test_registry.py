@@ -133,8 +133,11 @@ def test_no_oracle_column_is_duckdb_hugeint():
 def test_round9_window_staged_list_is_sound():
     """_PRIORITY_ROUND9 is the (now LIVE) round-9 driver window: every
     name registered, exactly 50, canaries first, no duplicates, no
-    overlap with the round-8 window, and it must contain every round-7
-    session addition (none had a driver row before round 9)."""
+    overlap with the round-8 window, and every slot after the canaries
+    must be a NEVER-driver-verified op: the 32 round-7 session
+    additions plus 16 round-8 additions pulled forward from round-10
+    staging (round-8 verdict task 2: never-verified debt ≤ 64 after
+    round 9 ⇒ 48 never-verified slots)."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND8,
         _PRIORITY_ROUND9,
@@ -149,6 +152,7 @@ def test_round9_window_staged_list_is_sound():
     overlap = set(_PRIORITY_ROUND9[2:]) & set(_PRIORITY_ROUND8)
     assert not overlap, f"slots wasted on round-8-covered queries: {sorted(overlap)}"
     new_ops = {
+        # round-7 session additions (E141–E173)
         "q_stochastic", "q_mfi", "q_dollar_bars", "q_sortino", "q_vpin",
         "q_rolling_beta", "q_repetition", "q_simpson_diversity",
         "q_xml_ingest", "q_sink_xml", "q_fixed_effects",
@@ -158,17 +162,27 @@ def test_round9_window_staged_list_is_sound():
         "q_freshness", "q_volume_profile", "q_moments", "q_gap_risk",
         "q_tier_migration", "q_tail_dependence", "q_ab_cuped",
         "q_kendall_tau", "q_interarrival", "q_markout", "q_return_split",
+        # round-8 additions pulled forward (E174–E179, E182–E190)
+        "q_ndcg", "q_triple_barrier", "q_mann_whitney",
+        "q_volume_concentration", "q_srm_check", "q_label_balance",
+        "q_donchian", "q_acf_profile", "q_xsec_momentum",
+        "q_pairs_signal", "q_embedding_norms", "q_imbalance_profile",
+        "q_exec_shortfall", "q_pack_efficiency", "q_power_analysis",
+        "q_var_backtest",
     }
-    missing = new_ops - set(_PRIORITY_ROUND9)
-    assert not missing, f"round-7 additions missing from round-9 window: {sorted(missing)}"
+    assert set(_PRIORITY_ROUND9[2:]) == new_ops, (
+        "round-9 window must be exactly the 48 never-verified ops"
+    )
 
 
 def test_round10_window_proposal_is_sound():
     """_PRIORITY_ROUND10 is the round-10 staged driver window — validated
     now so renames can't silently break the rotation: every name
     registered, exactly 50, canaries first, no duplicates, no overlap
-    with the round-9 window, and it must contain every round-8 session
-    addition (none has a driver row before round 10)."""
+    with the round-9 window, and it must contain the round-8 addition
+    the round-9 window could not absorb (q_rolling_corr) plus the
+    plan-changed q_hard_negatives and the 15 relational/io/meta basics
+    displaced from round 9."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND9,
         _PRIORITY_ROUND10,
@@ -182,16 +196,16 @@ def test_round10_window_proposal_is_sound():
     assert _PRIORITY_ROUND10[:2] == ("q_report1", "q_dedup_near")
     overlap = set(_PRIORITY_ROUND10[2:]) & set(_PRIORITY_ROUND9)
     assert not overlap, f"slots wasted on round-9-covered queries: {sorted(overlap)}"
-    new_ops = {
-        "q_ndcg", "q_triple_barrier", "q_mann_whitney",
-        "q_volume_concentration", "q_srm_check", "q_label_balance",
-        "q_donchian", "q_acf_profile", "q_xsec_momentum",
-        "q_pairs_signal", "q_embedding_norms", "q_imbalance_profile",
-        "q_exec_shortfall", "q_pack_efficiency", "q_power_analysis",
-        "q_var_backtest", "q_rolling_corr",
+    required = {
+        "q_rolling_corr", "q_hard_negatives",
+        "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
+        "q_union_all", "q_date_spine", "q_anti_join_dates",
+        "q_lit_frame", "q_checked_union", "q_join_inner",
+        "q_join_broadcast", "q_semi_join", "q_anti_join",
+        "q_distinct_count", "q_rollup",
     }
-    missing = new_ops - set(_PRIORITY_ROUND10)
-    assert not missing, f"round-8 additions missing from round-10 window: {sorted(missing)}"
+    missing = required - set(_PRIORITY_ROUND10)
+    assert not missing, f"missing from round-10 window: {sorted(missing)}"
 
 
 def test_round11_window_proposal_is_sound():

@@ -219,9 +219,12 @@ def rachev(events: DataFrame) -> DataFrame:
     cnt = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     k = F.ceil(F.col("n") * RACHEV_NUM / RACHEV_DEN)
     j = d.join(F.broadcast(cnt), "event_type")
+    # min, not first: n (and so k) is constant within each event_type by
+    # construction, but min is order-deterministic and is the exact fold
+    # the DuckDB oracle runs (min(n), min(ceil(...)))
     tails = j.groupBy("event_type").agg(
-        F.first("n").alias("n"),
-        F.first(k.cast("long")).alias("k"),
+        F.min("n").alias("n"),
+        F.min(k.cast("long")).alias("k"),
         F.sum(F.when(F.col("r_hi") <= k, F.col("x"))).alias("s_top"),
         F.sum(F.when(F.col("r_lo") <= k, F.col("x"))).alias("s_bot"),
     )

@@ -234,14 +234,18 @@ _PRIORITY_ROUND8: tuple[str, ...] = (
     "q_project", "q_dropna", "q_rename", "q_round",
 )
 
-# ROUND-9 WINDOW (apply at the start of round 9 — do NOT apply earlier).
-# Validated NOW by tests/test_registry.py (names exist, exactly 50,
-# canaries first, no duplicates, no overlap with the round-8 window).
-# Composition: canaries; the 32 round-7 session additions (E141–E173)
-# plus q_hard_negatives (its registered plan changed to the IVF routing
-# this round); then 15 re-verification slots for the
-# relational/io/meta basics whose newest green rows date to r1–r3.
-# At round-9 open, set ``_PRIORITY = _PRIORITY_ROUND9``.
+# ROUND-9 WINDOW (LIVE). Validated by tests/test_registry.py (names
+# exist, exactly 50, canaries first, no duplicates, no overlap with the
+# round-8 window). Composition: canaries; the 32 round-7 session
+# additions (E141–E173); then 16 of the 17 round-8 session additions
+# E174–E179/E182–E190 pulled FORWARD from the round-10 staging — the
+# round-8 verdict's task-2 done-criterion is never-verified ≤ 64 after
+# round 9, which needs 48 never-verified slots, not 32. The 16
+# re-verification slots originally staged here (q_hard_negatives after
+# its IVF-routing plan change, plus 15 relational/io/meta basics with
+# r1–r3 green rows) move to round 10: never-verified ops beat another
+# green row for an already-verified plan (the round-7-verdict-approved
+# swap).
 _PRIORITY_ROUND9: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
     # round-7 session additions, never driver-verified
@@ -254,40 +258,42 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
     "q_volume_profile", "q_moments", "q_gap_risk", "q_tier_migration",
     "q_tail_dependence", "q_ab_cuped", "q_kendall_tau", "q_interarrival",
     "q_markout", "q_return_split",
-    # re-verify: registered plan changed in round 7 (IVF routing)
-    "q_hard_negatives",
-    # re-verification: relational/io/meta basics (newest green rows r1-r3)
-    "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
-    "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
-    "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
-    "q_anti_join", "q_distinct_count", "q_rollup",
+    # round-8 session additions (E174–E179, E182–E190), never
+    # driver-verified — pulled forward from the round-10 staging
+    "q_ndcg", "q_triple_barrier", "q_mann_whitney",
+    "q_volume_concentration", "q_srm_check", "q_label_balance",
+    "q_donchian", "q_acf_profile", "q_xsec_momentum", "q_pairs_signal",
+    "q_embedding_norms", "q_imbalance_profile", "q_exec_shortfall",
+    "q_pack_efficiency", "q_power_analysis", "q_var_backtest",
 )
 
 
 # ROUND-10 WINDOW (apply at the start of round 10 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-9 window). Composition: canaries; the 12 round-8 session
-# additions (E174–E179 + the later batches E182–E190, never
-# driver-verified); then 31 re-verification slots selected
-# programmatically as the queries with the OLDEST last-green driver
-# row (15 from round 2, 16 from round 3 — the deepest re-verification
-# debt once the r8/r9 windows land). Eleven round-3 slots were
-# displaced for the later batches: five are bench headliners that run
-# in every BENCH_rN (the round-7-verdict-approved swap — never-
-# verified ops beat a 4th green row), plus q_redact, q_scan_partition,
-# q_source_stats, q_token_count, q_quality_filter and q_lang_id (each
-# r3-green; re-staged for the round-11 rotation).
+# round-9 window). Composition: canaries; q_rolling_corr (E192, the
+# one round-8 addition the widened round-9 window could not absorb);
+# q_hard_negatives (its registered plan changed to the IVF routing in
+# round 7 — its green row predates that plan); the 15 relational/io/
+# meta basics displaced from round 9 (newest green rows r1–r3); then
+# 31 re-verification slots selected programmatically as the queries
+# with the OLDEST last-green driver row (15 from round 2, 16 from
+# round 3). Remaining round-3 debt (q_redact, q_scan_partition,
+# q_source_stats, q_token_count, q_quality_filter, q_lang_id — each
+# r3-green) re-stages in the round-11/12 rotation.
 # At round-10 open, set ``_PRIORITY = _PRIORITY_ROUND10``.
 _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
-    # round-8 session additions, never driver-verified
-    "q_ndcg", "q_triple_barrier", "q_mann_whitney",
-    "q_volume_concentration", "q_srm_check", "q_label_balance",
-    "q_donchian", "q_acf_profile", "q_xsec_momentum", "q_pairs_signal",
-    "q_embedding_norms", "q_imbalance_profile", "q_exec_shortfall",
-    "q_pack_efficiency", "q_power_analysis", "q_var_backtest",
+    # round-8 addition not absorbed by the round-9 window
     "q_rolling_corr",
+    # re-verify: registered plan changed in round 7 (IVF routing)
+    "q_hard_negatives",
+    # re-verification: relational/io/meta basics (newest green rows
+    # r1-r3), displaced from round 9 by the never-verified pull-forward
+    "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
+    "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
+    "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
+    "q_anti_join", "q_distinct_count", "q_rollup",
     # re-verification: newest green rows date to round 2
     "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
     "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
