@@ -288,10 +288,20 @@ def cramers_v(df: DataFrame, row_col, col_col) -> DataFrame:
         F.countDistinct("c").alias("nc"),
     )
     j = cells.join(rt, "r").join(ct, "c").crossJoin(F.broadcast(tt))
-    dev = F.col("o") * F.col("t") - F.col("rn") * F.col("cn")
+    # square + t*rn*cn denominator in double (identical chain on both
+    # engines): the integer forms overflow int64 near 1e7 input rows —
+    # caught by the ANSI engine in the 100x-scale sweep; values are
+    # unchanged at driver scales (all operands < 2^53)
+    dev = (F.col("o") * F.col("t") - F.col("rn") * F.col("cn")).cast(
+        "double"
+    )
     qterm = F.floor(
-        (dev * dev).cast("double")
-        / (F.col("t") * F.col("rn") * F.col("cn")).cast("double")
+        (dev * dev)
+        / (
+            F.col("t").cast("double")
+            * F.col("rn").cast("double")
+            * F.col("cn").cast("double")
+        )
         * CHI2_SCALE
         + 0.5
     ).cast("long")
@@ -331,8 +341,10 @@ def cramers_v(df: DataFrame, row_col, col_col) -> DataFrame:
       FROM cells
     ), terms AS (
       SELECT CAST(floor(
-               CAST((o * t - rn * cn) * (o * t - rn * cn) AS DOUBLE)
-               / CAST(t * rn * cn AS DOUBLE) * {CHI2_SCALE} + 0.5)
+               CAST(o * t - rn * cn AS DOUBLE)
+                 * CAST(o * t - rn * cn AS DOUBLE)
+               / (CAST(t AS DOUBLE) * CAST(rn AS DOUBLE)
+                  * CAST(cn AS DOUBLE)) * {CHI2_SCALE} + 0.5)
              AS BIGINT) AS q, nr, nc, t
       FROM cells JOIN rt USING (r) JOIN ct USING (c), tt
     ), agg AS (

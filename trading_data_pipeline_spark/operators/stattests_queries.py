@@ -138,10 +138,22 @@ def chi_square(df: DataFrame, row_col: str, col_expr: F.Column) -> DataFrame:
     j = cells.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c").crossJoin(
         F.broadcast(tt)
     )
-    diff = F.col("o") * F.col("t") - F.col("rn") * F.col("cn")
+    # diff fits in BIGINT to ~3e9 input rows (|diff| <= o*t <= n^2), but
+    # its SQUARE and the t*rn*cn denominator overflow int64 near 1e7
+    # rows (caught by the ANSI engine in the 100x-scale sweep) — so
+    # square and denominator run in double, the IDENTICAL chain on both
+    # engines; at driver scales every operand is < 2^53, so the values
+    # are bit-equal to the old integer chain
+    diff = (F.col("o") * F.col("t") - F.col("rn") * F.col("cn")).cast(
+        "double"
+    )
     term_q = F.floor(
-        (diff * diff).cast("double")
-        / (F.col("t") * F.col("rn") * F.col("cn")).cast("double")
+        (diff * diff)
+        / (
+            F.col("t").cast("double")
+            * F.col("rn").cast("double")
+            * F.col("cn").cast("double")
+        )
         * F.lit(CHI2_SCALE)
         + F.lit(0.5)
     ).cast("long")
@@ -170,8 +182,10 @@ def chi_square(df: DataFrame, row_col: str, col_expr: F.Column) -> DataFrame:
       FROM cells
     ), terms AS (
       SELECT CAST(floor(
-               CAST((o * t - rn * cn) * (o * t - rn * cn) AS DOUBLE)
-               / CAST(t * rn * cn AS DOUBLE) * {CHI2_SCALE} + 0.5)
+               CAST(o * t - rn * cn AS DOUBLE)
+                 * CAST(o * t - rn * cn AS DOUBLE)
+               / (CAST(t AS DOUBLE) * CAST(rn AS DOUBLE)
+                  * CAST(cn AS DOUBLE)) * {CHI2_SCALE} + 0.5)
              AS BIGINT) AS q, nr, nc
       FROM cells JOIN rt USING (r) JOIN ct USING (c), tt
     )
