@@ -770,10 +770,17 @@ def flow_persistence(events: DataFrame) -> DataFrame:
         F.sum(F.col("s") * F.col("sp")).alias("sxy"),
     )
     n, sx, sy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxy"))
-    den2 = (n * n - sx * sx) * (n * n - sy * sy)
+    # each factor fits BIGINT (<= n^2, exact to ~3e9 pairs) but their
+    # PRODUCT overflows int64 past ~55k pairs per type (100x-sweep
+    # audit); multiply in double — both factors are exact doubles below
+    # 2^53, so the once-rounded product is bit-identical to casting the
+    # exact integer product, on both engines
+    den2 = (n * n - sx * sx).cast("double") * (n * n - sy * sy).cast(
+        "double"
+    )
     phi = F.when(
         den2 > 0,
-        (n * sxy - sx * sy).cast("double") / F.sqrt(den2.cast("double")),
+        (n * sxy - sx * sy).cast("double") / F.sqrt(den2),
     )
     return agg.select(
         "event_type",
@@ -810,9 +817,11 @@ def flow_persistence(events: DataFrame) -> DataFrame:
       FROM p WHERE sp IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, n AS n_pairs,
-           floor(CASE WHEN (n*n - sx*sx) * (n*n - sy*sy) > 0
+           floor(CASE WHEN CAST(n*n - sx*sx AS DOUBLE)
+                           * CAST(n*n - sy*sy AS DOUBLE) > 0
                  THEN CAST(n*sxy - sx*sy AS DOUBLE)
-                      / sqrt(CAST((n*n - sx*sx) * (n*n - sy*sy) AS DOUBLE))
+                      / sqrt(CAST(n*n - sx*sx AS DOUBLE)
+                             * CAST(n*n - sy*sy AS DOUBLE))
                  END * {FLOW_SCALE} + 0.5) / {FLOW_SCALE} AS flow_autocorr
     FROM agg
     """,

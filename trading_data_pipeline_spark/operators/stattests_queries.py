@@ -292,8 +292,9 @@ VR_SCALE = 10**6
 def variance_ratio(events: DataFrame) -> DataFrame:
     """Pairwise variance-ratio (F) statistic between event types'
     values: F = s²_a / s²_b over ordered type pairs (a < b
-    lexicographically), sample variances from exact BIGINT power sums
-    on integer cents — the homoscedasticity screen run before pooling
+    lexicographically), sample variances from exact power sums on
+    integer cents (BIGINT sums; the n·sxx − sx² numerator in
+    decimal(38,0) / HUGEINT) — the homoscedasticity screen run before pooling
     groups into one model (the KS test's variance-focused sibling; both
     engines share the single final division). Variances first reduce to
     the |types|-row aggregate, so the pair join is vocabulary-bounded.
@@ -321,12 +322,23 @@ def variance_ratio(events: DataFrame) -> DataFrame:
         F.col("sx").alias("sxb"),
         F.col("sxx").alias("sxxb"),
     )
-    va = (F.col("na") * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast(
-        "double"
-    ) / (F.col("na") * (F.col("na") - 1)).cast("double")
-    vb = (F.col("nb") * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast(
-        "double"
-    ) / (F.col("nb") * (F.col("nb") - 1)).cast("double")
+    # n·sxx and sx² overflow int64 past ~1e6 rows per group (100x-sweep
+    # audit), so the m2 numerator runs in decimal(38,0) — still EXACT
+    # (good to ~1e12-row groups), mirrored by HUGEINT on the oracle;
+    # both engines then cast the same exact integer to double once
+    def _m2(n_c: str, sxx_c: str, sx_c: str) -> F.Column:
+        dec = "decimal(38,0)"
+        return (
+            F.col(n_c).cast(dec) * F.col(sxx_c).cast(dec)
+            - F.col(sx_c).cast(dec) * F.col(sx_c).cast(dec)
+        ).cast("double")
+
+    va = _m2("na", "sxxa", "sxa") / (
+        F.col("na") * (F.col("na") - 1)
+    ).cast("double")
+    vb = _m2("nb", "sxxb", "sxb") / (
+        F.col("nb") * (F.col("nb") - 1)
+    ).cast("double")
     return (
         a.crossJoin(b)
         .filter(F.col("type_a") < F.col("type_b"))
@@ -354,10 +366,13 @@ def variance_ratio(events: DataFrame) -> DataFrame:
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            a.n AS n_a, b.n AS n_b,
-           floor(CASE WHEN (b.n * b.sxx - b.sx * b.sx) > 0 THEN
-             (CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+           floor(CASE WHEN (CAST(b.n AS HUGEINT) * b.sxx
+                            - CAST(b.sx AS HUGEINT) * b.sx) > 0 THEN
+             (CAST(CAST(a.n AS HUGEINT) * a.sxx
+                   - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
                 / CAST(a.n * (a.n - 1) AS DOUBLE))
-             / (CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+             / (CAST(CAST(b.n AS HUGEINT) * b.sxx
+                     - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)
                 / CAST(b.n * (b.n - 1) AS DOUBLE)) END
              * {VR_SCALE} + 0.5) / {VR_SCALE} AS f_stat
     FROM agg a JOIN agg b ON a.event_type < b.event_type
