@@ -286,9 +286,23 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MAP@K / MRR of the cosine arm against same-label relevance — the
 # log-free IR metrics (NDCG's log2 discount would cross the libm
 # boundary; average precision and reciprocal rank are exact rationals).
-EVAL_QMOD = 50   # every 50th vector is a held-out query
+EVAL_QMOD = 50   # every 50th vector is a held-out query…
+EVAL_MAX_QUERIES = 40  # …from a FIXED id range: panel ids < 50*40
 EVAL_K = 10
 EVAL_SCALE = 10**9
+
+# The eval panel is vec_id % EVAL_QMOD == 0 AND vec_id < this bound: a
+# fixed 40-query panel, not a corpus FRACTION. An uncapped 1/qmod
+# sample made the eval's probe work grow quadratically with the corpus
+# (queries ∝ n times per-query probe ∝ n — the 100x audit measured
+# q_ndcg at 15+ min at sf10); metric precision depends on the NUMBER of
+# panel queries, not their corpus share, and a fixed panel keeps the
+# metric comparable across scales. Ids below 2000 cover the ENTIRE
+# sf0.01/sf0.001 corpora, so driver-scale results are bit-identical to
+# the unbounded form. The corpus side keeps excluding ALL mod-qmod ids
+# (over-bound ones are simply unused), so rel_counts are unchanged at
+# every scale.
+EVAL_PANEL_BOUND = EVAL_QMOD * EVAL_MAX_QUERIES
 
 
 def retrieval_eval(
@@ -326,7 +340,10 @@ def retrieval_eval(
 
     from ..functions.vector import cosine_similarity
 
-    queries = emb.filter(F.col(id_col) % qmod == 0).select(
+    queries = emb.filter(
+        (F.col(id_col) % qmod == 0)
+        & (F.col(id_col) < qmod * EVAL_MAX_QUERIES)
+    ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(label_col).alias("qlabel"),
@@ -425,7 +442,8 @@ def retrieval_eval(
     f"""
     WITH queries AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
-      FROM embeddings WHERE vec_id % {EVAL_QMOD} = 0
+      FROM embeddings
+      WHERE vec_id % {EVAL_QMOD} = 0 AND vec_id < {EVAL_PANEL_BOUND}
     ), corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec, label
       FROM embeddings WHERE vec_id % {EVAL_QMOD} <> 0
@@ -533,7 +551,10 @@ def ndcg_eval(
 
     from ..functions.vector import cosine_similarity
 
-    queries = emb.filter(F.col(id_col) % qmod == 0).select(
+    queries = emb.filter(
+        (F.col(id_col) % qmod == 0)
+        & (F.col(id_col) < qmod * EVAL_MAX_QUERIES)
+    ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
         F.col(label_col).alias("qlabel"),
@@ -616,7 +637,8 @@ def _ndcg_ideal_sql() -> str:
     f"""
     WITH queries AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlabel
-      FROM embeddings WHERE vec_id % {EVAL_QMOD} = 0
+      FROM embeddings
+      WHERE vec_id % {EVAL_QMOD} = 0 AND vec_id < {EVAL_PANEL_BOUND}
     ), corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec, label
       FROM embeddings WHERE vec_id % {EVAL_QMOD} <> 0

@@ -652,6 +652,7 @@ def knn_label_eval(
     label_col: str = "label",
     index: "IvfIndex | None" = None,
     n_probe: int = 2,
+    max_eval: int | None = None,
 ) -> DataFrame:
     """Embedding-quality evaluation via k-NN label prediction: hold out
     every ``holdout_mod``-th vector, predict its label by majority vote
@@ -690,8 +691,19 @@ def knn_label_eval(
 
     from ..functions.vector import dot_product, l2_norm
 
+    # With max_eval, the holdout is a FIXED id-range panel rather than a
+    # corpus fraction: an uncapped 1/holdout_mod sample makes the eval's
+    # probe work quadratic in the corpus (holdout grows with n, times a
+    # per-query probe that grows with n). Accuracy precision depends on
+    # the panel SIZE, not its corpus share. The corpus side still
+    # excludes every mod-0 id, so per-label neighbour pools are
+    # unchanged by the cap.
+    _hold = F.col(id_col) % holdout_mod == 0
+    if max_eval is not None:
+        _hold = _hold & (F.col(id_col) < holdout_mod * max_eval)
+
     if index is not None:
-        holdq = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+        holdq = emb.filter(_hold).select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qvec"),
         )
@@ -702,7 +714,7 @@ def knn_label_eval(
             corpus_filter=F.col(id_col) % holdout_mod != 0,
             keep_cols=(label_col,),
         )
-        labels = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+        labels = emb.filter(_hold).select(
             F.col(id_col).alias("qid"),
             F.col(label_col).alias("true_label"),
         )
@@ -715,7 +727,7 @@ def knn_label_eval(
         # Per-row norm projections before the pairwise join (see
         # hard_negatives): |corpus| + |holdout| norm folds total instead
         # of 2·|corpus|·|holdout|, bit-identical cosine values.
-        holdout = emb.filter(F.col(id_col) % holdout_mod == 0).select(
+        holdout = emb.filter(_hold).select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
             F.col(label_col).alias("true_label"),

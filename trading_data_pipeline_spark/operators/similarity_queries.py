@@ -288,6 +288,12 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_HOLDOUT_MOD = 10
 KNN_K = 5
+# Fixed eval panel: holdout ids < 10*200 — covers the WHOLE sf0.01
+# corpus (values bit-identical at driver scales) while keeping the
+# eval's probe work corpus-linear at any scale (an uncapped 1/10
+# fraction is quadratic: |holdout| grows with n times per-query probe
+# cost that grows with n — the 100x audit class).
+KNN_MAX_EVAL = 200
 
 
 @register(
@@ -295,7 +301,9 @@ KNN_K = 5
     f"""
     WITH h AS (
       SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS tl
-      FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+      FROM embeddings
+      WHERE vec_id % {KNN_HOLDOUT_MOD} = 0
+        AND vec_id < {KNN_HOLDOUT_MOD * KNN_MAX_EVAL}
     ), c AS (
       SELECT vec_id, embedding::DOUBLE[] AS e, label
       FROM embeddings WHERE vec_id % {KNN_HOLDOUT_MOD} != 0
@@ -323,7 +331,9 @@ KNN_K = 5
                  / count(*) * 10000 + 0.5) / 10000 AS accuracy
     FROM m WHERE rv = 1 GROUP BY tl
     """,
-    doc="Embedding-quality probe: hold out every 10th vector, predict "
+    doc="Embedding-quality probe: hold out every 10th vector from a "
+    "FIXED 200-id-slot panel (covers the whole sf0.01 corpus; keeps "
+    "the eval corpus-linear at any scale), predict "
     "its label by majority vote of its 5 cosine-nearest neighbours, "
     "report per-label accuracy. Registered as the EXACT cell-pruned IVF "
     "path (IvfIndex.knn_join_exact: radius-bounded two-phase candidate "
@@ -340,6 +350,7 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_K,
         index=ivf_index_for(spark, sf_dir),
         n_probe=2,
+        max_eval=KNN_MAX_EVAL,
     )
 
 
