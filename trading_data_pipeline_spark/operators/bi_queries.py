@@ -1500,7 +1500,14 @@ def power_analysis(events: DataFrame) -> DataFrame:
         F.sum(F.col("m") * F.col("m")).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    varn = (n * s2 - s1 * s1).cast("double")
+    # n*s2 and s1^2 overflow int64 past ~1e5 users of this metric scale
+    # (100x audit); the m2 numerator runs in decimal(38,0) — still
+    # exact — mirrored by HUGEINT in the oracle; both engines cast the
+    # same exact integer to double once
+    _dec = "decimal(38,0)"
+    varn = (
+        n.cast(_dec) * s2.cast(_dec) - s1.cast(_dec) * s1.cast(_dec)
+    ).cast("double")
     sigma = F.sqrt(varn / (n.cast("double") * (n - 1).cast("double")))
     nmin = F.least(F.col("n_a"), F.col("n_b"))
     mde = (
@@ -1540,24 +1547,24 @@ def power_analysis(events: DataFrame) -> DataFrame:
       FROM users
     )
     SELECT n_a, n_b,
-           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+           CASE WHEN n > 1 AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
                  AND least(n_a, n_b) > 0 THEN
-             floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             floor(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    / 100.0 * {PW_SCALE} + 0.5) / {PW_SCALE}
            END AS sigma,
-           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+           CASE WHEN n > 1 AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
                  AND least(n_a, n_b) > 0 THEN
              floor({PW_Z_ALPHA + PW_Z_BETA}
-                   * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   * sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    * sqrt(2.0 / CAST(least(n_a, n_b) AS DOUBLE))
                    / 100.0 * {PW_SCALE} + 0.5) / {PW_SCALE}
            END AS mde_abs,
-           CASE WHEN n > 1 AND n * s2 - s1 * s1 > 0
+           CASE WHEN n > 1 AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
                  AND least(n_a, n_b) > 0 AND s1 <> 0 THEN
              floor({PW_Z_ALPHA + PW_Z_BETA}
-                   * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   * sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                    * sqrt(2.0 / CAST(least(n_a, n_b) AS DOUBLE))
                    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
