@@ -111,7 +111,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        b.embedding::DOUBLE[]), 4) >= 0.4
     """,
     doc="Embedding-cosine near-dup within label blocks (blocking bounds the "
-    "self-join; cosine is a JVM-side fold, bit-identical to the oracle)",
+    "self-join; cosine is a JVM-side fold, bit-identical to the oracle). "
+    "NOTE: the semantics are EXACT all-pairs-above-threshold within each "
+    "block, so cost is sum(|block|^2) and blocks grow with the corpus — "
+    "quadratic BY CONSTRUCTION (the 100x audit time-boxed it at ~2e9 "
+    "pairs). The corpus-scale near-dup paths are q_semantic_dedup "
+    "(cluster-bounded), q_dedup_near (banded MinHash), and the IVF "
+    "family; this op is the exact-semantics primitive for "
+    "audit-sized blocks",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
