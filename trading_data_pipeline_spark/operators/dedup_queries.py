@@ -207,7 +207,13 @@ FUZZY_MAX_EDITS = 2
     "LENGTH pre-filter runs before levenshtein so the O(len^2) DP only "
     "evaluates survivors — |len(a)-len(b)| > k implies distance > k. "
     "Spark and DuckDB implement the same Wagner-Fischer distance, so "
-    "values hash identically",
+    "values hash identically. NOTE: brand blocks have FIXED cardinality "
+    "(25), so blocks grow with the corpus and candidate cost is "
+    "quadratic BY CONSTRUCTION (~8e10 pairs at the 100x audit point, "
+    "time-boxed out). The corpus-scale fuzzy-match path is q-gram/"
+    "signature blocking (q_entity_canonical's normalize-then-group "
+    "shape); this op is the exact-semantics primitive for bounded "
+    "blocks",
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
