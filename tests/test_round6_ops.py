@@ -385,8 +385,22 @@ def test_containment_passes_do_not_accumulate_pinned_storage(spark):
     from trading_data_pipeline_spark.operators.dedup import containment_pairs
     from trading_data_pipeline_spark.plans.cache_registry import release_slot
 
+    import time
+
     def n_cached() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def settles_at(expect: int, timeout_s: float = 10.0) -> int:
+        # unpersist is deliberately non-blocking in production (never
+        # stall a job to drop dead blocks), so the registry's release is
+        # ASYNC: poll until the count settles instead of snapshotting —
+        # a bare read raced under heavy co-load (round-9 flake).
+        deadline = time.monotonic() + timeout_s
+        n = n_cached()
+        while n != expect and time.monotonic() < deadline:
+            time.sleep(0.2)
+            n = n_cached()
+        return n
 
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta unique{i} token{i}", "en", "s", 0)
@@ -394,15 +408,15 @@ def test_containment_passes_do_not_accumulate_pinned_storage(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     release_slot(spark)  # isolate from any earlier test's slots
-    base = n_cached()
+    base = settles_at(0)
     containment_pairs(docs).count()
     after_one = n_cached()
-    containment_pairs(docs).count()
-    after_two = n_cached()
     assert after_one - base == 1, "first pass should pin one shingle table"
+    containment_pairs(docs).count()
+    after_two = settles_at(base + 1)
     assert after_two - base == 1, "second pass must release the first's blocks"
     release_slot(spark, "containment_shingles")
-    assert n_cached() == base, "explicit release must unpin the slot"
+    assert settles_at(base) == base, "explicit release must unpin the slot"
 
 
 def test_cache_registry_release_is_idempotent(spark):
