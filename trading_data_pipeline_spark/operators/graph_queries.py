@@ -175,6 +175,18 @@ def clear_edge_cache() -> None:
 def similarity_edges_for(
     spark: SparkSession, sf_dir: str, threshold: float = TRIANGLE_COS
 ) -> DataFrame:
+    """Session-cached similarity edge list for the graph family.
+
+    SCALE NOTE (round-9 100x audit): the edge DERIVATION inherits
+    embedding_near_dup_pairs' exact all-pairs-within-label semantics, so
+    its cost is sum(|label block|^2) — quadratic in the corpus (labels
+    are fixed-cardinality). Every graph op downstream (pagerank,
+    triangles, k-core, label propagation, degree/assortativity) is
+    EDGE-LINEAR; at corpus scale derive edges with a sub-quadratic
+    candidate generator instead (banded MinHash pairs or IVF-cell
+    blocking produce the same (id_a, id_b) edge shape) and feed them to
+    the same functions.
+    """
     from .dedup import embedding_near_dup_pairs
 
     key = (spark.sparkContext.applicationId, sf_dir, threshold)
