@@ -710,8 +710,12 @@ def lateness_audit(
     """
     from ..plans.global_rank import global_running_max
 
+    # reduce mod 2^31 BEFORE the multiply: (e mod m)*k mod m == e*k mod m
+    # (same permutation value), but the raw product overflows int64 once
+    # event ids pass ~3.5e9 (the 100x audit's replica-shifted ids)
     arr = (
-        (F.col("event_id") * LATE_PERM_MUL) % LATE_PERM_MOD
+        ((F.col("event_id") % LATE_PERM_MOD) * LATE_PERM_MUL)
+        % LATE_PERM_MOD
         if arrival_col is None
         else F.col(arrival_col)
     )
@@ -754,7 +758,7 @@ def lateness_audit(
     WITH ev AS (
       SELECT event_id, event_type,
              epoch_us(ts) AS tus,
-             (event_id * {LATE_PERM_MUL}) % {LATE_PERM_MOD} AS arr
+             ((event_id % {LATE_PERM_MOD}) * {LATE_PERM_MUL}) % {LATE_PERM_MOD} AS arr
       FROM events
     ), gm AS (
       SELECT event_type,

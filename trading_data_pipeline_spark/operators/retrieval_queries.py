@@ -210,23 +210,30 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the numerator product exceeds int64 once 44*T*tf*2N*SCALE passes
+    # 2^63 (~sf1 for this corpus — predicted in the module note above;
+    # the 100x audit confirmed it), so both outer products run in
+    # decimal(38,0) / HUGEINT — still EXACT integer arithmetic, good to
+    # ~1e13-token corpora; the formula is unchanged
+    _dec = "decimal(38,0)"
     num = (
-        F.lit(44)
-        * F.col("t_tokens")
-        * F.col("tf")
-        * (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
-        * F.lit(BM25_SCALE)
+        F.lit(44 * BM25_SCALE).cast(_dec)
+        * F.col("t_tokens").cast(_dec)
+        * F.col("tf").cast(_dec)
+        * (
+            F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1)
+        ).cast(_dec)
     )
     den = (
         F.lit(20) * F.col("t_tokens") * F.col("tf")
         + F.lit(6) * F.col("t_tokens")
         + F.lit(18) * F.col("dl") * F.col("n_docs")
-    ) * (F.lit(2) * F.col("df") + F.lit(1))
+    ).cast(_dec) * (F.lit(2) * F.col("df") + F.lit(1)).cast(_dec)
     scored = (
         hits.join(dfreq, "tok")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", num.alias("_n"), den.alias("_d"))
-        .select("doc_id", F.expr("_n div _d").alias("_p"))
+        .select("doc_id", F.expr("_n div _d").cast("long").alias("_p"))
     )
     return (
         scored.groupBy("doc_id")
@@ -259,10 +266,11 @@ _BM25_TOKS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
       SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok
     ), scored AS (
       SELECT h.doc_id,
-             (44 * s.t_tokens * h.tf
-              * (2 * s.n_docs - 2 * d.df + 1) * {BM25_SCALE})
-             // ((20 * s.t_tokens * h.tf + 6 * s.t_tokens
-                  + 18 * h.dl * s.n_docs) * (2 * d.df + 1)) AS _p
+             CAST((CAST(44 * {BM25_SCALE} AS HUGEINT) * s.t_tokens
+              * h.tf * (2 * s.n_docs - 2 * d.df + 1))
+             // (CAST(20 * s.t_tokens * h.tf + 6 * s.t_tokens
+                  + 18 * h.dl * s.n_docs AS HUGEINT)
+                 * (2 * d.df + 1)) AS BIGINT) AS _p
       FROM hits h JOIN dfreq d USING (tok), stats s
     )
     SELECT doc_id, CAST(sum(_p) AS BIGINT) / {BM25_SCALE}.0 AS bm25
