@@ -186,7 +186,13 @@ HN_MAX_COS = 0.95
     "cell-pruned IVF path (IvfIndex.knn_join_exact with exclude_self + "
     "max_sim: radius-bounded candidate equi-joins on __cell — no "
     "corpus×queries product); result identical to brute force by "
-    "construction. Cosine fold bit-identical to DuckDB",
+    "construction. Cosine fold bit-identical to DuckDB. SCALE NOTE "
+    "(100x audit): mining anchors are 1/100 of the corpus BY INTENT "
+    "(production mines every anchor), so total work is anchors x "
+    "per-anchor probe — with the FIXED 8-cell index that is quadratic; "
+    "the scale knob is n_cells ~ sqrt(corpus) (FAISS practice), which "
+    "keeps per-anchor candidates ~sqrt(n) without changing results "
+    "(the cell-pruned path is exact at any n_cells)",
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import hard_negatives
