@@ -24,9 +24,9 @@ STATISTIC is exact integer arithmetic until one final division:
 
 Scale notes: KS aggregates each side to its distinct-value grid first
 (cardinality = price grid, not row count); χ² works on a
-|types|×|weekdays| cell table; Spearman's integer sums hold to
-n ≈ 10⁶ rows/group at 2⁶³ (switch the power sums to DECIMAL(38,0)
-beyond that).
+|types|×|weekdays| cell table; Spearman's power sums run in
+DECIMAL(38,0) / HUGEINT (BIGINT held only to ~10⁶ rows/group — the
+100x audit crossed it), exact to ~1e38.
 """
 
 from __future__ import annotations
@@ -224,17 +224,31 @@ def spearman(
         # that cancels in Pearson but keeps magnitudes smaller.
 
     r = d.withColumn("rx", ranks2("x")).withColumn("ry", ranks2("y"))
+    # product sums and the m2 numerators overflow int64 past ~2e6 rows
+    # per group (doubled ranks reach 2n; the 100x audit caught the sum),
+    # so they run in decimal(38,0) — exact to ~1e38 — mirrored by
+    # HUGEINT sums in the oracle; per-row products still fit BIGINT
+    _dec = "decimal(38,0)"
     agg = r.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(_dec)).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(_dec)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(_dec)).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (
+        F.col("n").cast(_dec) * F.col("sxy")
+        - F.col("sx").cast(_dec) * F.col("sy").cast(_dec)
+    ).cast("double")
+    dx = (
+        F.col("n").cast(_dec) * F.col("sxx")
+        - F.col("sx").cast(_dec) * F.col("sx").cast(_dec)
+    ).cast("double")
+    dy = (
+        F.col("n").cast(_dec) * F.col("syy")
+        - F.col("sy").cast(_dec) * F.col("sy").cast(_dec)
+    ).cast("double")
     rho = F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
     return agg.select(
         F.col("g").alias("event_type"),
@@ -260,17 +274,19 @@ def spearman(
     ), agg AS (
       SELECT g, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx * ry) AS BIGINT) AS sxy,
-             CAST(sum(rx * rx) AS BIGINT) AS sxx,
-             CAST(sum(ry * ry) AS BIGINT) AS syy
+             CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+             CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+             CAST(sum(ry * ry) AS HUGEINT) AS syy
       FROM r GROUP BY g
     )
     SELECT g AS event_type, n AS n_rows,
-           floor(CASE WHEN n * sxx - sx * sx > 0
-                       AND n * syy - sy * sy > 0
-                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           floor(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                       AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+                 THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx
+                                   - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy
+                                     - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
                  END * {RHO_SCALE} + 0.5) / {RHO_SCALE} AS spearman_rho
     FROM agg
     """,
