@@ -85,17 +85,17 @@ def test_operator_index_is_current():
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
 
 
-def test_round9_window_is_applied():
-    """Round 9 is LIVE: _PRIORITY must be the staged round-9 list (the
+def test_round10_window_is_applied():
+    """Round 10 is LIVE: _PRIORITY must be the staged round-10 list (the
     soundness of that list — 50 names, canaries first, no duplicates, no
-    overlap with round 8 — is pinned by
-    test_round9_window_staged_list_is_sound below)."""
+    overlap with round 9 — is pinned by
+    test_round10_window_list_is_sound below)."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY,
-        _PRIORITY_ROUND9,
+        _PRIORITY_ROUND10,
     )
 
-    assert _PRIORITY is _PRIORITY_ROUND9, "round-9 window not applied"
+    assert _PRIORITY is _PRIORITY_ROUND10, "round-10 window not applied"
 
 
 def test_no_oracle_column_is_duckdb_hugeint():
@@ -175,14 +175,17 @@ def test_round9_window_staged_list_is_sound():
     )
 
 
-def test_round10_window_proposal_is_sound():
-    """_PRIORITY_ROUND10 is the round-10 staged driver window — validated
-    now so renames can't silently break the rotation: every name
-    registered, exactly 50, canaries first, no duplicates, no overlap
-    with the round-9 window, and it must contain the round-8 addition
-    the round-9 window could not absorb (q_rolling_corr) plus the
-    plan-changed q_hard_negatives and the 15 relational/io/meta basics
-    displaced from round 9."""
+def test_round10_window_list_is_sound():
+    """_PRIORITY_ROUND10 is the (now LIVE) round-10 driver window,
+    restructured at round-10 open per the round-9 verdict task 2 ("burn
+    never-verified debt faster"): every name registered, exactly 50,
+    canaries first, no duplicates, no overlap with the round-9 window,
+    and every slot after the canaries is either q_rolling_corr (the one
+    round-8 addition round 9 could not absorb), the plan-changed
+    q_hard_negatives re-verify, or one of 46 NEVER-driver-verified
+    round-8 additions (E193-E238) pulled forward from round-11
+    staging — never-verified displaces re-verification, the
+    round-7-verdict-approved swap."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND9,
         _PRIORITY_ROUND10,
@@ -196,24 +199,40 @@ def test_round10_window_proposal_is_sound():
     assert _PRIORITY_ROUND10[:2] == ("q_report1", "q_dedup_near")
     overlap = set(_PRIORITY_ROUND10[2:]) & set(_PRIORITY_ROUND9)
     assert not overlap, f"slots wasted on round-9-covered queries: {sorted(overlap)}"
-    required = {
+    expected = {
         "q_rolling_corr", "q_hard_negatives",
-        "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
-        "q_union_all", "q_date_spine", "q_anti_join_dates",
-        "q_lit_frame", "q_checked_union", "q_join_inner",
-        "q_join_broadcast", "q_semi_join", "q_anti_join",
-        "q_distinct_count", "q_rollup",
+        # early round-8 session additions (E193-E208), never verified
+        "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
+        "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
+        "q_chaikin", "q_ichimoku", "q_kruskal_wallis",
+        "q_brown_forsythe", "q_cramers_v", "q_jackknife_sharpe",
+        "q_runs_test",
+        # late round-8 session additions (E209-E238), never verified
+        "q_gopher_rules", "q_prefix_dedup", "q_psi", "q_mutual_info",
+        "q_brier", "q_zipf_fit", "q_token_entropy",
+        "q_parkinson", "q_garman_klass", "q_rogers_satchell",
+        "q_yang_zhang", "q_corwin_schultz",
+        "q_jarque_bera", "q_ljung_box", "q_durbin_watson", "q_anova",
+        "q_welch_t", "q_cohens_kappa", "q_bartlett",
+        "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
+        "q_ease_of_movement",
+        "q_hurst", "q_granger", "q_quantile_binning",
+        "q_bipower", "q_mann_kendall", "q_adf",
     }
-    missing = required - set(_PRIORITY_ROUND10)
-    assert not missing, f"missing from round-10 window: {sorted(missing)}"
+    assert set(_PRIORITY_ROUND10[2:]) == expected, (
+        "round-10 window must be q_rolling_corr + q_hard_negatives + "
+        "the 46 pulled-forward never-verified ops"
+    )
 
 
 def test_round11_window_proposal_is_sound():
     """_PRIORITY_ROUND11 is the round-11 staged driver window — validated
     now so renames can't silently break the rotation: every name
     registered, exactly 50, canaries first, no duplicates, no overlap
-    with the round-10 window, and it must contain every late round-8
-    session addition (E193–E208, none has a driver row before round 11)."""
+    with the round-10 window, and it must contain every remaining
+    never-driver-verified op (q_ece, q_hodges_lehmann, and the
+    batch-14..16 additions pulled forward from the old round-12
+    staging) so never-verified debt reaches zero at round 11."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND10,
         _PRIORITY_ROUND11,
@@ -228,34 +247,29 @@ def test_round11_window_proposal_is_sound():
     overlap = set(_PRIORITY_ROUND11[2:]) & set(_PRIORITY_ROUND10)
     assert not overlap, f"slots wasted on round-10-covered queries: {sorted(overlap)}"
     new_ops = {
-        "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
-        "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
-        "q_chaikin", "q_ichimoku", "q_kruskal_wallis",
-        "q_brown_forsythe", "q_cramers_v", "q_jackknife_sharpe",
-        "q_runs_test",
-        # E209-E235 (corpus curation, range volatility, stat tests,
-        # indicators, ts diagnostics)
-        "q_gopher_rules", "q_prefix_dedup", "q_psi", "q_mutual_info",
-        "q_brier", "q_zipf_fit", "q_token_entropy",
-        "q_parkinson", "q_garman_klass", "q_rogers_satchell",
-        "q_yang_zhang", "q_corwin_schultz",
-        "q_jarque_bera", "q_ljung_box", "q_durbin_watson", "q_anova",
-        "q_welch_t", "q_cohens_kappa", "q_bartlett",
-        "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
-        "q_ease_of_movement",
-        "q_hurst", "q_granger", "q_quantile_binning",
-        "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
-        "q_hodges_lehmann",
+        # never-driver-verified remainder from the round-10 pull-forward
+        "q_ece", "q_hodges_lehmann",
+        # never-driver-verified batch-14..16 additions, pulled forward
+        # from the old round-12 staging — after round 11 the
+        # never-verified count is ZERO
+        "q_bootstrap_ci", "q_assortativity", "q_cusum",
+        "q_trimmed_mean", "q_markov_entropy", "q_pastor_stambaugh",
+        "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
+        "q_dsir_weights", "q_bpe_step", "q_ccnet_buckets",
+        "q_lorenz_deciles", "q_theil_index",
     }
     missing = new_ops - set(_PRIORITY_ROUND11)
-    assert not missing, f"late round-8 additions missing from round-11 window: {sorted(missing)}"
+    assert not missing, f"never-verified ops missing from round-11 window: {sorted(missing)}"
 
 
 def test_round12_window_proposal_is_sound():
-    """_PRIORITY_ROUND12 is the round-12 staged driver window — the
-    batch-14 overflow (never driver-verified) plus the oldest
-    re-verification debt: every name registered, exactly 50, canaries
-    first, no duplicates, no overlap with the round-11 window."""
+    """_PRIORITY_ROUND12 is the round-12 staged driver window — pure
+    re-verification of the oldest last-green rows (the never-verified
+    debt is zero after round 11 under the restructured round-10/11
+    windows): every name registered, exactly 50, canaries first, no
+    duplicates, no overlap with the round-11 window, and it must carry
+    the round-3-green cohort displaced from the old round-10 staging
+    plus the round-3/4 cohorts from the old round-12 staging."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY_ROUND11,
         _PRIORITY_ROUND12,
@@ -270,10 +284,13 @@ def test_round12_window_proposal_is_sound():
     overlap = set(_PRIORITY_ROUND12[2:]) & set(_PRIORITY_ROUND11)
     assert not overlap, f"slots wasted on round-11-covered queries: {sorted(overlap)}"
     missing = {
-        "q_bootstrap_ci", "q_assortativity", "q_cusum",
-        "q_trimmed_mean", "q_markov_entropy", "q_pastor_stambaugh",
-        "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
-        "q_dsir_weights", "q_bpe_step", "q_ccnet_buckets",
-        "q_lorenz_deciles", "q_theil_index",
+        # round-3 greens displaced from the old round-10 staging
+        "q_contamination", "q_curation_pipeline", "q_dataset_split",
+        "q_dedup_embed", "q_dedup_ngram", "q_filter_date",
+        "q_fingerprint", "q_frame_sample", "q_groupby_agg",
+        "q_json_extract", "q_multimodal_meta", "q_quality_repetition",
+        "q_range_join", "q_sequence_packing", "q_stratified_sample",
+        # oldest round-3/4 cohorts from the old round-12 staging
+        "q_dedup_exact", "q_window_lag", "q_ann_ivf", "q_median",
     } - set(_PRIORITY_ROUND12)
-    assert not missing, f"batch-14 overflow missing from round-12 window: {sorted(missing)}"
+    assert not missing, f"re-verification cohort missing from round-12 window: {sorted(missing)}"

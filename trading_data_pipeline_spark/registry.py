@@ -268,71 +268,34 @@ _PRIORITY_ROUND9: tuple[str, ...] = (
 )
 
 
-# ROUND-10 WINDOW (apply at the start of round 10 — do NOT apply
-# earlier). Validated NOW by tests/test_registry.py (names exist,
-# exactly 50, canaries first, no duplicates, no overlap with the
-# round-9 window). Composition: canaries; q_rolling_corr (E192, the
-# one round-8 addition the widened round-9 window could not absorb);
+# ROUND-10 WINDOW (LIVE — applied at round-10 open). Validated by
+# tests/test_registry.py (names exist, exactly 50, canaries first, no
+# duplicates, no overlap with the round-9 window). Composition per the
+# round-9 verdict task 2 ("burn never-verified debt faster than the
+# current staging does"): canaries; q_rolling_corr (E192, the one
+# round-8 addition the widened round-9 window could not absorb);
 # q_hard_negatives (its registered plan changed to the IVF routing in
-# round 7 — its green row predates that plan); the 15 relational/io/
-# meta basics displaced from round 9 (newest green rows r1–r3); then
-# 31 re-verification slots selected programmatically as the queries
-# with the OLDEST last-green driver row (15 from round 2, 16 from
-# round 3). Remaining round-3 debt (q_redact, q_scan_partition,
-# q_source_stats, q_token_count, q_quality_filter, q_lang_id — each
-# r3-green) re-stages in the round-11/12 rotation.
-# At round-10 open, set ``_PRIORITY = _PRIORITY_ROUND10``.
+# round 7 — its green row predates that plan); then 46 never-driver-
+# verified round-8 session additions (E193–E238) pulled forward from
+# the round-11 staging — never-verified ops displace re-verification,
+# the round-7-verdict-approved swap. The 15 relational/io/meta basics
+# and the round-2/3 re-verification slots this displaces re-stage in
+# the round-11/12 rotation below. After this window runs,
+# never-driver-verified debt is 64 - 47 = 17 (2 round-11 remainder +
+# 15 old round-12 batch), all absorbed by the round-11 window ⇒ debt
+# reaches 0 after round 11, one round earlier than the prior staging.
 _PRIORITY_ROUND10: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
     # round-8 addition not absorbed by the round-9 window
     "q_rolling_corr",
     # re-verify: registered plan changed in round 7 (IVF routing)
     "q_hard_negatives",
-    # re-verification: relational/io/meta basics (newest green rows
-    # r1-r3), displaced from round 9 by the never-verified pull-forward
-    "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
-    "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
-    "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
-    "q_anti_join", "q_distinct_count", "q_rollup",
-    # re-verification: newest green rows date to round 2
-    "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
-    "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
-    "q_image_features", "q_intersect", "q_percentiles", "q_pivot",
-    "q_string_funcs", "q_window_rank", "q_window_running",
-    # re-verification: newest green rows date to round 3
-    "q_asof_pandas", "q_contamination", "q_curation_pipeline",
-    "q_dataset_split", "q_dedup_embed", "q_dedup_ngram",
-    "q_filter_date", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
-    "q_json_extract", "q_multimodal_meta",
-    "q_quality_repetition", "q_range_join",
-    "q_sequence_packing", "q_stratified_sample",
-)
-
-# ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
-# earlier). Validated NOW by tests/test_registry.py (names exist,
-# exactly 50, canaries first, no duplicates, no overlap with the
-# round-10 window). Composition: canaries; 48 of the 50 round-8 session
-# additions without a driver row — the 16 early-session batches
-# (E193–E208: risk ratios, range/flow indicators, stat tests) plus
-# the 32 late-session batches (E209–E241: corpus curation, OHLC
-# range volatility, classical stat tests, DMI/volume-flow
-# indicators, time-series diagnostics, jump/trend/unit-root tests,
-# calibration error, robust location — including q_hodges_lehmann,
-# E241). The batch-14 overflow
-# (q_bootstrap_ci, q_assortativity) is staged in the round-12 window
-# below — every registered query has a green driver row or sits in
-# exactly one staged window. Never-verified ops displace re-verification —
-# the round-7-verdict-approved swap; the remaining round-3/4 debt
-# re-stages in the round-12 rotation.
-# At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
-_PRIORITY_ROUND11: tuple[str, ...] = (
-    "q_report1", "q_dedup_near",
-    # early round-8 session additions (E193–E208), never driver-verified
+    # never-driver-verified early round-8 session additions (E193-E208)
     "q_omega_ratio", "q_hill_tail", "q_kupiec_pof", "q_ulcer_index",
     "q_calmar", "q_williams_r", "q_aroon", "q_cci", "q_vortex",
     "q_chaikin", "q_ichimoku", "q_kruskal_wallis", "q_brown_forsythe",
     "q_cramers_v", "q_jackknife_sharpe", "q_runs_test",
-    # late round-8 session additions (E209–E235), never driver-verified
+    # never-driver-verified late round-8 session additions (E209-E238)
     "q_gopher_rules", "q_prefix_dedup", "q_psi", "q_mutual_info",
     "q_brier", "q_zipf_fit", "q_token_entropy",
     "q_parkinson", "q_garman_klass", "q_rogers_satchell",
@@ -342,33 +305,70 @@ _PRIORITY_ROUND11: tuple[str, ...] = (
     "q_adx", "q_ultimate_osc", "q_keltner", "q_force_index",
     "q_ease_of_movement",
     "q_hurst", "q_granger", "q_quantile_binning",
-    "q_bipower", "q_mann_kendall", "q_adf", "q_ece",
-    "q_hodges_lehmann",
+    "q_bipower", "q_mann_kendall", "q_adf",
 )
 
-# ROUND-12 WINDOW (apply at the start of round 12 — do NOT apply
+# ROUND-11 WINDOW (apply at the start of round 11 — do NOT apply
 # earlier). Validated NOW by tests/test_registry.py (names exist,
 # exactly 50, canaries first, no duplicates, no overlap with the
-# round-11 window). Composition: canaries; the round-8 batch-14
-# overflow the full round-11 window could not absorb
-# (q_bootstrap_ci, q_assortativity) plus the batch-15 quartet
-# (q_cusum, q_trimmed_mean, q_markov_entropy, q_pastor_stambaugh),
-# plus the batch-16 ratios (q_dual_beta, q_k_ratio,
-# q_rachev, q_embedding_isotropy) and the DSIR scorer
-# (q_dsir_weights), the BPE/CCNet pair, the Lorenz/Theil concentration
-# pair, all never driver-verified; then 33
-# re-verification slots with the OLDEST last-green rows (15 from
-# round 3, 18 from round 4 — through q_median) not staged in any other window.
-# At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
-_PRIORITY_ROUND12: tuple[str, ...] = (
+# round-10 window). Composition: canaries; the 2 never-driver-verified
+# round-8 additions the widened round-10 window could not absorb
+# (q_ece, q_hodges_lehmann); the 15 never-driver-verified batch-14..16
+# additions pulled forward from the old round-12 staging
+# (q_bootstrap_ci … q_theil_index) — after this window runs,
+# never-driver-verified debt is ZERO; then 31 re-verification slots:
+# the 15 relational/io/meta basics displaced from round 10 (newest
+# green rows r1–r3), the 15 queries whose newest green row dates to
+# round 2, and q_asof_pandas (round-3 green, first of that cohort).
+# At round-11 open, set ``_PRIORITY = _PRIORITY_ROUND11``.
+_PRIORITY_ROUND11: tuple[str, ...] = (
     "q_report1", "q_dedup_near",
-    # round-8 batch-14/15 overflow, never driver-verified
+    # never-driver-verified remainder from the round-10 pull-forward
+    "q_ece", "q_hodges_lehmann",
+    # never-driver-verified batch-14..16 round-8 additions, pulled
+    # forward from the old round-12 staging
     "q_bootstrap_ci", "q_assortativity",
     "q_cusum", "q_trimmed_mean", "q_markov_entropy",
     "q_pastor_stambaugh",
     "q_dual_beta", "q_k_ratio", "q_rachev", "q_embedding_isotropy",
     "q_dsir_weights", "q_bpe_step", "q_ccnet_buckets",
     "q_lorenz_deciles", "q_theil_index",
+    # re-verification: relational/io/meta basics (newest green rows
+    # r1-r3), displaced from round 10 by the never-verified pull-forward
+    "q_scan_csv", "q_sink_csv", "q_sink_parquet", "q_sink_json",
+    "q_union_all", "q_date_spine", "q_anti_join_dates", "q_lit_frame",
+    "q_checked_union", "q_join_inner", "q_join_broadcast", "q_semi_join",
+    "q_anti_join", "q_distinct_count", "q_rollup",
+    # re-verification: newest green rows date to round 2
+    "q_approx_distinct", "q_audio_features", "q_case_when", "q_cube",
+    "q_date_funcs", "q_except", "q_explode_tokens", "q_grouping_sets",
+    "q_image_features", "q_intersect", "q_percentiles", "q_pivot",
+    "q_string_funcs", "q_window_rank", "q_window_running",
+    # re-verification: newest green rows date to round 3 (first of the
+    # cohort; the rest re-stage in round 12)
+    "q_asof_pandas",
+)
+
+# ROUND-12 WINDOW (apply at the start of round 12 — do NOT apply
+# earlier). Validated NOW by tests/test_registry.py (names exist,
+# exactly 50, canaries first, no duplicates, no overlap with the
+# round-11 window). Composition: canaries; then 48 pure
+# re-verification slots with the OLDEST last-green driver rows — the
+# remaining 15 round-3 greens displaced from the old round-10 staging,
+# the 15 round-3 greens from the old round-12 staging, and the 18
+# round-4 greens (through q_median). No never-verified slots remain:
+# debt reaches 0 at round 11 under the round-10/11 windows above.
+# At round-12 open, set ``_PRIORITY = _PRIORITY_ROUND12``.
+_PRIORITY_ROUND12: tuple[str, ...] = (
+    "q_report1", "q_dedup_near",
+    # re-verification: newest green rows date to round 3 (displaced
+    # from the old round-10 staging by the never-verified pull-forward)
+    "q_contamination", "q_curation_pipeline",
+    "q_dataset_split", "q_dedup_embed", "q_dedup_ngram",
+    "q_filter_date", "q_fingerprint", "q_frame_sample", "q_groupby_agg",
+    "q_json_extract", "q_multimodal_meta",
+    "q_quality_repetition", "q_range_join",
+    "q_sequence_packing", "q_stratified_sample",
     # re-verification: newest green rows date to round 3
     "q_dedup_exact", "q_lang_id", "q_quality_filter", "q_redact",
     "q_scan_partition", "q_sentiment_lexicon", "q_session_window",
@@ -383,9 +383,10 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_median",
 )
 
-# ACTIVE round-9 driver window (applied at round-9 open per the staged
-# plan above; earlier lists are kept for the no-wasted-slot check).
-_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND9
+# ACTIVE round-10 driver window (applied at round-10 open per the
+# staged plan above; earlier lists are kept for the no-wasted-slot
+# check).
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND10
 
 
 def all_queries() -> dict[str, QuerySpec]:
