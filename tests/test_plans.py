@@ -854,3 +854,58 @@ def test_round6_batch2_shuffle_budgets(spark, sf_dir, queries):
     for name in ("q_tail_tokens", "q_embedding_drift", "q_outlier_iqr"):
         plan = plan_of(queries[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_ann_recall_curve_is_one_corpus_pass(spark, sf_dir):
+    """Round-10 contract for the recall curve (round-9 verdict task 6:
+    the per-width probe_batch branches re-scanned the corpus per width
+    — 452 s warm at sf10). Every arm (exact + each n_probe) must derive
+    from ONE bounded candidate table: the candidate pass is a single
+    broadcast corpus x sample product whose top-k is pushed BEFORE the
+    shuffle, its corpus side reads the index's persisted cell
+    assignment, and its output is <= |sample| * n_cells * k rows — the
+    per-width branches then touch only that table."""
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        ANN_RECALL_MAX_QUERIES,
+        ANN_RECALL_QMOD,
+        _recall_candidates,
+        _recall_qmod,
+        _recall_queries,
+        ann_recall_curve,
+        ivf_index_for,
+    )
+
+    from trading_data_pipeline_spark.plans.cache_registry import (
+        release_slot,
+    )
+
+    # an earlier test may have left the candidate slot persisted, in
+    # which case Spark's cache manager substitutes the WHOLE candidate
+    # plan with the cached relation (rendering the BNLJ twice in
+    # toString); release it so the asserted shape is the fresh plan
+    release_slot(spark, "ann_recall_candidates")
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ivf_index_for(spark, sf_dir)
+    qmod = _recall_qmod(emb, ANN_RECALL_QMOD, ANN_RECALL_MAX_QUERIES)
+    qs = _recall_queries(emb, qmod)
+    cand = _recall_candidates(idx, qs, 10)
+    p = plan_of(cand)
+    # one corpus x sample product, broadcast (sample side), never a
+    # shuffled join of the corpus
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+    # per-(query, cell-rank) top-k is pushed below the exchange
+    assert "WindowGroupLimit" in p, p
+    # corpus side comes from the persisted cell assignment, not a
+    # fresh parquet scan + re-assignment
+    assert "InMemoryTableScan" in p, p
+    # bounded output: every downstream arm is O(candidates)
+    assert cand.count() <= qs.count() * len(idx.centroids) * 10
+    # the curve itself pins the candidate table through the session
+    # cache registry so the widths share ONE materialization
+    from trading_data_pipeline_spark.plans import cache_registry
+
+    ann_recall_curve(emb, idx).collect()
+    slots = cache_registry._REGISTRY.get(spark) or {}
+    assert "ann_recall_candidates" in slots
+    assert slots["ann_recall_candidates"].storageLevel.useMemory
