@@ -456,16 +456,34 @@ def jaccard_prefix_join(
     filtering (the PPJoin family) — the deterministic complement to the
     probabilistic banded-MinHash path.
 
-    Positional-filter principle: order every document's distinct tokens
+    Prefix-filter principle: order every document's distinct tokens
     by ONE global canonical order (document frequency ascending, token as
     tiebreak — rarest first); if ``J(a,b) >= t`` then the first
     ``|d| - ceil(t*|d|) + 1`` tokens of each side must share at least one
     token. Candidate pairs therefore come from a self-join on PREFIX
     tokens only — and because prefixes lead with the rarest tokens,
     bucket sizes stay small where a full token inverted index would put
-    every stopword-sharing pair in one bucket. Exact verification then
-    removes false candidates, so the result is identical to the naive
-    O(n²) join (that identity IS the oracle).
+    every stopword-sharing pair in one bucket.
+
+    Two further PPJoin filters prune candidates BEFORE the distinct and
+    the verify joins — the defense against natural-text corpora where a
+    common token lands in the prefix of many short documents (the
+    round-9 scale audit's costliest entry, 494 s at sf10, was governed
+    by exactly that bucket-size hazard):
+
+    - LENGTH filter: ``J(a,b) >= t`` forces ``min(n_a, n_b) >=
+      t * max(n_a, n_b)`` (overlap is at most the smaller set), so
+      grossly mismatched sizes never pair.
+    - POSITIONAL filter: a true pair's FIRST shared canonical token at
+      0-based prefix positions ``(p_a, p_b)`` has no shared tokens
+      before it, so overlap <= ``1 + min(n_a - p_a - 1, n_b - p_b - 1)``;
+      Jaccard >= t needs overlap >= ``t * (n_a + n_b) / (1 + t)``. A
+      pair is kept if ANY shared prefix token passes — the first shared
+      token always does for a true pair, so no recall loss.
+
+    Exact verification then removes the surviving false candidates, so
+    the result is identical to the naive O(n²) join (that identity IS
+    the oracle and is pinned in tests/test_extensions.py).
 
     Shuffles: token-df aggregation, the df join-back, the per-doc sort
     (id-keyed), the prefix-token candidate join, and two id-keyed verify
@@ -490,12 +508,29 @@ def jaccard_prefix_join(
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
     prefixes = ordered.select(
-        "id", F.explode(F.slice("tks", 1, prefix_len)).alias("ptok")
+        "id",
+        "n",
+        F.posexplode(F.slice("tks", 1, prefix_len)).alias("pos", "ptok"),
     )
+    na, nb = F.col("a.n"), F.col("b.n")
+    overlap_ub = F.lit(1) + F.least(
+        na - F.col("a.pos") - 1, nb - F.col("b.pos") - 1
+    )
+    # The bounds compare an INTEGER against t-scaled reals; a boundary
+    # pair (e.g. J exactly 0.9 with |a|=27, |b|=30 needs overlap 27 but
+    # 0.9*57/1.9 rounds to 27.000000000000004) must not be pruned, so
+    # both filters get a small slack — pruning bounds may only ever be
+    # loose, the exact verify removes anything the slack admits.
+    eps = 1e-6
+    min_overlap = F.lit(t) * (na + nb) / F.lit(1.0 + t) - F.lit(eps)
     cands = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "ptok")
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(eps)
+        )
+        .filter(overlap_ub >= min_overlap)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
