@@ -252,11 +252,33 @@ def basket_pairs(
     "co-purchases" are noise for affinity anyway. The cap is far above
     every real basket in the synthetic data, so the uncapped oracle
     still matches; cap semantics are pinned in tests/test_bi.py.
+
+    MEMORY CONTRACT (recorded, not a surprise): the pair stream is
+    ~Σ|basket|²/2 rows — linear in orders at TPC-H-ish basket sizes
+    (~6·|orders|) — but with |parts| ≫ mean basket size nearly every
+    pair is DISTINCT, so the (pa, pb) hash aggregate holds close to
+    one group per pair row until ``min_count`` filters survivors
+    POST-aggregation. Size the reduce side so
+    (pair rows / shuffle partitions) × ~48 B fits an executor's
+    aggregation memory (HashAggregate falls back to sort-spill, but
+    the basket cache + concurrent partials still want headroom): at
+    sf10 on a single local[32] JVM that is ~90 M pair rows / 32
+    partitions — the round-9 audit's 32 GB heap sizing. On a cluster
+    the same rule is per-executor and ordinary
+    ``spark.sql.shuffle.partitions`` sizing.
     """
-    # three consumers (order count, pair-gen, part frequencies):
+    # Three consumers (order count, pair-gen, part frequencies):
     # materialize the basket aggregate once instead of re-shuffling
-    # lineitem per consumer
-    baskets = order_baskets(lineitem, max_basket).localCheckpoint(eager=True)
+    # lineitem per consumer. Columnar MEMORY_AND_DISK cache, NOT
+    # localCheckpoint: checkpoint stores deserialized Row objects
+    # (~|orders| boxed arrays pinned on-heap — the round-9 sf10 audit
+    # needed a 32 GB heap mostly for exactly this), while the SQL cache
+    # is compressed columnar and spills block-by-block.
+    from ..plans.cache_registry import persist_slot
+
+    baskets = persist_slot(
+        order_baskets(lineitem, max_basket), "basket_pairs_baskets"
+    )
     n_orders = baskets.count()
     pairs = (
         baskets.select(
