@@ -223,10 +223,17 @@ class IvfIndex:
         (id, vector, cell); no broadcast hint is forced — size-based
         planning / AQE broadcasts it while it fits and falls back to a
         shuffle join for query batches too large to ship to every executor
-        (a million wide query vectors would OOM a forced broadcast)."""
+        (a million wide query vectors would OOM a forced broadcast).
+
+        Pair scoring is a dot-only fold: both sides' L2 norms are
+        hoisted to per-ROW projections below the join (a corpus row
+        meets ~|queries|·n_probe/n_cells queries — recomputing two
+        norm folds per PAIR tripled the probe's per-pair work). The
+        hoist is the same expression tree evaluated once, so scores
+        are bit-identical."""
         from pyspark.sql import Window
 
-        from ..functions.vector import cosine_similarity
+        from ..functions.vector import dot_product, l2_norm
 
         qv = F.col(qvec_col).cast("array<double>")
         scored = F.array(
@@ -239,12 +246,20 @@ class IvfIndex:
         q = queries.select(
             F.col(qid_col).alias("__qid"),
             qv.alias("__qv"),
+            l2_norm(qv).alias("__qn"),
             F.explode(F.transform(top_cells, lambda s: s["c"])).alias("__cell"),
         )
-        sim = cosine_similarity(F.col(self.vec_col).cast("array<double>"), F.col("__qv"))
+        corpus = self.assigned.select(
+            "__cell",
+            F.col(self.id_col),
+            F.col(self.vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+        sim = dot_product(F.col("__cv"), F.col("__qv")) / (
+            F.col("__cn") * F.col("__qn")
+        )
         w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc(self.id_col))
         return (
-            self.assigned.join(q, "__cell")
+            corpus.join(q, "__cell")
             .select("__qid", self.id_col, sim.alias("_sim"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)

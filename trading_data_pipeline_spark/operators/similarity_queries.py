@@ -1190,12 +1190,13 @@ def _exact_topk(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     width)."""
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot_product, l2_norm
 
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+    ).withColumn("_vn", l2_norm(F.col("vec")))
+    qn = queries.withColumn("_qn", l2_norm(F.col("qvec")))
+    pairs = corpus.crossJoin(F.broadcast(qn)).filter(
         F.col("vec_id") != F.col("qid")
     )
     return (
@@ -1203,7 +1204,9 @@ def _exact_topk(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
             "qid",
             "vec_id",
             F.round(
-                cosine_similarity(F.col("vec"), F.col("qvec")), 4
+                dot_product(F.col("vec"), F.col("qvec"))
+                / (F.col("_vn") * F.col("_qn")),
+                4,
             ).alias("_s"),
         )
         .withColumn(
