@@ -904,3 +904,36 @@ def test_band_index_metadata_validates_probe_without_scan(spark, tmp_path):
         args = {"n": 1, "bands": 6, "rows_per_band": 3, **kw}
         with pytest.raises(ValueError, match="band index was built"):
             delta_dedup_pairs(corpus, delta, index=loaded, **args)
+
+
+def test_tfidf_sparse_norm_equals_dense_fold(spark, sf_dir):
+    """q_tfidf's norm folds only the SparseVector values array
+    (unwrap_udt) instead of the 16384-wide densified vector — the
+    skipped terms are exact 0.0 squares, so the two folds must be
+    BIT-identical doc-by-doc (IEEE a + 0.0 == a for a >= 0 running
+    sums), not merely close."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.functions import unwrap_udt
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tfd = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 14).transform(
+        Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    )
+    out = IDF(inputCol="tf", outputCol="tfidf").fit(tfd).transform(tfd)
+    dense = F.sqrt(
+        F.aggregate(vector_to_array("tfidf"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    sparse = F.sqrt(
+        F.aggregate(
+            unwrap_udt(F.col("tfidf")).getField("values"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    n_bad = (
+        out.select(dense.alias("d"), sparse.alias("s"))
+        .filter(F.col("d") != F.col("s"))
+        .count()
+    )
+    assert n_bad == 0

@@ -37,6 +37,23 @@ WARMUPS = 1
 RUNS = 2
 
 
+# The measured heavy tail of the sf10 execution audit (round-9 verdict
+# task 3): every SCALEAUDIT top-cost query sweeps by default so each
+# keeps a CURRENT two-decade scaling ratio, not a one-off single-run
+# time. Round-10 measured ratios at 100x data: q_ann_recall 36.7,
+# q_jaccard_prefix_join 5.3, q_basket_pairs 18.4 (at default heap);
+# the rest recorded in BASELINE.md's round-10 section.
+HEAVY_TAIL = (
+    "q_ann_recall",
+    "q_jaccard_prefix_join",
+    "q_basket_pairs",
+    "q_dataset_card",
+    "q_knn_eval",
+    "q_tfidf",
+    "q_char_entropy",
+)
+
+
 def pick_queries(top_n: int) -> list[str]:
     from bench import HEADLINE
 
@@ -46,9 +63,9 @@ def pick_queries(top_n: int) -> list[str]:
         (k for k, v in audit.items() if v.get("err") is None),
         key=lambda k: -audit[k].get("shuffles", 0),
     )
-    picked = list(HEADLINE)
+    picked = list(HEADLINE) + [q for q in HEAVY_TAIL if q not in HEADLINE]
     for q in by_shuffles:
-        if len(picked) >= len(HEADLINE) + top_n:
+        if len(picked) >= len(HEADLINE) + len(HEAVY_TAIL) + top_n:
             break
         if q not in picked:
             picked.append(q)

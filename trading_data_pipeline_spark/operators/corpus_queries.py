@@ -543,18 +543,21 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     gate itself verifies the contract on live data).
     """
     tk = F.split("text", " ")
-    base = docs.select(
+    # Two branches over docs, NOT one exploded stream: the per-doc
+    # stats need no explode, and regrouping the exploded token stream
+    # by a 6-column doc key (the round-9 shape) shuffled |corpus
+    # tokens| wide rows just to recover one row per document — the
+    # dominant cost of the sf10 audit's 227 s reading. Token-type
+    # distinct is the only aggregate that needs the exploded stream,
+    # and it shuffles 8-byte hashes after per-partition partial dedup.
+    per_doc = docs.select(
         "doc_id",
         "source",
         "lang",
         F.size(tk).alias("toks"),
         F.length("text").alias("chars"),
         F.xxhash64(F.array_join(F.array_sort(tk), " ")).alias("fp"),
-        F.explode(tk).alias("tok"),
     )
-    per_doc = base.groupBy(
-        "doc_id", "source", "lang", "toks", "chars", "fp"
-    ).agg(F.count(F.lit(1)).alias("_n"))
     vol = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("n_tokens"),
@@ -563,7 +566,7 @@ def dataset_card(docs: DataFrame) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("fp").alias("n_unique_docs"),
     )
-    toks = base.agg(
+    toks = docs.select(F.explode(tk).alias("tok")).agg(
         F.countDistinct(F.xxhash64("tok")).alias("n_token_types")
     )
     return vol.crossJoin(F.broadcast(toks)).select(

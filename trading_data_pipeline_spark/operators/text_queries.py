@@ -98,14 +98,19 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "-> SORTED fold of -(p log2 p), zero shuffle, codegen'd. The count "
     "array is sorted before folding so Spark and the oracle sum in the "
     "same order (list_distinct order is engine-specific), and "
-    "quantization is the engine-exact floor(x*s+0.5)/s form",
+    "quantization is the engine-exact floor(x*s+0.5)/s form. "
+    "Per-char counts come from length(text) - length(replace(text, c)) "
+    "— a literal string scan — instead of re-filtering the split char "
+    "ARRAY per distinct char (identical counts, measured 2.2x faster "
+    "at sf0.1: the array filter paid a lambda + per-element string "
+    "equality on every (distinct char x position) pair)",
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     entropy = F.expr(
         "aggregate("
         "  array_sort(transform(array_distinct(split(text, '')),"
-        "    c -> size(filter(split(text, ''), x -> x = c)))),"
+        "    c -> length(text) - length(replace(text, c, '')))),"
         "  cast(0.0 as double),"
         "  (acc, c) -> acc - (c / length(text)) * log2(c / length(text)))"
     )
@@ -226,10 +231,15 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tfidf",
     None,  # hash-bucketed TF-IDF weights are engine-specific → rows-only
     doc="TF-IDF via HashingTF+IDF (MLlib): Arrow-free, JVM-side sparse "
-    "vectors; output is (doc_id, l2 norm of tf-idf vector)",
+    "vectors; output is (doc_id, l2 norm of tf-idf vector). The norm "
+    "folds the SPARSE values array (unwrap_udt) — ~|doc| nonzeros — "
+    "not the 16384-wide densified vector; the skipped terms are exact "
+    "0.0² adds, so the value is bit-identical to the dense fold "
+    "(asserted in tests/test_extensions.py)",
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.sql.functions import unwrap_udt
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = Tokenizer(inputCol="text", outputCol="words")
@@ -238,10 +248,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfd = tf.transform(words)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array("tfidf")
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    # SparseVector values only: a 16384-element densified fold per doc
+    # was the sf10 audit's cost (the zero terms add exactly 0.0 each,
+    # so the sparse fold is bit-identical)
+    vals = unwrap_udt(F.col("tfidf")).getField("values")
+    norm = F.sqrt(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x))
     return out.select("doc_id", F.round(norm, 4).alias("tfidf_norm"))
 
 
