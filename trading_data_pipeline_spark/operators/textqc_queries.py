@@ -164,12 +164,17 @@ def _gram_expr(n: int) -> str:
     # contiguous n-token windows as single strings, Spark SQL side.
     # The CASE guard matters: Spark's sequence(1, 0) yields a DESCENDING
     # [1, 0] (not empty) — short docs must produce an empty gram list.
+    # Windows come from arrays_zip over n shifted slices: indexing
+    # split(text) INSIDE the transform lambda would inline and re-split
+    # the document per gram element — O(|doc|²) per doc (the
+    # q_repetition/hashed_shingles hazard).
+    m = f"size(split(text, ' ')) - {n - 1}"
+    sl = ", ".join(f"slice(split(text, ' '), {j + 1}, {m})" for j in range(n))
+    # SQL arrays_zip names unaliased fields by position: s.`0`, s.`1`, …
+    cw = ", ".join(f"s.`{j}`" for j in range(n))
     return f"""
       CASE WHEN size(split(text, ' ')) >= {n}
-           THEN transform(
-                  sequence(1, size(split(text, ' ')) - {n - 1}),
-                  i -> array_join(slice(split(text, ' '), i, {n}), ' ')
-                )
+           THEN transform(arrays_zip({sl}), s -> concat_ws(' ', {cw}))
            ELSE array()
       END
     """
@@ -463,12 +468,16 @@ def repetition(docs: DataFrame, n: int = REP_N, flag: float = REP_FLAG) -> DataF
     """
     toks = F.split(F.col("text"), " ")
     tokh = F.transform(toks, lambda w: F.xxhash64(w))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-
-    def _g(t):
-        return lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(n)])
-
-    grams = F.transform(idx, _g(tokh))
+    # n shifted slices zipped, NOT element_at inside the lambda — the
+    # indexed form re-evaluates the whole token-hash transform per gram
+    # element (O(|doc|²) per doc; measured 11x slower at sf0.1). Same
+    # rewrite as dedup.hashed_shingles, kept KEEPING duplicates (the
+    # screen's measurand is the duplicate fraction).
+    m = F.size(toks) - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(tokh, j + 1, m).alias(f"t{j}") for j in range(n)]
+    )
+    grams = F.transform(z, lambda s: F.xxhash64(*[s[f"t{j}"] for j in range(n)]))
     out = docs.filter(F.size(toks) >= n).select(
         "doc_id",
         "source",
