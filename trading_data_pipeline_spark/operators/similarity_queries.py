@@ -386,20 +386,18 @@ def centroid_classify(
     """
     from pyspark.sql import Window
 
-    x = F.floor(
-        F.element_at(F.col(vec_col).cast("array<double>"), F.col("d")) * scale
-        + F.lit(0.5)
-    ).cast("long")
-    comps = (
-        emb.select(
-            id_col,
-            F.col(label_col).alias("true_label"),
-            F.explode(
-                F.sequence(F.lit(1), F.size(vec_col).cast("int"))
-            ).alias("d"),
-            F.col(vec_col),
-        )
-        .select(id_col, "true_label", "d", x.alias("qx"))
+    # posexplode of the CAST array: indexing the cast inside the
+    # per-dimension projection would re-cast the whole vector per
+    # exploded row (O(dim²) per vector — the HOF-inlining hazard)
+    comps = emb.select(
+        id_col,
+        F.col(label_col).alias("true_label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("p", "v"),
+    ).select(
+        id_col,
+        "true_label",
+        (F.col("p") + 1).alias("d"),
+        F.floor(F.col("v") * scale + F.lit(0.5)).cast("long").alias("qx"),
     )
     cents = comps.groupBy(F.col("true_label").alias("c_label"), "d").agg(
         F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
@@ -672,20 +670,21 @@ KMEANS_K = 8
 
 def _comps(emb: DataFrame, scale: int = CC_SCALE):
     """(vec_id, label, d, qx): integer-fixed per-dimension components —
-    the shared explode the centroid family builds on."""
-    x = F.floor(
-        F.element_at(F.col("embedding").cast("array<double>"), F.col("d"))
-        * scale
-        + F.lit(0.5)
-    ).cast("long")
+    the shared explode the centroid family builds on. posexplode of the
+    CAST array, not element_at(cast(...), d) per exploded row — the
+    latter re-casts the whole vector per dimension (O(dim²)/vector)."""
     return emb.select(
         "vec_id",
         "label",
-        F.explode(
-            F.sequence(F.lit(1), F.size("embedding").cast("int"))
-        ).alias("d"),
-        "embedding",
-    ).select("vec_id", "label", "d", x.alias("qx"))
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "p", "v"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("d"),
+        F.floor(F.col("v") * scale + F.lit(0.5)).cast("long").alias("qx"),
+    )
 
 
 def silhouette_by_label(emb: DataFrame) -> DataFrame:
