@@ -609,22 +609,42 @@ def containment_pairs(
 
     sh = persist_slot(sh, "containment_shingles")
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
-    posting = (
-        inv.groupBy("g")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    # Candidate pairs WITHOUT any list aggregation. The former
+    # collect_list posting build materialized each gram's ENTIRE id
+    # list in ObjectHashAggregate buffers — millions of small object
+    # lists on the map side (and a mega-hot gram's full posting before
+    # the df filter could discard it): the sf10 sweep OOM'd it at the
+    # default heap. This pipeline touches only Tungsten fixed-width,
+    # fully-spillable operators:
+    #   1. row_number cap at max_df+1 per gram — compiles to
+    #      WindowGroupLimit, so a hot gram's postings are pruned
+    #      map-side BEFORE the exchange (a boilerplate gram shared by
+    #      1% of a 100 TB corpus barely shuffles);
+    #   2. a count window over the same (already sorted) partitioning
+    #      drops grams whose CAPPED df exceeds max_df — a gram with
+    #      max_df+1 survivors must have had df > max_df, so surviving
+    #      grams are exactly the 2..max_df postings (identical result);
+    #   3. a self-join on the gram key (sort-merge, ≤ max_df² pair
+    #      rows per gram) replaces the per-list pair explode.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g").orderBy(id_col)
+    pool = (
+        inv.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= max_df + 1)
+        .drop("_rn")
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .drop("_df")
     )
     cand = (
-        posting.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, a -> filter(transform(ids, "
-                    "b -> if(a < b, struct(a as doc_a, b as doc_b), null)), "
-                    "p -> p is not null)))"
-                )
-            ).alias("p")
+        pool.alias("x")
+        .join(pool.alias("y"), "g")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shh").alias("sh_a"))
