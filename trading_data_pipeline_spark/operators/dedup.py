@@ -314,6 +314,23 @@ def banded_minhash_pairs(
         id_col, hashed_shingles(text_col, n).alias("shh")
     )
     buckets = band_buckets(sh, id_col, bands, rows_per_band)
+    if max_bucket is not None:
+        # Cap bucket membership at max_bucket+1 rows BEFORE collect_list
+        # (row_number compiles to WindowGroupLimit on the same
+        # (band, key) partitioning the groupBy needs — no extra
+        # exchange): without it, a mega-cluster's ENTIRE bucket list is
+        # materialized in one aggregation buffer per band before the
+        # size filter drops it — the containment_pairs OOM class. A
+        # capped bucket keeps max_bucket+1 members and fails the same
+        # size filter the uncapped list would have: identical pairs.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "key").orderBy(id_col)
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket + 1)
+            .drop("_rn")
+        )
     grp = buckets.groupBy("band", "key").agg(F.collect_list(id_col).alias("ids"))
     size_ok = F.size("ids") >= 2
     if max_bucket is not None:
@@ -695,12 +712,25 @@ def build_band_index(
     validate a probe's parameters against the index without launching a
     scan (the earlier ``max(band)`` guard ran a full index scan on every
     probe call)."""
+    from pyspark.sql import Window
+
     sh = ensure_parallelism(
         corpus.filter(F.size(F.split(text_col, " ")) >= n)
     ).select(id_col, hashed_shingles(text_col, n).alias("shh"))
-    return (
+    # Pre-cap bucket membership at max_posting+1 (WindowGroupLimit on
+    # the same (band, key) partitioning — no extra exchange) so a
+    # mega-cluster's full bucket never materializes in one collect_list
+    # buffer; a capped bucket fails the same size filter the uncapped
+    # list would have, so the surviving index is identical.
+    wb = Window.partitionBy("band", "key").orderBy(id_col)
+    capped = (
         band_buckets(sh, id_col, bands, rows_per_band)
-        .groupBy("band", "key")
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_posting + 1)
+        .drop("_rn")
+    )
+    return (
+        capped.groupBy("band", "key")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") <= max_posting)
         .withMetadata(
