@@ -196,11 +196,16 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
         F.explode(F.expr(_gram_expr(n))).alias("g"),
     ).select("srank", "source", F.xxhash64("g").alias("gh"))
     per_source = grams.distinct()
-    first_seen = per_source.groupBy("gh").agg(
-        F.min("srank").alias("first_rank")
-    )
+    # first-seen rank via a window over the gram key, NOT an aggregate
+    # joined back: the join-back re-computed the distinct subtree on
+    # both sides and — with the aggregate side size-estimated under the
+    # broadcast threshold at large SF — planned a multi-million-entry
+    # driver-built broadcast (the sf10 sweep OOM'd it at the default
+    # heap). The window needs the same single gh exchange and nothing
+    # else; per-gram groups are source-bounded, so the buffer is tiny.
+    first = F.min("srank").over(Window.partitionBy("gh"))
     return (
-        per_source.join(first_seen, "gh")
+        per_source.withColumn("first_rank", first)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
