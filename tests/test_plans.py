@@ -684,15 +684,21 @@ def test_decile_lift_uses_two_pass_ntile(spark, sf_dir, queries):
 
 
 def test_round6_batch2_plan_contracts(spark, sf_dir, queries):
-    """knn eval is registered as the EXACT cell-pruned IVF path: candidate
-    generation must be __cell equi-joins (hash/broadcast-hash), never the
-    unconditional corpus×holdout product that made the old registration
-    quadratic; stratified take gets rank-limit pushdown; skew audit
-    partial-aggregates the key counts and broadcasts the stats row."""
+    """knn eval is registered on the EXACT Arrow-batched panel scorer:
+    ONE corpus pass through a MapInArrow node whose batch-local top-k
+    replaces both the corpus×holdout product and the per-pair JVM fold —
+    the plan must contain exactly one embeddings scan feeding MapInArrow
+    and no product join; stratified take gets rank-limit pushdown; skew
+    audit partial-aggregates the key counts and broadcasts the stats
+    row."""
     knn = plan_of(queries["q_knn_eval"].fn(spark, sf_dir))
     assert "CartesianProduct" not in knn, knn
     assert "BroadcastNestedLoopJoin" not in knn, knn
-    assert "__cell" in knn, knn
+    assert "MapInArrow" in knn, knn
+    # one corpus-wide vector pass (the MapInArrow source) + the pruned
+    # broadcast label side — the panel collect happens at plan-build
+    # time, not in-plan; a third scan would mean the product is back
+    assert knn.count("Scan parquet") == 2, knn
 
     strat = plan_of(queries["q_stratified_exact"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in strat, strat

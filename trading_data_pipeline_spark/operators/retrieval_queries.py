@@ -322,6 +322,7 @@ def retrieval_eval(
     label_col: str = "label",
     index=None,
     n_probe: int = 2,
+    arrow_panel: bool = False,
 ) -> DataFrame:
     """Per-query MAP@k and MRR@k of cosine retrieval, with relevance =
     "candidate shares the query's label".
@@ -362,14 +363,28 @@ def retrieval_eval(
         label_col,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
-    if index is not None:
-        topk = index.knn_join_exact(
-            queries.select("qid", "qvec"),
-            k=k,
-            n_probe=n_probe,
-            corpus_filter=F.col(id_col) % qmod != 0,
-            keep_cols=(label_col,),
-        )
+    if arrow_panel or index is not None:
+        if arrow_panel:
+            # One Arrow-batched corpus pass; cosines bit-identical to
+            # both join arms — see similarity.panel_topk_exact.
+            from .similarity import panel_topk_exact
+
+            topk = panel_topk_exact(
+                emb.filter(F.col(id_col) % qmod != 0),
+                queries.select("qid", "qvec"),
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                keep_cols=(label_col,),
+            )
+        else:
+            topk = index.knn_join_exact(
+                queries.select("qid", "qvec"),
+                k=k,
+                n_probe=n_probe,
+                corpus_filter=F.col(id_col) % qmod != 0,
+                keep_cols=(label_col,),
+            )
         ranked = (
             topk.join(
                 F.broadcast(queries.select("qid", "qlabel")), "qid"
@@ -498,19 +513,17 @@ def retrieval_eval(
     doc="Retrieval-quality eval: MAP@10 and MRR@10 of cosine retrieval "
     "against same-label relevance — the log-free IR metrics (AP and RR "
     "are exact rationals; NDCG's log2 discount would cross the libm "
-    "boundary). Registered as the EXACT cell-pruned IVF path "
-    "(IvfIndex.knn_join_exact: radius-bounded candidate equi-joins on "
-    "__cell — no corpus×holdout product); result identical to brute "
-    "force by construction; precision@i fixed to integers before the "
-    "order-free sum",
+    "boundary). Registered on the EXACT Arrow-batched panel scorer "
+    "(panel_topk_exact: one corpus pass, per-dimension numpy "
+    "accumulation == the JVM sequential fold — no corpus×holdout "
+    "product, no per-pair fold); result bit-identical to the IVF and "
+    "brute-force arms by construction; precision@i fixed to integers "
+    "before the order-free sum",
 )
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity_queries import ivf_index_for
-
     return retrieval_eval(
         load(spark, sf_dir, "embeddings"),
-        index=ivf_index_for(spark, sf_dir),
-        n_probe=2,
+        arrow_panel=True,
     )
 
 
@@ -543,6 +556,7 @@ def ndcg_eval(
     label_col: str = "label",
     index=None,
     n_probe: int = 2,
+    arrow_panel: bool = False,
 ) -> DataFrame:
     """Per-query nDCG@k of cosine retrieval with binary same-label
     relevance: DCG = Σ rel_i·disc_i over ranks, IDCG = the best
@@ -573,14 +587,28 @@ def ndcg_eval(
         label_col,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc(id_col))
-    if index is not None:
-        topk = index.knn_join_exact(
-            queries.select("qid", "qvec"),
-            k=k,
-            n_probe=n_probe,
-            corpus_filter=F.col(id_col) % qmod != 0,
-            keep_cols=(label_col,),
-        )
+    if arrow_panel or index is not None:
+        if arrow_panel:
+            # One Arrow-batched corpus pass; cosines bit-identical to
+            # both join arms — see similarity.panel_topk_exact.
+            from .similarity import panel_topk_exact
+
+            topk = panel_topk_exact(
+                emb.filter(F.col(id_col) % qmod != 0),
+                queries.select("qid", "qvec"),
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                keep_cols=(label_col,),
+            )
+        else:
+            topk = index.knn_join_exact(
+                queries.select("qid", "qvec"),
+                k=k,
+                n_probe=n_probe,
+                corpus_filter=F.col(id_col) % qmod != 0,
+                keep_cols=(label_col,),
+            )
         ranked = (
             topk.join(F.broadcast(queries.select("qid", "qlabel")), "qid")
             .withColumn("_r", F.row_number().over(w))
@@ -684,14 +712,13 @@ def _ndcg_ideal_sql() -> str:
     "discounts are fixed-point BIGINT literals computed once in Python "
     "and injected into BOTH plans (the MACD literal-weights trick), so "
     "no engine evaluates libm at query time and the per-query sums are "
-    "order-free integer sums. Registered on the exact cell-pruned IVF "
-    "path (knn_join_exact), identical to brute force by construction",
+    "order-free integer sums. Registered on the EXACT Arrow-batched "
+    "panel scorer (panel_topk_exact — one corpus pass, bit-identical "
+    "cosines), identical to the IVF and brute-force arms by "
+    "construction",
 )
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity_queries import ivf_index_for
-
     return ndcg_eval(
         load(spark, sf_dir, "embeddings"),
-        index=ivf_index_for(spark, sf_dir),
-        n_probe=2,
+        arrow_panel=True,
     )

@@ -658,6 +658,163 @@ def hard_negatives(
     )
 
 
+# Bounded-panel contract for panel_topk_exact: registered eval panels are a
+# few hundred rows by construction; anything larger than this is a misuse
+# (an unbounded query side belongs on IvfIndex.knn_join_exact).
+PANEL_SCORER_MAX = 4096
+
+
+def panel_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    keep_cols: tuple[str, ...] = (),
+    max_panel: int = PANEL_SCORER_MAX,
+) -> DataFrame:
+    """EXACT per-query cosine top-k of a BOUNDED query panel against the
+    corpus, in ONE Arrow-batched corpus pass (the guide-§4.2 shape: Spark
+    does distribution and I/O, numpy does the per-batch math).
+
+    Why: the join formulations (``knn_join_exact``, the broadcast brute
+    arm) score each (corpus row, query) pair with a ``zip_with`` +
+    ``aggregate`` fold that allocates a dim-wide zipped array and
+    interprets a lambda per element — measured ~5 µs/pair, which at
+    |panel|=200 × |corpus| pairs is the entire cost of q_knn_eval at
+    sf10 (186 s warm). Here each Arrow batch computes the same sums as
+
+        acc[i, j] += X[i, d] * Q[j, d]   for d = 0 .. dim-1, in order
+
+    i.e. the SAME sequential left fold as ``functions.vector.dot_product``
+    (and the norms are the same fold of squares under one sqrt, the final
+    division the same ``dot / (cn * qn)``). Every step is an IEEE-754
+    double operation on identical operands, so each pair's cosine is
+    BIT-IDENTICAL to the JVM expression and rankings cannot drift
+    (equality is pinned in tests/test_panel_scorer.py; oracle parity is
+    unchanged).
+
+    Exactness of the batch-local cut: a batch emits its per-query top-k
+    INCLUDING boundary ties (every non-emitted row is strictly below the
+    batch's k-th-best similarity for that query) plus any NaN scores (so
+    the global window applies Spark's own NaN ordering, as the join
+    formulations did). The union over batches is therefore a provable
+    superset of the true per-query top-k; the global rank window runs
+    over ≈ batches × |panel| × k candidate rows — the corpus itself
+    never shuffles.
+
+    The panel is collected to the driver (sorted by qid; collect order is
+    not deterministic) exactly like ``fit_centroids``' bounded sample —
+    ``max_panel`` guards against an unbounded query side being routed
+    here. Returns (qid_col, id_col, _sim [, keep_cols...]) with the ids
+    as BIGINT, exactly the top-k per query, ties broken
+    (sim DESC, id ASC).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    prows = (
+        queries.select(
+            F.col(qid_col).cast("long").alias("q"),
+            F.col(qvec_col).cast("array<double>").alias("v"),
+        )
+        .limit(max_panel + 1)
+        .collect()
+    )
+    if len(prows) > max_panel:
+        raise ValueError(
+            f"panel_topk_exact: > {max_panel} query rows — this scorer is "
+            "for bounded eval panels; route corpus-fraction query sides "
+            "through IvfIndex.knn_join_exact"
+        )
+    prows.sort(key=lambda r: r.q)
+    qids = np.asarray([r.q for r in prows], dtype=np.int64)
+    Q = np.asarray([list(r.v) for r in prows], dtype=np.float64)
+    nq = len(prows)
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        *[F.col(c) for c in keep_cols],
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__qid", T.LongType()),
+            T.StructField("__id", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+        + [src.schema[c] for c in keep_cols]
+    )
+    final = [
+        F.col("__qid").alias(qid_col),
+        F.col("__id").alias(id_col),
+        F.col("_sim"),
+        *[F.col(c) for c in keep_cols],
+    ]
+    if nq == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema).select(*final)
+
+    dim = Q.shape[1]
+    qn = np.zeros(nq)
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+    names = [f.name for f in out_schema.fields]
+    n_keep = len(keep_cols)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0)
+            emb = b.column(1)
+            if emb.null_count:
+                raise ValueError("panel_topk_exact: null embedding row")
+            vals = np.asarray(emb.flatten(), dtype=np.float64)
+            if vals.size != n * dim:
+                raise ValueError(
+                    f"panel_topk_exact: ragged embeddings (expected dim {dim})"
+                )
+            X = vals.reshape(n, dim)
+            # Sequential per-dimension accumulation == the JVM left fold.
+            acc = np.zeros((n, nq))
+            xn = np.zeros(n)
+            for d in range(dim):
+                xd = X[:, d]
+                acc += xd[:, None] * Q[:, d][None, :]
+                xn += xd * xd
+            sim = acc / (np.sqrt(xn)[:, None] * qn[None, :])
+            m = min(k, n)
+            if n > m:
+                thr = np.partition(sim, n - m, axis=0)[n - m]
+                mask = (sim >= thr) | np.isnan(sim)
+            else:
+                mask = np.ones_like(sim, dtype=bool)
+            rows, cols = np.nonzero(mask)
+            take = pa.array(rows)
+            arrs = [
+                pa.array(qids[cols]),
+                ids.take(take),
+                pa.array(sim[rows, cols]),
+            ] + [b.column(2 + i).take(take) for i in range(n_keep)]
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    cand = src.mapInArrow(score, schema=out_schema)
+    w = Window.partitionBy("__qid").orderBy(F.desc("_sim"), F.asc("__id"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*final)
+    )
+
+
 def knn_label_eval(
     emb: DataFrame,
     holdout_mod: int = 10,
@@ -668,6 +825,7 @@ def knn_label_eval(
     index: "IvfIndex | None" = None,
     n_probe: int = 2,
     max_eval: int | None = None,
+    arrow_panel: bool = False,
 ) -> DataFrame:
     """Embedding-quality evaluation via k-NN label prediction: hold out
     every ``holdout_mod``-th vector, predict its label by majority vote
@@ -690,6 +848,13 @@ def knn_label_eval(
     round by the unchanged DuckDB oracle; the quadratic product is
     replaced by candidate joins that touch only cells whose bound admits
     a top-k member.
+
+    Plan (``arrow_panel=True``, the registered default): score the fixed
+    panel in ONE Arrow-batched corpus pass (:func:`panel_topk_exact`) —
+    per-pair cosines are bit-identical to both other arms (same
+    sequential fold), so results and oracle hashes are unchanged; the
+    corpus never shuffles and the per-pair JVM fold cost disappears
+    (q_knn_eval sf10 warm: 186.5 s → see BASELINE.md round-10 table).
 
     Ties are deterministic WITHIN this engine: neighbour rank breaks on
     (cosine DESC, id ASC) — both paths compute cosine with the identical
@@ -717,18 +882,30 @@ def knn_label_eval(
     if max_eval is not None:
         _hold = _hold & (F.col(id_col) < holdout_mod * max_eval)
 
-    if index is not None:
+    if arrow_panel or index is not None:
         holdq = emb.filter(_hold).select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qvec"),
         )
-        topk = index.knn_join_exact(
-            holdq,
-            k=k,
-            n_probe=n_probe,
-            corpus_filter=F.col(id_col) % holdout_mod != 0,
-            keep_cols=(label_col,),
-        )
+        if arrow_panel:
+            # One Arrow-batched corpus pass (guide §4.2); bit-identical
+            # cosines and ranks — see panel_topk_exact.
+            topk = panel_topk_exact(
+                emb.filter(F.col(id_col) % holdout_mod != 0),
+                holdq,
+                k=k,
+                id_col=id_col,
+                vec_col=vec_col,
+                keep_cols=(label_col,),
+            )
+        else:
+            topk = index.knn_join_exact(
+                holdq,
+                k=k,
+                n_probe=n_probe,
+                corpus_filter=F.col(id_col) % holdout_mod != 0,
+                keep_cols=(label_col,),
+            )
         labels = emb.filter(_hold).select(
             F.col(id_col).alias("qid"),
             F.col(label_col).alias("true_label"),

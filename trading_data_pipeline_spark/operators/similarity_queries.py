@@ -341,11 +341,13 @@ KNN_MAX_EVAL = 200
     "FIXED 200-id-slot panel (covers the whole sf0.01 corpus; keeps "
     "the eval corpus-linear at any scale), predict "
     "its label by majority vote of its 5 cosine-nearest neighbours, "
-    "report per-label accuracy. Registered as the EXACT cell-pruned IVF "
-    "path (IvfIndex.knn_join_exact: radius-bounded two-phase candidate "
-    "joins on __cell — no corpus×holdout product); result identical to "
-    "brute force by construction, deterministic ties (cosine DESC, id; "
-    "then count DESC, label) on both engines",
+    "report per-label accuracy. Registered as the EXACT Arrow-batched "
+    "panel scorer (panel_topk_exact: one corpus pass, per-dimension "
+    "numpy accumulation == the JVM sequential fold, batch-local top-k "
+    "with boundary ties — no corpus×holdout product, no per-pair fold); "
+    "result bit-identical to the IVF and brute-force arms by "
+    "construction, deterministic ties (cosine DESC, id; then count "
+    "DESC, label) on both engines",
 )
 def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import knn_label_eval
@@ -354,9 +356,8 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"),
         holdout_mod=KNN_HOLDOUT_MOD,
         k=KNN_K,
-        index=ivf_index_for(spark, sf_dir),
-        n_probe=2,
         max_eval=KNN_MAX_EVAL,
+        arrow_panel=True,
     )
 
 
