@@ -110,6 +110,66 @@ def test_panel_topk_matches_brute_window(spark, sf_dir):
     assert got == want
 
 
+def test_recall_candidates_match_join_formulation(spark, sf_dir):
+    """The Arrow candidate pass of the recall curve must produce the
+    row-identical per-(query, cell-rank) top-k table the round-10 join
+    formulation produced (broadcast corpus x sample product, JVM fold,
+    rounded-cosine window) — rebuilt here inline as the oracle."""
+    from pyspark.sql import Window
+
+    from trading_data_pipeline_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+    from trading_data_pipeline_spark.operators.similarity import _dot_lit
+    from trading_data_pipeline_spark.operators.similarity_queries import (
+        _recall_candidates,
+        _recall_queries,
+        ivf_index_for,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ivf_index_for(spark, sf_dir)
+    qs = _recall_queries(emb, 50)
+    got = _rows(_recall_candidates(idx, qs, 10))
+
+    qv = F.col("qvec")
+    scored = F.array(
+        *[
+            F.struct(_dot_lit(qv, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(idx.centroids)
+        ]
+    )
+    ranked = F.transform(F.reverse(F.array_sort(scored)), lambda s: s["c"])
+    q_aug = qs.select(
+        "qid", qv.alias("qvec"), l2_norm(qv).alias("_qn"), ranked.alias("_cells")
+    )
+    corpus = idx.assigned.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+        "__cell",
+    ).withColumn("_vn", l2_norm(F.col("_v")))
+    w = Window.partitionBy("qid", "_cr").orderBy(F.desc("_s"), F.asc("vec_id"))
+    want = _rows(
+        corpus.crossJoin(F.broadcast(q_aug))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot_product(F.col("_v"), F.col("qvec"))
+                / (F.col("_vn") * F.col("_qn")),
+                4,
+            ).alias("_s"),
+            F.array_position(F.col("_cells"), F.col("__cell")).alias("_cr"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .drop("_r")
+    )
+    assert got == want
+
+
 def test_panel_cap_refuses_unbounded_query_sides(spark):
     corpus = spark.createDataFrame(
         [(0, [1.0])], "vec_id long, embedding array<double>"

@@ -896,12 +896,13 @@ def test_ann_recall_curve_is_one_corpus_pass(spark, sf_dir):
     qs = _recall_queries(emb, qmod)
     cand = _recall_candidates(idx, qs, 10)
     p = plan_of(cand)
-    # one corpus x sample product, broadcast (sample side), never a
-    # shuffled join of the corpus
-    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    # round-10 second pass: the corpus x sample scoring runs inside ONE
+    # Arrow-batched map stage (batch-local per-(query, cell-rank) top-k
+    # with a rounding-margin cut) — no join of the corpus at all, and
+    # no per-pair JVM fold
+    assert "MapInArrow" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
     assert "SortMergeJoin" not in p, p
-    # per-(query, cell-rank) top-k is pushed below the exchange
-    assert "WindowGroupLimit" in p, p
     # corpus side comes from the persisted cell assignment, not a
     # fresh parquet scan + re-assignment
     assert "InMemoryTableScan" in p, p

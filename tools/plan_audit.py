@@ -69,8 +69,6 @@ PRODUCT_JOIN_ALLOWLIST = {
                           # query-token hit table
     "q_mixture_weights",  # 1-row (T, Σ√c) totals broadcast onto the
                           # |sources|-row weight table
-    "q_ann_recall",       # bounded 1/qmod holdout broadcast per arm
-                          # (the q_retrieval_eval eval-probe shape)
     "q_simpsons_audit",   # 1-row pooled-sign broadcast onto the
                           # <=7-row strata table
     "q_banding_recall",   # four 1-row count aggregates folded into the
