@@ -40,9 +40,10 @@ RUNS = 2
 # The measured heavy tail of the sf10 execution audit (round-9 verdict
 # task 3): every SCALEAUDIT top-cost query sweeps by default so each
 # keeps a CURRENT two-decade scaling ratio, not a one-off single-run
-# time. Round-10 measured ratios at 100x data: q_ann_recall 36.7,
-# q_jaccard_prefix_join 5.3, q_basket_pairs 18.4 (at default heap);
-# the rest recorded in BASELINE.md's round-10 section.
+# time. Round-10 measured ratios at 100x data: q_ann_recall 2.5
+# (post-Arrow-pass), q_jaccard_prefix_join 5.3, q_basket_pairs 18.4
+# (at default heap); the rest recorded in BASELINE.md's round-10
+# sections and final addendum.
 HEAVY_TAIL = (
     "q_ann_recall",
     "q_jaccard_prefix_join",
