@@ -937,3 +937,19 @@ def test_tfidf_sparse_norm_equals_dense_fold(spark, sf_dir):
         .count()
     )
     assert n_bad == 0
+
+
+def test_jaccard_prefix_join_caches_ordered_on_disk_only(spark):
+    """The canonically-ordered token table feeds four branches; it must
+    go through the session cache registry (rebuild-once) at DISK_ONLY —
+    the MEMORY_AND_DISK unroll of |docs| wide string arrays across all
+    concurrent tasks broke the default-heap contract at sf10."""
+    from trading_data_pipeline_spark.operators.dedup import jaccard_prefix_join
+    from trading_data_pipeline_spark.plans import cache_registry
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    jaccard_prefix_join(docs, threshold=0.9).collect()
+    slots = cache_registry._REGISTRY.get(spark) or {}
+    assert "jaccard_prefix_ordered" in slots
+    lvl = slots["jaccard_prefix_ordered"].storageLevel
+    assert lvl.useDisk and not lvl.useMemory

@@ -916,3 +916,22 @@ def test_ann_recall_curve_is_one_corpus_pass(spark, sf_dir):
     slots = cache_registry._REGISTRY.get(spark) or {}
     assert "ann_recall_candidates" in slots
     assert slots["ann_recall_candidates"].storageLevel.useMemory
+
+
+def test_embedding_isotropy_is_linear_in_dim(spark, sf_dir):
+    """The per-dim resultant sums must aggregate e[i]/nrm with nrm a
+    BOUND projected attribute — materializing a unit-normalized array
+    first gets the norm fold inlined into the transform lambda and
+    re-evaluated per element (the round-10 HOF-inlining class,
+    O(d^2)/row). No higher-order function may appear in the plan."""
+    from trading_data_pipeline_spark.operators.risk3_queries import (
+        embedding_isotropy,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    p = plan_of(embedding_isotropy(emb))
+    assert "transform(" not in p, p
+    # a handful of norm folds (projection, filter, plan detail) —
+    # never one per dimension (the O(d^2) signature would show ~64)
+    assert p.count("aggregate(zip_with") <= 4, p
+    assert "sum((e#" in p or "sum((e" in p, p

@@ -522,7 +522,17 @@ def jaccard_prefix_join(
     Shuffles: token-df aggregation, the df join-back, the per-doc sort
     (id-keyed), the prefix-token candidate join, and two id-keyed verify
     joins — all on bounded keys, no cross join anywhere.
+
+    The canonically-ordered token table feeds FOUR branches (both sides
+    of the prefix candidate join and both verify sides); left lazy, each
+    branch re-tokenizes the corpus and re-runs the token-df shuffle —
+    the dominant cost of the sf10 reading. It is persisted through the
+    session cache registry (one generation per session, shallow lineage
+    on release — the ``containment_pairs`` pattern), so the build runs
+    once and the branches read the columnar cache.
     """
+    from ..plans.cache_registry import persist_slot
+
     t = float(threshold)
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -539,6 +549,15 @@ def jaccard_prefix_join(
             F.transform("ks", lambda k: k["tok"]).alias("tks"),
             F.size("ks").alias("n"),
         )
+    )
+    # DISK_ONLY: the payload is |docs| wide STRING token arrays — the
+    # MEMORY_AND_DISK unroll across all concurrent tasks OOM'd the sf10
+    # sweep at the default 8 GB heap; serialized disk blocks keep the
+    # rebuild-once win inside the memory contract.
+    from pyspark import StorageLevel
+
+    ordered = persist_slot(
+        ordered, "jaccard_prefix_ordered", StorageLevel.DISK_ONLY
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
     prefixes = ordered.select(
@@ -568,11 +587,21 @@ def jaccard_prefix_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    left = ordered.select(F.col("id").alias("id_a"), F.col("tks").alias("tks_a"))
-    right = ordered.select(F.col("id").alias("id_b"), F.col("tks").alias("tks_b"))
-    jac = F.size(F.array_intersect("tks_a", "tks_b")) / F.size(
-        F.array_union("tks_a", "tks_b")
+    left = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("tks").alias("tks_a"),
+        F.col("n").alias("n_a"),
     )
+    right = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("tks").alias("tks_b"),
+        F.col("n").alias("n_b"),
+    )
+    # tks holds DISTINCT tokens, so |a ∪ b| = n_a + n_b − |a ∩ b|
+    # exactly — same integer, same double after the division — and the
+    # verify does one array walk per pair instead of two.
+    inter = F.size(F.array_intersect("tks_a", "tks_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
         cands.join(left, "id_a")
         .join(right, "id_b")

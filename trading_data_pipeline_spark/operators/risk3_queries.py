@@ -300,15 +300,22 @@ def embedding_isotropy(emb: DataFrame) -> DataFrame:
     v = emb.select(
         "label", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", l2_norm(F.col("e")))
-    unit = v.filter(F.col("nrm") > 0).select(
-        "label",
-        F.transform(
-            F.col("e"), lambda x: x / F.col("nrm")
-        ).alias("u"),
-    )
-    agg = unit.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("u")[i]).alias(f"_s{i}") for i in range(d)],
+    # Sum e[i]/nrm directly rather than materializing a unit-normalized
+    # array first: Catalyst inlines a transform() projection into every
+    # one of the d aggregate expressions (the round-10 HOF-inlining
+    # class — see dedup.hashed_shingles), re-building the d-wide array
+    # per dimension, O(d²) per row. Division-then-sum per element is
+    # the identical IEEE expression in the identical order, O(d)/row.
+    agg = (
+        v.filter(F.col("nrm") > 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("e")[i] / F.col("nrm")).alias(f"_s{i}")
+                for i in range(d)
+            ],
+        )
     )
     # an all-rows-missing dim sums to NULL: absent from the oracle's
     # per-pos rows, so it contributes 0 to ss there — coalesce to match

@@ -29,16 +29,23 @@ _REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 )
 
 
-def persist_slot(df: DataFrame, slot: str) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK) under the named slot of its
-    session, releasing the slot's previous occupant first. Returns the
-    persisted ``df``. At most one generation per (session, slot) stays
-    pinned, however many passes the session runs."""
+def persist_slot(df: DataFrame, slot: str, level=None) -> DataFrame:
+    """Persist ``df`` (default MEMORY_AND_DISK) under the named slot of
+    its session, releasing the slot's previous occupant first. Returns
+    the persisted ``df``. At most one generation per (session, slot)
+    stays pinned, however many passes the session runs.
+
+    ``level`` overrides the storage level — pass
+    ``StorageLevel.DISK_ONLY`` for wide-payload tables (e.g. per-doc
+    string token arrays) whose on-heap unroll across all concurrent
+    tasks would break the default-heap memory contract; DISK_ONLY
+    stores serialized blocks straight to local disk with no unroll
+    buffer."""
     slots = _REGISTRY.setdefault(df.sparkSession, {})
     prev = slots.get(slot)
     if prev is not None:
         prev.unpersist(blocking=False)
-    slots[slot] = df.persist()
+    slots[slot] = df.persist() if level is None else df.persist(level)
     return df
 
 
