@@ -520,16 +520,56 @@ def jaccard_prefix_join(
     the oracle and is pinned in tests/test_extensions.py).
 
     Shuffles: token-df aggregation, the df join-back, the per-doc sort
-    (id-keyed), the prefix-token candidate join, and two id-keyed verify
-    joins — all on bounded keys, no cross join anywhere.
+    (id-keyed), the prefix-token candidate join (whose condition IS the
+    exact verify — see below), and the final output dedup — all on
+    bounded keys, no cross join anywhere.
 
-    The canonically-ordered token table feeds FOUR branches (both sides
-    of the prefix candidate join and both verify sides); left lazy, each
-    branch re-tokenizes the corpus and re-runs the token-df shuffle —
-    the dominant cost of the sf10 reading. It is persisted through the
-    session cache registry (one generation per session, shallow lineage
-    on release — the ``containment_pairs`` pattern), so the build runs
-    once and the branches read the columnar cache.
+    Two round-10 measured rewrites (sf10 stage profile, guide §1):
+
+    - **64-bit token recode.** Tokens are recoded to ``xxhash64`` codes
+      before the per-doc sort: the canonical order becomes (df, code) —
+      a different but still CONSISTENT total order, which is all the
+      prefix-filter completeness theorem needs — and every downstream
+      structure (the DISK_ONLY cache, the candidate-join key, the two
+      verify broadcasts, the per-pair ``array_intersect``) carries longs
+      instead of strings. ``array_intersect`` on primitive longs skips
+      per-element UTF8String hashing/equality, and the verify broadcast
+      shrinks ~3×(measured GC-pressure source at sf10). Output identity
+      needs the recode to be a BIJECTION, so the df aggregate carries a
+      min/max-token tripwire: a 64-bit collision between two distinct
+      tokens raises instead of silently merging intersections (birthday
+      bound ~2.7% at a 10⁹-token vocabulary; on a corpus that trips it,
+      drop back to string tokens — correctness never degrades quietly).
+    - **Dedup moved AFTER the verify.** A candidate pair appears once
+      per shared prefix token; at threshold 0.9 the measured duplication
+      is only 1.27× (418 M → 328 M at sf10) while the pre-verify
+      ``distinct`` was the single most expensive stage (~80 s: a full
+      exchange + hash-agg of every candidate row). Verifying the raw
+      candidate stream (+27 % intersect work, no exchange) and deduping
+      the FAR smaller accepted-pair output is strictly cheaper;
+      duplicates of a pair produce the same (doc_a, doc_b, jaccard)
+      row — same arrays, same integer counts, same double — so the
+      final ``distinct`` returns exactly the old result. All dups of
+      one pair also originate from one doc_a cache partition, so the
+      partial aggregate removes them map-side and the exchange carries
+      ≈ the true output.
+    - **Verify fused into the candidate join.** Prefix rows carry their
+      doc's full recoded token array, so length filter, positional
+      filter and the exact Jaccard test all evaluate inside the ONE
+      join's condition, reading the arrays in place; a join-output row
+      only materializes for accepted pairs. The old ids-only candidate
+      stream re-joined the token table twice, copying a ~200 B array
+      into every one of 418 M candidate rows before the verify could
+      reject 70 % of them — the dominant CPU cost (2720 CPU-s) of the
+      sf10 stage profile after the first two fixes.
+
+    The canonically-ordered token table feeds the two sides of the
+    verify-fused candidate join; left lazy, each branch re-tokenizes
+    the corpus and re-runs the token-df shuffle — the dominant cost of
+    the first sf10 reading. It is persisted through the session cache
+    registry (one generation per session, shallow lineage on release —
+    the ``containment_pairs`` pattern), so the build runs once and the
+    branches read the columnar cache.
     """
     from ..plans.cache_registry import persist_slot
 
@@ -538,15 +578,34 @@ def jaccard_prefix_join(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
     )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = toks.groupBy(F.xxhash64("tok").alias("code")).agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("tok").alias("_lo"),
+        F.max("tok").alias("_hi"),
+    )
+    # Bijection tripwire: assert_true returns NULL when the slot held a
+    # single distinct token; a collision raises with both spellings.
+    df_checked = F.when(
+        F.assert_true(
+            F.col("_lo") == F.col("_hi"),
+            F.concat(
+                F.lit("jaccard_prefix_join: xxhash64 token collision: "),
+                F.col("_lo"),
+                F.lit(" / "),
+                F.col("_hi"),
+            ),
+        ).isNull(),
+        F.col("df"),
+    )
+    dfreq = dfreq.select("code", df_checked.alias("df"))
     ordered = (
-        toks.join(dfreq, "tok")
-        .select("id", F.struct("df", "tok").alias("k"))
+        toks.join(dfreq, F.xxhash64("tok") == F.col("code"))
+        .select("id", F.struct("df", "code").alias("k"))
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("k")).alias("ks"))
         .select(
             "id",
-            F.transform("ks", lambda k: k["tok"]).alias("tks"),
+            F.transform("ks", lambda k: k["code"]).alias("tks"),
             F.size("ks").alias("n"),
         )
     )
@@ -560,9 +619,18 @@ def jaccard_prefix_join(
         ordered, "jaccard_prefix_ordered", StorageLevel.DISK_ONLY
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
+    # Prefix rows CARRY their doc's full (recoded) token array, so the
+    # exact verify evaluates inside the candidate join's own condition —
+    # the arrays are read in place from the stream/build rows and a
+    # join-output row only materializes for pairs that PASS. The old
+    # shape (ids-only candidates, then two id-keyed joins back to the
+    # token table) copied tks_a into 418 M join rows before the verify
+    # could reject 70 % of them — measured as the dominant CPU cost of
+    # the sf10 stage profile after the dedup move (2720 CPU-s).
     prefixes = ordered.select(
         "id",
         "n",
+        "tks",
         F.posexplode(F.slice("tks", 1, prefix_len)).alias("pos", "ptok"),
     )
     na, nb = F.col("a.n"), F.col("b.n")
@@ -576,7 +644,12 @@ def jaccard_prefix_join(
     # loose, the exact verify removes anything the slack admits.
     eps = 1e-6
     min_overlap = F.lit(t) * (na + nb) / F.lit(1.0 + t) - F.lit(eps)
-    cands = (
+    # tks holds DISTINCT tokens, so |a ∪ b| = n_a + n_b − |a ∩ b|
+    # exactly — same integer, same double after the division — and the
+    # verify does one array walk per pair instead of two.
+    inter = F.size(F.array_intersect("a.tks", "b.tks"))
+    jac = inter / (na + nb - inter)
+    return (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "ptok")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -584,30 +657,13 @@ def jaccard_prefix_join(
             F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(eps)
         )
         .filter(overlap_ub >= min_overlap)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    left = ordered.select(
-        F.col("id").alias("id_a"),
-        F.col("tks").alias("tks_a"),
-        F.col("n").alias("n_a"),
-    )
-    right = ordered.select(
-        F.col("id").alias("id_b"),
-        F.col("tks").alias("tks_b"),
-        F.col("n").alias("n_b"),
-    )
-    # tks holds DISTINCT tokens, so |a ∪ b| = n_a + n_b − |a ∩ b|
-    # exactly — same integer, same double after the division — and the
-    # verify does one array walk per pair instead of two.
-    inter = F.size(F.array_intersect("tks_a", "tks_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        cands.join(left, "id_a")
-        .join(right, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= t)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .distinct()
     )
 
 

@@ -76,6 +76,108 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _char_counts_sorted(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, counts): per-doc ascending distinct-char
+    occurrence counts, in ONE Arrow histogram pass (guide §4.2).
+
+    Replaces the per-distinct-char ``length(text) − length(replace(
+    text, c))`` literal scans — O(|text| · |distinct chars|) byte work
+    per row, ~25 full passes over every document on this corpus and
+    still the dominant cost of q_char_entropy at sf10 after the
+    round-10 literal-scan rewrite. Each Arrow batch computes every
+    document's histogram in one vectorized ``np.bincount`` over
+    (doc index × 128 + byte) keys — a single pass over the batch's
+    contiguous UTF-8 buffer, no per-row Python.
+
+    Identity: the counts are exact integers (occurrences of each
+    distinct character), sorted ascending exactly like the JVM
+    ``array_sort`` — the same multiset in the same order — and the
+    entropy fold itself STAYS in the JVM, so every floating-point
+    operation downstream is unchanged. Only integers cross the Python
+    boundary; there is no FP-identity risk (pinned bit-identical to
+    the pure-JVM formulation in tests/test_text_arrow.py).
+
+    The vectorized path requires ASCII (byte == code point); a
+    non-ASCII batch falls back to exact per-doc code-point counting
+    (``collections.Counter`` over the str — Python iterates code
+    points, matching Spark's split('') + length() semantics for all
+    BMP text; the corpus and both engines' parity fixtures are ASCII).
+    """
+    from pyspark.sql import types as T
+
+    src = docs.filter(F.length("text") > 0).select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("counts", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def hist(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids, txt = b.column(0), b.column(1)
+            if txt.null_count:
+                raise ValueError("char_entropy: null text row")
+            odt = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            off = np.frombuffer(txt.buffers()[1], dtype=odt)[
+                txt.offset : txt.offset + n + 1
+            ]
+            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)[
+                off[0] : off[-1]
+            ]
+            lens = np.diff(off).astype(np.int64)
+            if data.size and data.max() >= 0x80:
+                percounts = [
+                    np.sort(
+                        np.fromiter(
+                            Counter(s).values(), dtype=np.int32
+                        )
+                    )
+                    for s in txt.to_pylist()
+                ]
+                nz = np.asarray([len(c) for c in percounts], dtype=np.int64)
+                flat = (
+                    np.concatenate(percounts)
+                    if percounts
+                    else np.empty(0, np.int32)
+                )
+                nch = np.asarray(
+                    [len(s) for s in txt.to_pylist()], dtype=np.int32
+                )
+            else:
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+                h = np.bincount(
+                    doc_idx * 128 + data, minlength=n * 128
+                ).reshape(n, 128)
+                s = np.sort(h, axis=1).ravel()
+                flat = s[s > 0].astype(np.int32)
+                nz = (h > 0).sum(axis=1)
+                nch = lens.astype(np.int32)
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(nz))).astype(np.int32)
+            )
+            counts = pa.ListArray.from_arrays(
+                offsets, pa.array(flat, pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nch, pa.int32()), counts],
+                names=["doc_id", "n_chars", "counts"],
+            )
+
+    return src.mapInArrow(hist, schema=out_schema)
+
+
 @register(
     "q_char_entropy",
     """
@@ -94,29 +196,23 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-document character-level Shannon entropy — the classic "
     "compression-proxy quality signal (gibberish and repeated-char spam "
     "sit at the entropy extremes; natural text clusters ~4 bits/char). "
-    "Pure per-row array arithmetic: distinct chars -> occurrence counts "
-    "-> SORTED fold of -(p log2 p), zero shuffle, codegen'd. The count "
-    "array is sorted before folding so Spark and the oracle sum in the "
-    "same order (list_distinct order is engine-specific), and "
-    "quantization is the engine-exact floor(x*s+0.5)/s form. "
-    "Per-char counts come from length(text) - length(replace(text, c)) "
-    "— a literal string scan — instead of re-filtering the split char "
-    "ARRAY per distinct char (identical counts, measured 2.2x faster "
-    "at sf0.1: the array filter paid a lambda + per-element string "
-    "equality on every (distinct char x position) pair)",
+    "Occurrence counts come from one vectorized Arrow histogram pass "
+    "(see _char_counts_sorted: integers only cross the boundary); the "
+    "-(p log2 p) fold over the ASCENDING count array stays a JVM "
+    "aggregate — identical IEEE chain and fold order to the previous "
+    "all-JVM formulation (array_sort'd counts), pinned bit-identical "
+    "in tests/test_text_arrow.py. Quantization is the engine-exact "
+    "floor(x*s+0.5)/s form; zero shuffle either way",
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     entropy = F.expr(
-        "aggregate("
-        "  array_sort(transform(array_distinct(split(text, '')),"
-        "    c -> length(text) - length(replace(text, c, '')))),"
-        "  cast(0.0 as double),"
-        "  (acc, c) -> acc - (c / length(text)) * log2(c / length(text)))"
+        "aggregate(counts, cast(0.0 as double),"
+        "  (acc, c) -> acc - (c / n_chars) * log2(c / n_chars))"
     )
-    return docs.filter(F.length("text") > 0).select(
+    return _char_counts_sorted(docs).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        "n_chars",
         (F.floor(entropy * 10000 + 0.5) / 10000).alias("char_entropy"),
     )
 
