@@ -649,6 +649,22 @@ def jaccard_prefix_join(
     # verify does one array walk per pair instead of two.
     inter = F.size(F.array_intersect("a.tks", "b.tks"))
     jac = inter / (na + nb - inter)
+    # ONE intersect per candidate, total. Written plainly, the
+    # deterministic `jac >= t` filter gets pushed into the join
+    # condition, where the intersect is evaluated TWICE per candidate
+    # (numerator and denominator — join conditions get no
+    # subexpression elimination) and twice more in the projection for
+    # every accepted pair: ~1 B intersect calls at sf10, the measured
+    # residual cost of this query. The guide-§4.4 nondeterministic
+    # marker, applied at expression level: `rand()*0.0` is exactly
+    # +0.0 for every draw (rand ∈ [0,1), finite) and jac ≥ 0, so
+    # `rand()*0.0 + jac` is BIT-IDENTICAL to jac — but the alias is
+    # now nondeterministic, the filter cannot be pushed past it, and
+    # the single projection evaluates the intersect once (project
+    # lists DO get subexpression elimination). The cheap length/
+    # positional/id filters above stay deterministic and still push
+    # into the join condition where they belong.
+    jac_nd = F.rand(42) * F.lit(0.0) + jac
     return (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "ptok")
@@ -657,12 +673,13 @@ def jaccard_prefix_join(
             F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(eps)
         )
         .filter(overlap_ub >= min_overlap)
-        .filter(jac >= t)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            jac_nd.alias("_jac"),
         )
+        .filter(F.col("_jac") >= t)
+        .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard"))
         .distinct()
     )
 
