@@ -85,17 +85,17 @@ def test_operator_index_is_current():
     assert f"Total: {len(qs)} queries" in content, "stale total in docs/OPERATORS.md"
 
 
-def test_round10_window_is_applied():
-    """Round 10 is LIVE: _PRIORITY must be the staged round-10 list (the
+def test_round11_window_is_applied():
+    """Round 11 is LIVE: _PRIORITY must be the staged round-11 list (the
     soundness of that list — 50 names, canaries first, no duplicates, no
-    overlap with round 9 — is pinned by
+    overlap with round 10 — is pinned by
     test_round10_window_list_is_sound below)."""
     from trading_data_pipeline_spark.registry import (
         _PRIORITY,
-        _PRIORITY_ROUND10,
+        _PRIORITY_ROUND11,
     )
 
-    assert _PRIORITY is _PRIORITY_ROUND10, "round-10 window not applied"
+    assert _PRIORITY is _PRIORITY_ROUND11, "round-11 window not applied"
 
 
 def test_no_oracle_column_is_duckdb_hugeint():

@@ -383,10 +383,10 @@ _PRIORITY_ROUND12: tuple[str, ...] = (
     "q_median",
 )
 
-# ACTIVE round-10 driver window (applied at round-10 open per the
+# ACTIVE round-11 driver window (applied at round-11 open per the
 # staged plan above; earlier lists are kept for the no-wasted-slot
-# check).
-_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND10
+# check). After this window runs, never-driver-verified debt is ZERO.
+_PRIORITY: tuple[str, ...] = _PRIORITY_ROUND11
 
 
 def all_queries() -> dict[str, QuerySpec]:
