@@ -782,6 +782,61 @@ def test_jaccard_prefix_join_equals_brute_force_and_prunes(spark):
     assert n_cand < 0.9 * all_pairs, (n_cand, n_docs)
 
 
+@pytest.mark.parametrize("t", [0.9, 0.8, 0.5])
+def test_jaccard_join_identity_adversarial_boundary(spark, t):
+    """Brute-force identity on a hand-built corpus of boundary pairs,
+    across thresholds that exercise BOTH physical strategies (0.9/0.8 →
+    pigeonhole-partition path at m=4/8 parts; 0.5 → prefix path):
+
+    - pairs whose Jaccard is EXACTLY t (e.g. 27 shared of |A|=28,|B|=29:
+      27/30 = 0.9, where the t·(na+nb)/(1+t) bound rounds to
+      27.000000000000004 — must be accepted, the round-10 eps-slack
+      regression class);
+    - exact copies (J=1, matches in every domain part — the first-match
+      dedup must still emit the pair once);
+    - a duplicate-token text (the distinct-set semantics);
+    - subsets, near-subsets, and fully disjoint docs.
+    """
+    from trading_data_pipeline_spark.operators.dedup import jaccard_prefix_join
+
+    w = [f"w{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(w[:28])),                                  # d1
+        (2, " ".join(w[:27] + ["u0"])),                         # J(1,2)=27/29
+        (3, " ".join(w[:27] + ["u1", "u2"])),                   # J(1,3)=27/30=0.9
+        (5, " ".join(w[:28])),                                  # copy of d1
+        (6, " ".join(f"z{i}" for i in range(28))),              # disjoint
+        (7, " ".join(w[:10])),                                  # small
+        (9, " ".join(w[:9])),                                   # J(7,9)=9/10=0.9
+        (10, " ".join(w[:28] + w[:5])),                         # dup tokens ≡ d1
+        (11, " ".join(w[:25] + ["u3", "u4", "u5"])),            # J(1,11)=25/31
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_prefix_join(docs, threshold=t).collect()
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tk")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= t)
+        .collect()
+    )
+    assert got == want and want, (t, got, want)
+    if t == 0.9:
+        # the exact-boundary pairs must be present, not just "some" pairs
+        present = {(da, db) for da, db, _ in got}
+        assert {(1, 3), (3, 5), (7, 9), (1, 5)} <= present, present
+
+
 def test_delta_dedup_equals_batch_cross_pairs(spark, sf_dir):
     """The incremental index-probe path must find EXACTLY the batch
     self-join's (delta, corpus) cross pairs — same banding scheme, same
@@ -939,16 +994,24 @@ def test_tfidf_sparse_norm_equals_dense_fold(spark, sf_dir):
     assert n_bad == 0
 
 
-def test_jaccard_prefix_join_caches_ordered_on_disk_only(spark):
-    """The canonically-ordered token table feeds four branches; it must
-    go through the session cache registry (rebuild-once) at DISK_ONLY —
-    the MEMORY_AND_DISK unroll of |docs| wide string arrays across all
-    concurrent tasks broke the default-heap contract at sf10."""
+def test_jaccard_join_caches_through_registry(spark):
+    """Both join strategies rebuild their per-doc token table once per
+    invocation through the session cache registry: the PTJ path (high t)
+    caches the int64 part-subarray table MEMORY_AND_DISK (compressed
+    columnar blocks — ~9× narrower than the string arrays that forced
+    the prefix path to DISK_ONLY), the prefix path keeps the wide
+    string-era DISK_ONLY contract."""
     from trading_data_pipeline_spark.operators.dedup import jaccard_prefix_join
     from trading_data_pipeline_spark.plans import cache_registry
 
     docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
     jaccard_prefix_join(docs, threshold=0.9).collect()
+    slots = cache_registry._REGISTRY.get(spark) or {}
+    assert "jaccard_ptj_sets" in slots
+    lvl = slots["jaccard_ptj_sets"].storageLevel
+    assert lvl.useDisk and lvl.useMemory
+
+    jaccard_prefix_join(docs, threshold=0.5).collect()
     slots = cache_registry._REGISTRY.get(spark) or {}
     assert "jaccard_prefix_ordered" in slots
     lvl = slots["jaccard_prefix_ordered"].storageLevel

@@ -274,16 +274,27 @@ def tail_token_share(docs: DataFrame) -> DataFrame:
     corpus-hapax (total corpus frequency 1 — OCR noise / gibberish /
     genuinely novel text all live in the hapax tail). Integer counts,
     one quantized share."""
+    # Aggregate occurrences to (source, token, count) FIRST: the partial
+    # (map-side) aggregate collapses the token stream to ~vocab×sources
+    # rows per task, so the corpus-frequency table, the join-back and
+    # the per-source fold all run over vocabulary-sized inputs — the raw
+    # occurrence stream never crosses an exchange (round-10 shape
+    # shuffled it twice: once into the tf groupBy, once into the
+    # occurrence⋈tf join). Identical integers: n_tokens = Σc per source,
+    # n_hapax = Σc over tokens with corpus frequency Σ_src c = 1.
     toks = ensure_parallelism(docs).select(
         "source", F.explode(F.split("text", " ")).alias("t")
     )
-    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tf = cnt.groupBy("t").agg(F.sum("c").alias("tf"))
     return (
-        toks.join(tf, "t")
+        cnt.join(tf, "t")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("tf") == 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_hapax"
+            ),
         )
         .select(
             "source",

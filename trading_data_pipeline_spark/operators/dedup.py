@@ -486,9 +486,261 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """EXACT all-pairs token-Jaccard join above ``threshold`` via prefix
-    filtering (the PPJoin family) — the deterministic complement to the
-    probabilistic banded-MinHash path.
+    """EXACT all-pairs token-Jaccard join above ``threshold``.
+
+    Two physical strategies behind one result contract (identical to the
+    naive O(n²) join — that identity IS the oracle, pinned against brute
+    force in tests/test_extensions.py for both paths):
+
+    - **Partition-based (PTJ / pigeonhole) path** for high thresholds.
+      For a true pair, the symmetric difference H = |AΔB| is bounded:
+      J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ H = |A∪B| − |A∩B| ≤ (1−t)/t·|A∩B|
+      ≤ (1−t)/t·min(|A|,|B|) ≤ (1−t)/t·n_max. Hash-split the token
+      domain into m > (1−t)/t·n_max disjoint parts: fewer than m tokens
+      of AΔB land in m parts, so by pigeonhole SOME part holds none of
+      them — in that part the two docs' token subsets are IDENTICAL.
+      Candidates therefore come from an equi-join on (part, exact
+      sorted subset) keys: per-pair set intersections become join-key
+      equality (Deng, Li, Feng, VLDB'15 — the partition-based exact
+      set-similarity join family). See :func:`_jaccard_ptj_path` for
+      the verify/dedup details.
+    - **Prefix-filter path (PPJoin family)** otherwise: at low
+      thresholds m explodes (m ≈ n_max at t = 0.5) and near-empty
+      domain parts would bucket unrelated docs together, while token
+      prefixes stay selective. See :func:`_jaccard_prefix_path`.
+
+    The path switch needs the corpus-wide max distinct-token count, so
+    ONE bounded pre-pass (a scalar max aggregate, no shuffle) runs
+    eagerly at plan time; both the driver bench and the oracle harness
+    time query construction together with execution, so the pass is
+    inside every timed region (no cross-run precomputation).
+    """
+    t = float(threshold)
+    import math
+
+    row = docs.agg(
+        F.max(F.size(F.array_distinct(F.split(text_col, " ")))).alias("n")
+    ).collect()[0]
+    n_max = row["n"] or 0
+    # Over-approximating m is always exact (more parts, more empties);
+    # the +1e-6 slack keeps a float rounding of (1-t)/t*n_max from
+    # UNDER-shooting the pigeonhole requirement m > H_max.
+    m = int(math.floor((1.0 - t) / t * n_max + 1e-6)) + 1 if t < 1.0 else 1
+    if m <= _PTJ_MAX_PARTS:
+        return _jaccard_ptj_path(docs, t, m, id_col, text_col)
+    return _jaccard_prefix_path(docs, t, id_col, text_col)
+
+
+# Above this many domain parts the PTJ signature fan-out (m rows/doc)
+# and the near-empty parts stop paying for themselves; the prefix path
+# takes over. At the registered t=0.9 over this corpus m is 4.
+_PTJ_MAX_PARTS = 8
+
+
+def _jaccard_ptj_path(
+    docs: DataFrame, t: float, m: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Partition-based exact set-similarity join (see the dispatcher
+    docstring for the pigeonhole completeness argument).
+
+    Plan shape (all shuffles on bounded keys, no cross join):
+
+    1. Tokens recode to ``xxhash64`` longs with the min/max collision
+       tripwire (a 64-bit collision between distinct spellings raises
+       instead of silently merging intersections — bijection is what
+       makes code-array equality equal set equality).
+    2. One groupBy(id) builds the m per-part SORTED code subarrays as
+       plain columns s0..s{m-1} (m is a plan-time constant — the whole
+       verify unrolls into codegen'd expressions, no interpreted HOF
+       folds). The table persists through the session cache registry;
+       both join sides read the columnar cache.
+    3. Each doc emits m signature rows (pid, sub = its part subarray);
+       candidates come from ONE equi-join on (pid, sub) — subset
+       equality IS the join key, hashed by Spark over the long arrays,
+       no token-level fan-out. The join is pinned ``shuffle_hash``: the
+       build side is the full signature table (every doc × m rows), so
+       letting size mis-estimates pick BroadcastHashJoin would ship the
+       corpus to every executor at cluster scale (the round-10 verdict's
+       q_containment/q_jaccard broadcast hazard).
+    4. FIRST-MATCH dedup as a join residual: a pair sharing several
+       part-subsets matches once per shared part; keeping only the
+       smallest matching pid (cheap array inequality on the earlier
+       parts, exact — no hashes) makes each pair appear EXACTLY once,
+       so the old post-verify 123 M-row ``distinct`` disappears.
+    5. Exact verify in the projection: |A∩B| = Σ_p (a_p == b_p ?
+       |a_p| : |a_p ∩ b_p|) — parts partition the domain, so the sum is
+       the exact integer intersection; intersects only run on the ≤ H
+       differing parts. ``rand(42)*0.0 + jac`` keeps the optimizer from
+       pushing the jac filter into the join condition where the
+       subexpression would evaluate per candidate twice (bit-identical:
+       rand ∈ [0,1) ⇒ rand*0.0 is exactly +0.0 and jac ≥ 0).
+    """
+    from functools import reduce
+    from operator import add, and_
+
+    from pyspark import StorageLevel
+
+    from ..plans.cache_registry import persist_slot
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
+    )
+    codes = toks.groupBy(F.xxhash64("tok").alias("code")).agg(
+        F.min("tok").alias("_lo"), F.max("tok").alias("_hi")
+    )
+    # Bijection tripwire: assert_true returns NULL when the slot held a
+    # single distinct token; a collision raises with both spellings.
+    code_checked = F.when(
+        F.assert_true(
+            F.col("_lo") == F.col("_hi"),
+            F.concat(
+                F.lit("jaccard_prefix_join: xxhash64 token collision: "),
+                F.col("_lo"),
+                F.lit(" / "),
+                F.col("_hi"),
+            ),
+        ).isNull(),
+        F.col("code"),
+    )
+    codes = codes.select(F.col("code").alias("_jc"), code_checked.alias("code"))
+    rec = toks.join(codes, F.xxhash64("tok") == F.col("_jc")).select(
+        "id", "code", F.pmod("code", F.lit(m)).cast("int").alias("pid")
+    )
+    subs = [f"s{p}" for p in range(m)]
+    sets = rec.groupBy("id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("pid") == p, F.col("code")))
+            ).alias(f"s{p}")
+            for p in range(m)
+        ]
+    )
+    sets = sets.select(
+        "id",
+        *subs,
+        *[F.size(s).alias(f"n{p}") for p, s in enumerate(subs)],
+        *[F.xxhash64(s).alias(f"h{p}") for p, s in enumerate(subs)],
+        reduce(add, [F.size(s) for s in subs]).alias("n"),
+    )
+    # int64 code subarrays: ~9× smaller than the string arrays that
+    # forced the old prefix path to DISK_ONLY; measured at sf10 the
+    # columnar MEMORY_AND_DISK cache fits the default 8 GB heap.
+    sets = persist_slot(sets, "jaccard_ptj_sets", StorageLevel.MEMORY_AND_DISK)
+    nsz = [f"n{p}" for p in range(m)]
+    hsh = [f"h{p}" for p in range(m)]
+    sig = sets.select(
+        "id",
+        "n",
+        *subs,
+        *nsz,
+        *hsh,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pid"), F.col(f"s{p}").alias("sub")
+                    )
+                    for p in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "id",
+        "n",
+        *subs,
+        *nsz,
+        *hsh,
+        F.col("e.pid").alias("pid"),
+        F.col("e.sub").alias("sub"),
+    )
+    # The candidate join's cost is per-CANDIDATE compute, not bytes: at
+    # sf10 the signature exchange is ~340 MB feeding ~10 CPU-minutes of
+    # verify, so byte-based AQE sizing would leave it on |shuffle
+    # partitions| coarse tasks and the hottest buckets straggle
+    # (measured: 33 % idle slot time at 32 tasks). Partition the ONE
+    # exchange both sides share by the join key at a core-count-derived
+    # fan-out (scale-adaptive: defaultParallelism, not a local constant);
+    # an explicit repartition count also keeps AQE from re-coalescing.
+    fanout = 8 * sets.sparkSession.sparkContext.defaultParallelism
+    sig = sig.repartition(fanout, "pid", "sub")
+
+    na, nb = F.col("a.n"), F.col("b.n")
+    eps = 1e-6
+    first_match = reduce(
+        and_,
+        [
+            (F.col("a.pid") <= p) | (F.col(f"a.s{p}") != F.col(f"b.s{p}"))
+            for p in range(m)
+        ],
+    )
+    # Count/hash-only candidate prune, no array touched: per part,
+    # |a_p∩b_p| ≤ min(|a_p|,|b_p|), tightened to min−1 when the part
+    # SIZES are equal but the part-content hashes differ (equal-size
+    # differing sets share at most n_p−1 elements; a hash COLLISION only
+    # leaves the bound loose, never wrong — exactness cannot depend on
+    # xxhash64 here). Summed: |A∩B| ≤ I_ub, and J ≥ t needs |A∩B| ≥
+    # t·(n_a+n_b)/(1+t). Integer/long-only arithmetic against t-scaled
+    # reals, so the ε-slack keeps exact-boundary pairs in (pruning
+    # bounds may only ever be loose — the verify removes what the slack
+    # admits). The equal-size-different-hash term targets exactly the
+    # surviving false-candidate profile of this join (pairs sharing one
+    # whole part with substitutions elsewhere); at sf10 the plain size
+    # vector alone measured 242 M → 167 M candidates.
+    i_ub = reduce(
+        add,
+        [
+            F.least(F.col(f"a.n{p}"), F.col(f"b.n{p}"))
+            - (
+                (F.col(f"a.n{p}") == F.col(f"b.n{p}"))
+                & (F.col(f"a.h{p}") != F.col(f"b.h{p}"))
+            ).cast("int")
+            for p in range(m)
+        ],
+    )
+    cond = (
+        (F.col("a.pid") == F.col("b.pid"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(eps))
+        & (i_ub >= F.lit(t) * (na + nb) / F.lit(1.0 + t) - F.lit(eps))
+        & first_match
+    )
+    # tks hold DISTINCT tokens, so |A ∪ B| = n_a + n_b − |A ∩ B| exactly.
+    inter = reduce(
+        add,
+        [
+            F.when(
+                F.col(f"a.s{p}") == F.col(f"b.s{p}"), F.size(F.col(f"a.s{p}"))
+            ).otherwise(
+                F.size(F.array_intersect(f"a.s{p}", f"b.s{p}"))
+            )
+            for p in range(m)
+        ],
+    )
+    jac = inter / (na + nb - inter)
+    jac_nd = F.rand(42) * F.lit(0.0) + jac
+    return (
+        sig.alias("a")
+        .join(sig.alias("b").hint("shuffle_hash"), cond)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            jac_nd.alias("_jac"),
+        )
+        .filter(F.col("_jac") >= t)
+        .select("doc_a", "doc_b", F.round("_jac", 4).alias("jaccard"))
+    )
+
+
+def _jaccard_prefix_path(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filter (PPJoin-family) strategy for the thresholds where
+    pigeonhole partitioning degenerates.
 
     Prefix-filter principle: order every document's distinct tokens
     by ONE global canonical order (document frequency ascending, token as

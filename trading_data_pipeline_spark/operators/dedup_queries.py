@@ -170,14 +170,16 @@ PREFIX_JACCARD_T = 0.9
           / len(list_distinct(list_concat(a.tk, b.tk))) >= {PREFIX_JACCARD_T}
     """,
     doc="EXACT all-pairs token-Jaccard similarity join (threshold 0.9) "
-    "via prefix filtering: docs sort their tokens by global df (rarest "
-    "first); only pairs sharing a token inside the pruning prefix become "
-    "candidates, then exact verification runs. The oracle is the naive "
-    "O(n^2) join — the plan must return IDENTICAL pairs while generating "
-    "candidates from rare-token buckets only (pruning power asserted in "
-    "tests/test_extensions.py). The deterministic complement to banded "
-    "MinHash: no recall loss, for the thresholds where prefixes stay "
-    "selective",
+    "via pigeonhole partitioning (PTJ family): a pair at J >= 0.9 "
+    "differs in at most (1-t)/t*n_max tokens, so with the token domain "
+    "hash-split into m parts some part's subsets are IDENTICAL — "
+    "candidates come from ONE equi-join on (part, sorted-subset) keys, "
+    "first-match-deduped, then exact per-part verification. The oracle "
+    "is the naive O(n^2) join — the plan must return IDENTICAL pairs "
+    "(identity pinned against brute force incl. boundary pairs in "
+    "tests/test_extensions.py; low thresholds fall back to the PPJoin "
+    "prefix filter). The deterministic complement to banded MinHash: "
+    "no recall loss",
 )
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import jaccard_prefix_join

@@ -597,9 +597,19 @@ def functional_dependencies(
     """Audit candidate functional dependencies X → Y: per candidate, the
     number of X-groups, how many X-groups carry >1 distinct Y (the
     violations), and the worst group's distinct-Y count. One
-    two-level aggregate per candidate (group on X with count_distinct(Y),
-    then fold to one row) — the discovery half of a schema-contract
-    miner, exact at any scale because only counts cross the exchange."""
+    two-level aggregate per candidate (group on X with the distinct-Y
+    count, then fold to one row) — the discovery half of a schema-
+    contract miner, exact at any scale because only counts (and the
+    per-group distinct-Y sets, bounded by the dependent's cardinality
+    within a group) cross the exchange.
+
+    The distinct-Y count is ``size(collect_set(dep))``, NOT
+    ``countDistinct``: Catalyst plans a single distinct aggregate as a
+    (det, dep) dedup exchange followed by a second det-keyed exchange —
+    two full shuffles per candidate — while collect_set partially
+    aggregates map-side and crosses ONE det-keyed exchange (measured
+    round 11: 15 → 10 exchanges, the audit's 5 fact scans each shuffle
+    once). Identical integers: both ignore NULL dependents."""
     from functools import reduce
 
     parts = []
@@ -607,7 +617,7 @@ def functional_dependencies(
         g = (
             tables[table]
             .groupBy(det)
-            .agg(F.countDistinct(dep).alias("_nd"))
+            .agg(F.size(F.collect_set(dep)).cast("long").alias("_nd"))
             .agg(
                 F.count(F.lit(1)).alias("n_groups"),
                 F.sum((F.col("_nd") > 1).cast("long")).alias("n_violating"),
