@@ -79,7 +79,19 @@ def asof_join_pandas(
     value_col: str = "value",
     value_alias: str = "asof_value",
 ) -> DataFrame:
-    """Same semantics via applyInPandas + merge_asof (cogrouped by key)."""
+    """Same semantics via applyInPandas + merge_asof.
+
+    The cogroup key is a HASH BUCKET of the join key, not the key
+    itself: cogrouped ``applyInPandas`` invokes the Python function once
+    per grouping-key value, so keying by ``on`` directly paid one
+    Arrow round-trip + pandas setup per user (~40 s at sf10 for the
+    events table, the round-10 scale audit's q_asof_pandas entry).
+    Bucketing by ``pmod(xxhash64(on), n_buckets)`` hands each call
+    thousands of keys at once and ``merge_asof(by=on)`` resolves the
+    per-key as-of inside the one vectorized call — identical semantics,
+    per-call overhead amortized away. ``n_buckets`` derives from the
+    session's core count (scale-adaptive, not a local constant).
+    """
     import pandas as pd
 
     rtype = dict(right.dtypes)[value_col]
@@ -106,27 +118,58 @@ def asof_join_pandas(
     nullable_dtype = _NULLABLE.get(rtype)
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        # a key present on only one side yields an empty (even column-less)
-        # frame for the other side — guard before any column access
+        # a bucket present on only one side yields an empty (even
+        # column-less) frame for the other side — guard before access
         if l_pdf.empty:
             return pd.DataFrame(columns=out_cols)
-        l_sorted = l_pdf.sort_values(ts_col)
-        if r_pdf.empty:
-            out = l_sorted.copy()
-            out[value_alias] = None
-            return out
-        r_sorted = (
-            r_pdf[["_r_ts", "_r_value"]]
-            .rename(columns={"_r_ts": ts_col, "_r_value": value_alias})
-            .sort_values(ts_col)
-        )
-        if nullable_dtype is not None:
-            r_sorted[value_alias] = r_sorted[value_alias].astype(nullable_dtype)
-        return pd.merge_asof(l_sorted, r_sorted, on=ts_col, direction="backward")
+        l_pdf = l_pdf.drop(columns=["_bkt"])
+        # NULL join keys never match (they formed their own cogroup
+        # under the old per-key shape and merged with NULL-key right
+        # rows; merge_asof's by-hashing treats NaN keys the same way —
+        # split them out explicitly so the behavior is pinned, not an
+        # artifact of pandas NaN semantics)
+        l_null = l_pdf[l_pdf[on].isna()]
+        l_pdf = l_pdf[l_pdf[on].notna()]
+        parts = []
+        if not l_null.empty:
+            ln = l_null.copy()
+            ln[value_alias] = None
+            parts.append(ln)
+        if not l_pdf.empty:
+            l_sorted = l_pdf.sort_values(ts_col)
+            if r_pdf.empty:
+                out = l_sorted.copy()
+                out[value_alias] = None
+                parts.append(out)
+            else:
+                r_sorted = (
+                    r_pdf[[on, "_r_ts", "_r_value"]]
+                    .rename(columns={"_r_ts": ts_col, "_r_value": value_alias})
+                    .sort_values(ts_col)
+                )
+                r_sorted = r_sorted[r_sorted[on].notna()]
+                if nullable_dtype is not None:
+                    r_sorted[value_alias] = r_sorted[value_alias].astype(
+                        nullable_dtype
+                    )
+                parts.append(
+                    pd.merge_asof(
+                        l_sorted,
+                        r_sorted,
+                        on=ts_col,
+                        by=on,
+                        direction="backward",
+                    )
+                )
+        out = pd.concat(parts) if parts else pd.DataFrame(columns=out_cols)
+        return out[out_cols]
 
+    n_buckets = 4 * left.sparkSession.sparkContext.defaultParallelism
+    bkt = F.pmod(F.xxhash64(F.col(on)), F.lit(n_buckets))
     return (
-        left.groupBy(on)
-        .cogroup(right_fresh.groupBy(on))
+        left.withColumn("_bkt", bkt)
+        .groupBy("_bkt")
+        .cogroup(right_fresh.withColumn("_bkt", bkt).groupBy("_bkt"))
         .applyInPandas(merge, schema=out_schema)
     )
 

@@ -159,11 +159,31 @@ def source_overlap(
         grams = grams.select("source", F.xxhash64("g").alias("g"))
     grams = grams.distinct()
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.select(F.col("source").alias("src_a"), "g")
-    b = grams.select(F.col("source").alias("src_b"), "g")
+    # Pairwise intersections WITHOUT the gram-keyed self-join: group the
+    # deduped grams by g, collect the ≤ n_sources sharing sources
+    # (sorted — so emitted pairs are already src_a < src_b) and emit the
+    # in-list combinations map-side; only source-pair partial counts
+    # cross the last exchange. The round-10 self-join re-shuffled the
+    # SAME distinct-gram table twice into a hash join whose probe work
+    # scaled with |grams|; one g-keyed exchange replaces both (the
+    # per-gram fan-out stays bounded by C(n_sources, 2) exactly as
+    # before — a gram shared by thousands of sources would need the
+    # q_dedup_near-style hot-key cap either way).
+    ss = F.col("ss")
+    combos = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("src_a") < F.col("src_b"))
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_list("source")).alias("ss"))
+        .select(F.explode(combos).alias("pr"))
+        .select("pr.src_a", "pr.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -463,7 +463,20 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brier_scored(docs: DataFrame) -> DataFrame:
-    """(p, y) per doc: common-token-ratio probability vs lang='en'."""
+    """(p, y) per doc: common-token-ratio probability vs lang='en'.
+
+    One hash-keyed exchange total for the token stream. The stream is
+    repartitioned by the token hash ONCE; the per-(doc, h) occurrence
+    counts, the doc-frequency table derived from them (rows per h =
+    distinct docs containing h, each doc appearing once per (doc_id,
+    lang)), and the dd ⋈ dfreq join-back all inherit that partitioning,
+    so Catalyst plans them over the one reused exchange. The round-10
+    shape instead shuffled the raw occurrence stream into the
+    countDistinct (two exchanges by itself), again into the join, and
+    again into the per-doc fold — four stream-sized exchanges. The
+    per-doc fold now crosses with per-(doc, h) partial rows only.
+    Identical integers: n_tok = Σc, n_common = Σc over common-h rows.
+    """
     tok = (
         ensure_parallelism(docs)
         .select(
@@ -474,18 +487,24 @@ def _brier_scored(docs: DataFrame) -> DataFrame:
         .select("doc_id", "lang", F.xxhash64("t").alias("h"))
     )
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = tok.groupBy("h").agg(F.countDistinct("doc_id").alias("dfq"))
+    dd = (
+        tok.repartition(F.col("h"))
+        .groupBy("doc_id", "lang", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = dd.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     return (
-        tok.join(dfreq, "h")
+        dd.join(dfreq, "h")
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(
-                (
-                    F.col("dfq") * DF_DEN >= F.col("n_docs") * DF_NUM
-                ).cast("long")
+                F.when(
+                    F.col("dfq") * DF_DEN >= F.col("n_docs") * DF_NUM,
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             ).alias("n_common"),
-            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("c").alias("n_tok"),
         )
         .select(
             (F.col("n_common") / F.col("n_tok")).alias("p"),
@@ -812,11 +831,24 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
             "doc_id", "lang", "source", F.xxhash64("t").alias("h")
         )
     )
-    raw = tok.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
+    # One hash-keyed exchange for the token stream (the _brier_scored
+    # pattern): per-(doc, h) occurrence counts inherit the h
+    # partitioning, so the raw/target frequency tables, their join and
+    # the dd ⋈ lam scoring join-back all reuse the one exchange; only
+    # per-doc partials cross the final (doc_id, source) exchange. The
+    # round-10 shape shuffled the occurrence stream into the scoring
+    # join and again into the per-doc fold. Identical integers: counts
+    # are Σc, per-doc scores Σ llr_q·c.
+    dd = (
+        tok.repartition(F.col("h"))
+        .groupBy("doc_id", "lang", "source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = dd.groupBy("h").agg(F.sum("c").alias("cr"))
     tgt = (
-        tok.filter(F.col("lang") == target_lang)
+        dd.filter(F.col("lang") == target_lang)
         .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
     tots = raw.join(tgt, "h", "left").agg(
         F.sum("cr").alias("nr"),
@@ -844,9 +876,9 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
         )
     )
     scored = (
-        tok.join(lam, "h")
+        dd.join(lam, "h")
         .groupBy("doc_id", "source")
-        .agg(F.sum("llr_q").alias("score_q"))
+        .agg(F.sum(F.col("llr_q") * F.col("c")).alias("score_q"))
     )
     return (
         scored.groupBy("source")

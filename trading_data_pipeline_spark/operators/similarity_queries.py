@@ -1067,11 +1067,128 @@ def pq_encode(
     Exactness: components fix to 1e-6 integers, sub-distances are exact
     BIGINT Σ(x−c)² (≤ 4·10¹²·16 per subspace — far under 2⁵³), and the
     argmin tie-breaks on code — bit-identical on any engine, zero float
-    accumulation. Plan: one 64-way explode (narrow), a broadcast join
-    against the M·K-row codebook, one (vec, subspace, code) aggregate
-    and one per-(vec, subspace) argmin window — the heavy operand never
-    exceeds |corpus|·M·K rows, linear in the corpus at fixed M, K.
+    accumulation.
+
+    Plan (round 11): the codebook is k vectors by construction, so it
+    collects to the driver in ONE bounded pre-pass (≤ k·dim longs,
+    floored to integers by the same Spark expression the old plan used
+    — no Python float arithmetic crosses in) and the whole encode
+    unrolls into per-row codegen'd integer expressions: n_sub argmins
+    via ``array_min`` over (dist, code) structs, whose lexicographic
+    struct ordering IS the dist-then-code tiebreak. Zero exchanges,
+    zero joins — the round-10 plan exploded every vector 64-way,
+    fanned it ×k through a broadcast join (|corpus|·M·K·sub rows
+    through the partial aggregate) and re-assembled rows with a window
+    plus a second aggregate (3 exchanges). The aggregation plan remains
+    as the fallback for ragged/over-k corpora and is byte-identical in
+    output wherever both apply.
     """
+    vec = F.col(vec_col).cast("array<double>")
+    stats = emb.agg(
+        F.min(F.size(vec)).alias("dmin"),
+        F.max(F.size(vec)).alias("dmax"),
+        F.sum(vec.isNull().cast("int")).alias("nnull"),
+    ).collect()[0]
+    if (
+        stats["dmin"] is not None
+        and stats["dmin"] == stats["dmax"]
+        and not stats["nnull"]
+    ):
+        d_dim = int(stats["dmin"])
+        cb_rows = (
+            emb.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("code"), F.posexplode(vec).alias("d", "v"))
+            .select(
+                "code",
+                "d",
+                F.floor(F.col("v") * PQ_SCALE + 0.5).cast("long").alias("cx"),
+            )
+            .collect()
+        )
+        cb: dict[int, dict[int, int]] = {}
+        for r in cb_rows:
+            cb.setdefault(r["code"], {})[r["d"]] = r["cx"]
+        if cb and all(len(v) == d_dim for v in cb.values()):
+            return _pq_encode_arrow(emb, id_col, vec, d_dim, cb, m, sub)
+    return _pq_encode_agg(emb, id_col, vec_col, m, sub, k)
+
+
+def _pq_encode_arrow(
+    emb: DataFrame,
+    id_col: str,
+    vec,
+    d_dim: int,
+    cb: dict[int, dict[int, int]],
+    m: int,
+    sub: int,
+) -> DataFrame:
+    """Map-only PQ encode against a driver-collected codebook (see
+    :func:`pq_encode`): ONE ``mapInArrow`` pass, batch int64 numpy
+    arithmetic. Bit-identical to the aggregation plan: components are
+    ``floor(v·1e6 + 0.5)`` int64 (numpy float64 ops round exactly like
+    the JVM's), sub-distances are exact int64 Σ(x−c)² (bounded ≪ 2⁵³ by
+    the same argument), and ``argmin`` takes the FIRST minimum over
+    codes sorted ascending — the dist-then-code tiebreak. n_sub beyond
+    ``m`` still accumulates into total_err, n_sub short of ``m`` yields
+    NULL code columns — both exactly as the aggregation plan behaves.
+
+    (A JVM-expression unrolling was measured first: 4096 py4j column
+    ops took ~20 s to BUILD the plan and the oversized projection fell
+    out of whole-stage codegen — the Arrow batch path is the guide-§4.2
+    answer for wide per-row numeric kernels.)"""
+    import math
+
+    n_sub = math.ceil(d_dim / sub)
+    codes = sorted(cb)
+    cbm = [[cb[c][d] for d in range(d_dim)] for c in codes]
+    id_type = dict(emb.dtypes)[id_col]
+    out_schema = (
+        f"`{id_col}` {id_type}, "
+        + ", ".join(f"code_s{i} bigint" for i in range(m))
+        + ", total_err bigint"
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cba = np.asarray(cbm, dtype=np.int64)  # (K, d_dim)
+        code_ids = np.asarray(codes, dtype=np.int64)
+        for b in batches:
+            ids = b.column(0)
+            n = b.num_rows
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            x = np.floor(flat.reshape(n, d_dim) * PQ_SCALE + 0.5).astype(
+                np.int64
+            )
+            cols = [ids]
+            total = np.zeros(n, dtype=np.int64)
+            picked_codes = []
+            for s in range(n_sub):
+                lo, hi = s * sub, min((s + 1) * sub, d_dim)
+                diff = x[:, None, lo:hi] - cba[None, :, lo:hi]
+                dist = np.einsum("nkd,nkd->nk", diff, diff)
+                am = dist.argmin(axis=1)  # first min = lowest code
+                picked_codes.append(code_ids[am])
+                total += dist[np.arange(n), am]
+            for i in range(m):
+                if i < n_sub:
+                    cols.append(pa.array(picked_codes[i], type=pa.int64()))
+                else:
+                    cols.append(pa.nulls(n, pa.int64()))
+            cols.append(pa.array(total, type=pa.int64()))
+            yield pa.record_batch(
+                cols,
+                names=[id_col, *[f"code_s{i}" for i in range(m)], "total_err"],
+            )
+
+    return emb.select(id_col, vec.alias("_v")).mapInArrow(encode, out_schema)
+
+
+def _pq_encode_agg(
+    emb: DataFrame, id_col: str, vec_col: str, m: int, sub: int, k: int
+) -> DataFrame:
+    """The explode + broadcast-codebook aggregation plan (fallback)."""
     comps = emb.select(
         id_col,
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
