@@ -980,58 +980,110 @@ def containment_pairs(
 
     sh = persist_slot(sh, "containment_shingles")
     inv = sh.select(F.col(id_col), F.explode("shh").alias("g"))
-    # Candidate pairs WITHOUT any list aggregation. The former
-    # collect_list posting build materialized each gram's ENTIRE id
-    # list in ObjectHashAggregate buffers — millions of small object
-    # lists on the map side (and a mega-hot gram's full posting before
-    # the df filter could discard it): the sf10 sweep OOM'd it at the
-    # default heap. This pipeline touches only Tungsten fixed-width,
-    # fully-spillable operators:
+    # Candidate pairs from ONE pass over the inverted index. The former
+    # UNCAPPED collect_list posting build materialized each gram's
+    # ENTIRE id list in ObjectHashAggregate buffers (a mega-hot gram's
+    # full posting before the df filter could discard it) and OOM'd the
+    # sf10 sweep at the default heap; the round-10 fix replaced lists
+    # with a row_number cap + count window + gram-keyed SELF-JOIN — but
+    # that executed the whole explode+window pipeline TWICE (once per
+    # join side, the measured twin ~830 CPU-s stages) and re-shuffled
+    # the pool into the join. Now:
     #   1. row_number cap at max_df+1 per gram — compiles to
     #      WindowGroupLimit, so a hot gram's postings are pruned
     #      map-side BEFORE the exchange (a boilerplate gram shared by
     #      1% of a 100 TB corpus barely shuffles);
-    #   2. a count window over the same (already sorted) partitioning
-    #      drops grams whose CAPPED df exceeds max_df — a gram with
-    #      max_df+1 survivors must have had df > max_df, so surviving
-    #      grams are exactly the 2..max_df postings (identical result);
-    #   3. a self-join on the gram key (sort-merge, ≤ max_df² pair
-    #      rows per gram) replaces the per-list pair explode.
+    #   2. collect_list per gram on the SAME g-partitioning (no second
+    #      exchange, and now provably bounded at max_df+1 ids — the
+    #      hazard that forbade lists is gone);
+    #   3. grams whose CAPPED list exceeds max_df are dropped (they had
+    #      df > max_df — identical survivor set to the count-window
+    #      form) and the ≤ C(max_df, 2) in-list pair combinations are
+    #      emitted map-side; sort_array makes doc_a < doc_b by
+    #      construction. One window pipeline execution total, no join.
     from pyspark.sql import Window
 
     wg = Window.partitionBy("g").orderBy(id_col)
-    pool = (
+    posting = (
         inv.withColumn("_rn", F.row_number().over(wg))
         .filter(F.col("_rn") <= max_df + 1)
-        .drop("_rn")
-        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .drop("_df")
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    cand = (
-        pool.alias("x")
-        .join(pool.alias("y"), "g")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("doc_a"),
-            F.col(f"y.{id_col}").alias("doc_b"),
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .distinct()
     )
+    # (A distinct-posting-list dedup before the explode was measured
+    # here and reverted: at sf10 the 536 k kept lists held 2.7 M
+    # distinct values and the duplicated pair stream only dropped
+    # 124 M → 112 M — the extra list exchange cost more than the 10 %
+    # pair reduction saved.)
+    # (Fusing the pair dedup onto the join-1 exchange — repartition by
+    # doc_a BEFORE the distinct, whose (doc_a, doc_b) clustering a
+    # doc_a-hash layout satisfies — measured noise-equivalent at sf10
+    # (57-65 s warm both ways); this form keeps the dedup ahead of the
+    # wider fan-out exchange, so the join-1 exchange carries 112 M
+    # deduped rows instead of 124 M.)
+    fanout = 8 * df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        posting.select(F.explode(combos).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+        .repartition(fanout, "doc_a")
+    )
+    # The pair stream is ~10⁸ rows of two longs at sf10 while each doc's
+    # shingle array is ~400 B, so the verify must (a) never broadcast
+    # the array table — the planner's size estimate picks exactly that
+    # and dies building a multi-GB HashedRelation at the default 8 GB
+    # heap (the round-10 audit's flagged hazard, reproduced live this
+    # round) — and (b) never SORT the pair stream once arrays are
+    # attached (a merge-join variant measured 381 s: an 8.5 GB sorted
+    # exchange spilling 50 GB). Pinned shape: shuffled-hash joins at a
+    # core-count-derived fan-out, building the BOUNDED side per
+    # partition — the ids-only pair stream in join 1 (~7 MB/partition),
+    # the per-doc array table in join 2 (~1 MB/partition); the array
+    # payload crosses the wire once per side and is never collected.
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # shh is array_distinct by construction, so |A∪B| = |A|+|B|−|A∩B|
+    # exactly — one hash-set pass per pair instead of intersect + union.
+    # The intersect rides the jaccard_prefix_join rand-barrier: written
+    # plainly, the containment filter collapses into the verify join's
+    # condition where the intersect would evaluate again per candidate
+    # (join conditions get no subexpression elimination); rand(42)*0.0
+    # is exactly +0.0 (rand ∈ [0,1), inter ≥ 0), the alias is
+    # nondeterministic, and the single projection evaluates the
+    # intersect once.
+    inter_nd = F.rand(42) * F.lit(0.0) + F.size(
+        F.array_intersect("sh_a", "sh_b")
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+            inter_nd.alias("_i"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_i") / F.least("_na", "_nb"), 4).alias(
+                "containment"
+            ),
             F.round(
-                inter / F.least(F.size("sh_a"), F.size("sh_b")), 4
-            ).alias("containment"),
-            F.round(
-                inter / F.size(F.array_union("sh_a", "sh_b")), 4
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
             ).alias("jaccard"),
         )
         .filter(F.col("containment") >= min_containment)

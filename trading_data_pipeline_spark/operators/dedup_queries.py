@@ -255,9 +255,16 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import containment_pairs
 
-    return containment_pairs(load(spark, sf_dir, "documents")).orderBy(
-        "doc_a", "doc_b"
-    )
+    out = containment_pairs(load(spark, sf_dir, "documents"))
+    # The repartition before the global sort is load-bearing: a range
+    # exchange SAMPLES its child to pick split points, and when the
+    # child is the raw verify pipeline that re-executes the whole
+    # candidate join a second time (measured at sf10: the twin ~25 s /
+    # 700 CPU-s stages each re-reading the 8.8 GB attach exchange — also
+    # the round-10 profile's unexplained overlapping twins). A hash
+    # exchange on the tiny verified output materializes one AQE stage
+    # the sampler then reads for free.
+    return out.repartition("doc_a").orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------- incremental (delta) dedup
