@@ -935,3 +935,58 @@ def test_embedding_isotropy_is_linear_in_dim(spark, sf_dir):
     # never one per dimension (the O(d^2) signature would show ~64)
     assert p.count("aggregate(zip_with") <= 4, p
     assert "sum((e#" in p or "sum((e" in p, p
+
+
+def test_jaccard_ptj_plan_shape(spark, sf_dir, queries):
+    """The registered jaccard join (t=0.9 → the pigeonhole-partition
+    path) pins the round-11 scale contract:
+
+    - the xxhash64 collision tripwire's raise_error must survive
+      optimization (if Catalyst ever prunes/folds the assert branch,
+      token-code collisions would silently merge intersect counts —
+      the round-10 ADVICE item);
+    - the ONE candidate self-join is a ShuffledHashJoin on the
+      (part, subset) key — never a BroadcastHashJoin of the full
+      signature table (the round-10 verdict's cluster-scale hazard) and
+      never a nested-loop product;
+    - no array_intersect inside the join condition: the exact verify
+      must sit in the projection above the rand-barrier so it
+      evaluates once per candidate (join conditions get no
+      subexpression elimination).
+    """
+    df = queries["q_jaccard_prefix_join"].fn(spark, sf_dir)
+    p = formatted_plan_of(df)
+    assert "raise_error" in p, "collision tripwire optimized away"
+    assert "rand(" in p, "nondeterministic verify barrier optimized away"
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the only BroadcastHashJoin allowed is the vocab-sized dfreq
+    # join-back (its build side aggregates to |vocab| rows); the
+    # signature self-join must not broadcast: every SHJ/BHJ line that
+    # joins on the subset key must be the shuffled one
+    for line in p.splitlines():
+        if "BroadcastHashJoin" in line and "sub" in line:
+            raise AssertionError(f"signature join broadcast: {line}")
+    # verify-once: no intersect inside any join node's condition
+    import re
+
+    for m in re.finditer(r"\((\d+)\) (ShuffledHash|BroadcastHash)Join", p):
+        sec = p[m.start():]
+        block = sec[: sec.find("\n\n")]
+        assert "array_intersect" not in block, block
+
+
+def test_containment_verify_joins_never_broadcast_arrays(spark, sf_dir):
+    """Both containment verify joins are pinned SHUFFLE_HASH: left to
+    size estimates the planner broadcasts the per-doc shingle-array
+    table and dies building a multi-GB HashedRelation at the default
+    heap (reproduced live at sf10 in round 11). The build sides must be
+    the bounded ones — never the array payload collected to one node."""
+    from trading_data_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    p = formatted_plan_of(containment_pairs(docs))
+    assert p.count("ShuffledHashJoin") >= 2, p
+    for line in p.splitlines():
+        if "BroadcastHashJoin" in line and ("sh_a" in line or "sh_b" in line):
+            raise AssertionError(f"array side broadcast: {line}")

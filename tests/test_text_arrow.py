@@ -59,6 +59,13 @@ def test_char_entropy_edge_docs(spark):
             (5, "  x  "),  # whitespace-heavy
             (6, "abcabcabcz"),  # ties + a hapax char
             (7, None),  # null text: filtered out (length(null) null)
+            # non-ASCII: these route the batch through the exact
+            # Counter/code-point fallback (byte != code point), which
+            # must match the legacy JVM split('')+length() formulation
+            # for BMP text — the round-10 ADVICE coverage gap
+            (8, "héllo wörld"),  # accented latin
+            (9, "日本語のテキストです 日本語"),  # CJK incl. repeats
+            (10, "mix アジア text ascii"),  # mixed-script batch
         ],
         "doc_id long, text string",
     ).repartition(4)  # force some empty/small Arrow partitions
@@ -77,7 +84,7 @@ def test_char_entropy_edge_docs(spark):
         )
         .collect()
     }
-    assert set(new) == {1, 2, 3, 5, 6} and set(got) == set(new)
+    assert set(new) == {1, 2, 3, 5, 6, 8, 9, 10} and set(got) == set(new)
     for k in got:
         assert tuple(new[k]) == tuple(got[k])
     assert new[1][2] == 0.0 and new[2][2] == 0.0

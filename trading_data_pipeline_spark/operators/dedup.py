@@ -861,10 +861,14 @@ def _jaccard_prefix_path(
             F.size("ks").alias("n"),
         )
     )
-    # DISK_ONLY: the payload is |docs| wide STRING token arrays — the
-    # MEMORY_AND_DISK unroll across all concurrent tasks OOM'd the sf10
-    # sweep at the default 8 GB heap; serialized disk blocks keep the
-    # rebuild-once win inside the memory contract.
+    # DISK_ONLY: the MEMORY_AND_DISK unroll across all concurrent tasks
+    # OOM'd the sf10 sweep at the default 8 GB heap when this table held
+    # wide STRING token arrays; the round-10 xxhash64 recode made the
+    # payload int64 arrays (~9× narrower — the PTJ path's sibling cache
+    # measures fine at MEMORY_AND_DISK), but this fallback path no
+    # longer runs at audited scale (the registered t=0.9 query takes the
+    # PTJ path), so the proven-safe level is kept rather than
+    # re-measured.
     from pyspark import StorageLevel
 
     ordered = persist_slot(

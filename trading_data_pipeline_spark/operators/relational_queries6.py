@@ -159,8 +159,22 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(_revenue_exact()).alias("val"))
-    nat = ps.join(s, ps.l_suppkey == s.s_suppkey).select("l_partkey", "val")
+    # Filter-first: the nation predicate keeps 1/|nations| of suppliers,
+    # and s_suppkey is the supplier table's unique key, so joining the
+    # RAW fact to the filtered dimension before grouping keeps exactly
+    # the rows whose (part, supp) group would have survived the old
+    # group-then-join — identical decimal sums (order-free). The old
+    # shape shuffled all ~60 M near-unique (l_partkey, l_suppkey) pairs
+    # into the aggregate (partial aggregation removed nothing, 1.1 GB
+    # exchange spilling 1.3 GB at sf10) and re-ran it for the scalar
+    # threshold branch; post-filter both passes aggregate 1/25 of that.
+    fli = li.join(s, li.l_suppkey == s.s_suppkey).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ps = fli.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_revenue_exact()).alias("val")
+    )
+    nat = ps.select("l_partkey", "val")
     total = nat.agg(
         (
             F.sum("val").cast("double") * 2.0 / F.count_distinct("l_partkey")

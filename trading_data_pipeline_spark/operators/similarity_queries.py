@@ -614,6 +614,13 @@ def top_principal_direction(
     single-SQL); direction + share vs full numpy eigh pinned in tests."""
     import numpy as np
 
+    from ..plans import ensure_parallelism
+
+    # The d² explode multiplies each row 4096-fold, so per-row compute
+    # dwarfs shuffle cost and the raw scan's uneven splits leave cores
+    # idle (sf10: the Gram stage ran 23 s wall for 38 CPU-s — one
+    # straggling input split). Round-robin to full parallelism first.
+    emb = ensure_parallelism(emb)
     x = F.col(vec_col).cast("array<double>")
     ex = emb.select(F.posexplode(x).alias("i", "xi"), x.alias("_v"))
     ex2 = ex.select("i", "xi", F.posexplode("_v").alias("j", "xj"))

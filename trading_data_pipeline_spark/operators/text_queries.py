@@ -138,13 +138,14 @@ def _char_counts_sorted(docs: DataFrame) -> DataFrame:
             ]
             lens = np.diff(off).astype(np.int64)
             if data.size and data.max() >= 0x80:
+                strs = txt.to_pylist()
                 percounts = [
                     np.sort(
                         np.fromiter(
                             Counter(s).values(), dtype=np.int32
                         )
                     )
-                    for s in txt.to_pylist()
+                    for s in strs
                 ]
                 nz = np.asarray([len(c) for c in percounts], dtype=np.int64)
                 flat = (
@@ -152,9 +153,7 @@ def _char_counts_sorted(docs: DataFrame) -> DataFrame:
                     if percounts
                     else np.empty(0, np.int32)
                 )
-                nch = np.asarray(
-                    [len(s) for s in txt.to_pylist()], dtype=np.int32
-                )
+                nch = np.asarray([len(s) for s in strs], dtype=np.int32)
             else:
                 doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
                 h = np.bincount(

@@ -190,7 +190,14 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
         "source",
         F.dense_rank().over(Window.orderBy("source")).alias("srank"),
     )
-    grams = docs.join(F.broadcast(src_rank), "source").select(
+    # ensure_parallelism before the gram explode: the per-row work
+    # (n-gram build + hash + map-side distinct) dwarfs a row's shuffle
+    # cost, and the raw scan's partitioning left half the cores idle
+    # with straggling tasks (sf10: the explode stage was 31 s wall for
+    # 113 CPU-s on 15 uneven input splits — 75 % idle slot time).
+    from ..plans import ensure_parallelism
+
+    grams = ensure_parallelism(docs).join(F.broadcast(src_rank), "source").select(
         "srank",
         "source",
         F.explode(F.expr(_gram_expr(n))).alias("g"),

@@ -27,7 +27,20 @@ from pyspark.sql import functions as F
 def _bucketize(df: DataFrame, key: str, n_buckets: int | None) -> DataFrame:
     """Shared pass 1 of every two-pass global operator here: contiguous
     monotone buckets from approx_percentile cut points on ``key``
-    (numeric), as a ``_bkt`` column."""
+    (numeric), as a ``_bkt`` column.
+
+    The input persists through the session cache registry first: every
+    two-pass caller executes it 2-3 times (the cut-point pass, the
+    bucket-size pass, the ranked output), and when the input embeds an
+    expensive per-row score the repeated scans dominate (sf10:
+    q_score_rank_norm re-ran its text-quality scan three times — 19 s
+    warm, ~6 s of it the ranked output). One generation per session,
+    rebuilt inside every invocation (the containment_shingles
+    lifecycle); lineage is kept, so a released generation recomputes
+    instead of failing."""
+    from .cache_registry import persist_slot
+
+    df = persist_slot(df, "global_rank_input")
     spark = df.sparkSession
     nb = n_buckets or max(spark.sparkContext.defaultParallelism, 16)
     probs = ", ".join(str((i + 1) / nb) for i in range(nb - 1))
