@@ -223,9 +223,24 @@ def order_baskets(lineitem: DataFrame, max_basket: int = MAX_BASKET) -> DataFram
     """The basket build: one groupBy(l_orderkey) collect_set — never a
     lineitem self-join — with oversized (degenerate wholesale) baskets
     dropped whole. Split out so the plan contract can pin the REAL build
-    (tests/test_plans.py) even though basket_pairs materializes it."""
+    (tests/test_plans.py) even though basket_pairs materializes it.
+
+    The projected fact repartitions BY KEY at an input-derived fan-out
+    before the aggregate (round 11). Leaving the exchange to the
+    groupBy plans a partial collect_set in the scan stage — a map-side
+    hash of all 60 M (orderkey, partkey) rows into arrays that the
+    near-unique grouping key barely collapses — and AQE byte-sizing
+    then coalesces the final aggregate onto few fat tasks. With the
+    keyed repartition the SAME single exchange moves below a complete
+    aggregate running at :func:`keyed_fanout` tasks: measured sf10
+    7.9 → 4.5 s, sf0.1 unchanged (the fan-out degrades to the core
+    count on small inputs — see keyed_fanout's docstring)."""
+    from ..plans.parallelism import keyed_fanout
+
+    src = lineitem.select("l_orderkey", "l_partkey")
     return (
-        lineitem.groupBy("l_orderkey")
+        src.repartition(keyed_fanout(src), "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("pk"))
         .filter(F.size("pk") <= max_basket)
     )
@@ -275,7 +290,11 @@ def basket_pairs(
     # needed a 32 GB heap mostly for exactly this), while the SQL cache
     # is compressed columnar and spills block-by-block.
     from ..plans.cache_registry import persist_slot
+    from ..plans.parallelism import keyed_fanout
 
+    # Pair-stream fan-out from the FACT scan's split count (the basket
+    # cache reports its own cached partitioning, not the data scale).
+    _pair_fanout = keyed_fanout(lineitem.select("l_orderkey", "l_partkey"))
     baskets = persist_slot(
         order_baskets(lineitem, max_basket), "basket_pairs_baskets"
     )
@@ -300,6 +319,17 @@ def basket_pairs(
             ).alias("pr")
         )
         .select("pr.pa", "pr.pb")
+        # The pair stream is ~90 M nearly-all-distinct (pa, pb) rows at
+        # sf10 (~1.4 GB framed): byte-based AQE sizing coalesces its
+        # aggregate onto ~20 fat reduce tasks whose hash tables spill.
+        # An explicit key repartition at the input-derived fan-out
+        # (same single exchange — the groupBy's distribution is already
+        # satisfied so no second shuffle) cuts the aggregate 14.6 →
+        # 11.0 s measured at sf10. A two-pass hash-count variant (count
+        # xxhash64(pa,pb) longs, semi-join survivors, exact re-count)
+        # was measured SLOWER (15.5 s): the second pair explode costs
+        # more than the narrower key saves — recorded negative.
+        .repartition(_pair_fanout, "pa", "pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)

@@ -27,3 +27,23 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+def keyed_fanout(df: DataFrame, per_split: int = 8) -> int:
+    """Partition count for an explicit BY-KEY repartition feeding a
+    compute-bound aggregate/join: ``per_split ×`` the input's scan-split
+    count, clamped to [defaultParallelism, 8 × defaultParallelism].
+
+    Why not a constant: byte-based AQE sizing coalesces a compute-bound
+    exchange onto few fat tasks (hash-aggregate state spills, stragglers
+    — the round-11 jaccard/basket findings), while a flat 8×-core count
+    at SMALL inputs pays hundreds of near-empty task launches (measured:
+    q_basket_pairs sf0.1 2.2 → 3.6 s). Scaling with the split count
+    keeps the task size roughly constant across scales — at cluster
+    scale thousands of splits hit the 8×-core ceiling, exactly the
+    jaccard PTJ fan-out; locally small inputs stay at the core count.
+    The explicit count also keeps AQE from re-coalescing the exchange.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    splits = df.rdd.getNumPartitions()
+    return max(par, min(per_split * par, per_split * splits))
