@@ -1036,11 +1036,78 @@ def containment_pairs(
     # (57-65 s warm both ways); this form keeps the dedup ahead of the
     # wider fan-out exchange, so the join-1 exchange carries 112 M
     # deduped rows instead of 124 M.)
+    #
+    # Round 11: the dedup aggregates COUNT instead of distinct (same
+    # exchange, same surviving pairs) because the multiplicity is an
+    # exact intersection statistic: a pair is emitted from gram g's
+    # kept list iff g ∈ A∩B and 2 ≤ df(g) ≤ max_df (kept lists are
+    # complete below the cap, and df ≥ 2 is automatic for a SHARED
+    # gram), so c_ab = |A∩B ∩ R| exactly, R = grams with df ≤ max_df.
+    # Every shared gram is in R or HOT (df > max_df), and the hot part
+    # is bounded by either doc's hot-gram count:
+    #   |A∩B| = c_ab + |A∩B∖R| ≤ c_ab + min(h_a, h_b) = I_ub.
+    # Pairs with I_ub < t·min(na, nb) can never verify, so this
+    # count-only prune runs BEFORE the shingle arrays are attached —
+    # the verify joins carry ~400 B arrays per row, the prune joins
+    # 2 ints. A hash collision inside hashed_shingles affects c_ab and
+    # the verify identically (both operate on the hashed sets), so the
+    # bound is exact w.r.t. the operator's declared semantics. Per-doc
+    # h comes from a full per-gram count aggregate and a gram-keyed
+    # semi-join back onto the index; their partial aggregates sit below
+    # the exchange so the window's g-exchange is NOT structurally
+    # reusable (checked in the executed plan) — both passes instead
+    # re-read the session-cached shingle table, never re-tokenizing
+    # the corpus, and the hot-gram side shuffles only per-gram partial
+    # counts.
     fanout = 8 * df.sparkSession.sparkContext.defaultParallelism
     cand = (
         posting.select(F.explode(combos).alias("pr"))
         .select("pr.doc_a", "pr.doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_cab"))
+        .repartition(fanout, "doc_a")
+    )
+    hot = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("g")
+    )
+    h = (
+        inv.join(hot.hint("shuffle_hash"), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    # h is docs-with-hot-grams-sized — |corpus|-scale in the worst
+    # case, so the stats attach is pinned shuffle_hash like every other
+    # per-doc join here (the planner's estimate picks a broadcast that
+    # cannot fit at cluster scale).
+    stats = (
+        sh.select(F.col(id_col), F.size("shh").alias("_n"))
+        .join(h.hint("shuffle_hash"), id_col, "left")
+        .select(id_col, "_n", F.coalesce("_h", F.lit(0)).alias("_h"))
+    )
+    st_a = stats.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_n").alias("_na"),
+        F.col("_h").alias("_ha"),
+    )
+    st_b = stats.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_h").alias("_hb"),
+    )
+    i_ub = F.col("_cab") + F.least(F.col("_ha"), F.col("_hb"))
+    # ε admits exact-boundary pairs under float t·min — pruning bounds
+    # may only ever be loose, the exact verify below decides.
+    cand = (
+        cand.join(st_a.hint("shuffle_hash"), "doc_a")
+        .join(st_b.hint("shuffle_hash"), "doc_b")
+        .filter(
+            i_ub
+            >= F.lit(min_containment) * F.least("_na", "_nb") - F.lit(1e-9)
+        )
+        .select("doc_a", "doc_b")
         .repartition(fanout, "doc_a")
     )
     # The pair stream is ~10⁸ rows of two longs at sf10 while each doc's
