@@ -157,18 +157,35 @@ def source_overlap(
     )
     if hashed:
         grams = grams.select("source", F.xxhash64("g").alias("g"))
-    grams = grams.distinct()
-    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    # Pairwise intersections WITHOUT the gram-keyed self-join: group the
-    # deduped grams by g, collect the ≤ n_sources sharing sources
-    # (sorted — so emitted pairs are already src_a < src_b) and emit the
-    # in-list combinations map-side; only source-pair partial counts
-    # cross the last exchange. The round-10 self-join re-shuffled the
-    # SAME distinct-gram table twice into a hash join whose probe work
-    # scaled with |grams|; one g-keyed exchange replaces both (the
-    # per-gram fan-out stays bounded by C(n_sources, 2) exactly as
-    # before — a gram shared by thousands of sources would need the
-    # q_dedup_near-style hot-key cap either way).
+    # ONE g-keyed exchange for dedup + grouping (round 11): the former
+    # shape deduped (source, g) in its own exchange and then re-shuffled
+    # the distinct stream by g — and, with sizes and intersections both
+    # consuming the un-cached distinct, the whole tokenize + explode +
+    # hash pipeline executed TWICE. collect_set(source) per gram fuses
+    # the dedup into the g-grouping (identical sets — partial map-side
+    # aggregation also collapses raw duplicates before the exchange), so
+    # the raw gram stream crosses once; the per-gram source-set table is
+    # vocabulary-sized and persists through the session cache slot, and
+    # BOTH the per-source sizes and the pairwise intersections derive
+    # from it without touching the corpus again. sort_array makes the
+    # emitted in-list pairs src_a < src_b as before; only source-pair
+    # and per-source partial counts cross the last exchanges. The
+    # per-gram fan-out stays bounded by C(n_sources, 2) — a gram shared
+    # by thousands of sources would need the q_dedup_near-style hot-key
+    # cap either way.
+    from ..plans.cache_registry import persist_slot
+
+    gsets = persist_slot(
+        grams.groupBy("g").agg(
+            F.sort_array(F.collect_set("source")).alias("ss")
+        ),
+        "source_overlap_gram_sets",
+    )
+    sizes = (
+        gsets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     ss = F.col("ss")
     combos = F.flatten(
         F.transform(
@@ -180,9 +197,7 @@ def source_overlap(
         )
     )
     inter = (
-        grams.groupBy("g")
-        .agg(F.sort_array(F.collect_list("source")).alias("ss"))
-        .select(F.explode(combos).alias("pr"))
+        gsets.select(F.explode(combos).alias("pr"))
         .select("pr.src_a", "pr.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -210,20 +210,58 @@ def spearman(
     df: DataFrame, group_col: str, x_col: F.Column, y_col: F.Column
 ) -> DataFrame:
     """Spearman ρ per group with mid-rank ties, on DOUBLED integer ranks
-    (2·rank + ties − 1) so all Pearson sums are exact BIGINTs."""
+    (2·rank + ties − 1) so all Pearson sums are exact BIGINTs.
+
+    Ranks come from the DISTINCT-value tables, not row-level windows
+    (round 11): ``rank() over (partition by g order by x)`` on the raw
+    rows sorts the whole fact under one task per group — 5 event types
+    pinned 10 M rows onto 5 serial sorts at the 100× audit scale. The
+    mid-rank of every row sharing (g, x) is determined by the per-value
+    count alone: with c = count(g, x) and cum = Σ c over values < x,
+    doubled rank 2·rank_min + c − 3 = 2·cum + c − 1. The window that
+    computes cum runs over the distinct-(g, x) table (49 k rows here vs
+    10 M — and value-bounded, it does NOT grow with row count), and the
+    fact stream attaches rx/ry by two hash joins instead of sorting.
+    Bit-identical: same integer ranks, same aggregate expressions; ties
+    and null ordering follow the same asc_nulls_first the row window
+    used."""
     d = df.select(F.col(group_col).alias("g"), x_col.alias("x"), y_col.alias("y"))
 
-    def ranks2(col: str) -> F.Column:
-        wr = Window.partitionBy("g").orderBy(col)
-        wt = Window.partitionBy("g", col)
+    def rank_table(col: str) -> DataFrame:
+        wv = (
+            Window.partitionBy("_rg")
+            .orderBy(F.asc_nulls_first("_rv"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         return (
-            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 3
-        ).cast("long")
-        # rank() is 1-based min-rank; 2·avg = 2·rank + ties − 1; the −3
-        # (= −1 −2) recenters to 0-based doubled ranks — an affine shift
-        # that cancels in Pearson but keeps magnitudes smaller.
+            d.groupBy(F.col("g").alias("_rg"), F.col(col).alias("_rv"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                "_rg",
+                "_rv",
+                (
+                    F.lit(2) * F.coalesce(F.sum("_c").over(wv), F.lit(0))
+                    + F.col("_c")
+                    - 1
+                ).cast("long").alias(f"r{col}"),
+            )
+        )
 
-    r = d.withColumn("rx", ranks2("x")).withColumn("ry", ranks2("y"))
+    # eqNullSafe: the row window ranked NULL values (first in asc); an
+    # equi-join would silently drop those rows instead.
+    rx_t, ry_t = rank_table("x"), rank_table("y")
+    r = (
+        d.join(
+            rx_t,
+            (F.col("g") == F.col("_rg")) & F.col("x").eqNullSafe(F.col("_rv")),
+        )
+        .drop("_rg", "_rv")
+        .join(
+            ry_t,
+            (F.col("g") == F.col("_rg")) & F.col("y").eqNullSafe(F.col("_rv")),
+        )
+        .drop("_rg", "_rv")
+    )
     # product sums and the m2 numerators overflow int64 past ~2e6 rows
     # per group (doubled ranks reach 2n; the 100x audit caught the sum),
     # so they run in decimal(38,0) — exact to ~1e38 — mirrored by
