@@ -1059,13 +1059,28 @@ def containment_pairs(
     # re-read the session-cached shingle table, never re-tokenizing
     # the corpus, and the hot-gram side shuffles only per-gram partial
     # counts.
-    fanout = 8 * df.sparkSession.sparkContext.defaultParallelism
+    from ..plans.parallelism import keyed_fanout
+
+    # Input-derived fan-out (8× the corpus scan's split count clamped
+    # to [cores, 8× cores] — see keyed_fanout): the flat 8×-core
+    # constant paid ~hundreds of near-empty task launches at sf0.1.
+    fanout = keyed_fanout(df)
+    # The explicit key repartition sits BELOW the aggregate: the pair
+    # stream is ~10⁸ nearly-all-distinct rows, so byte-based AQE sizing
+    # would coalesce the count onto few fat reduce tasks (the
+    # basket_pairs finding). Partitioning on doc_a ALONE both satisfies
+    # the (doc_a, doc_b) clustered distribution (a subset hash
+    # partitioning clusters every group) AND is exactly the layout the
+    # st_a prune join needs — ONE fan-out exchange serves the count
+    # aggregate and the first stats join; only the st_b join re-keys
+    # the stream. Per-doc_a fan-in is bounded by the doc's kept-gram
+    # count × max_df, so no single task inherits a mega-key.
     cand = (
         posting.select(F.explode(combos).alias("pr"))
         .select("pr.doc_a", "pr.doc_b")
+        .repartition(fanout, "doc_a")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_cab"))
-        .repartition(fanout, "doc_a")
     )
     hot = (
         inv.groupBy("g")
