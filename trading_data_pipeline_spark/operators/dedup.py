@@ -659,11 +659,15 @@ def _jaccard_ptj_path(
     # verify, so byte-based AQE sizing would leave it on |shuffle
     # partitions| coarse tasks and the hottest buckets straggle
     # (measured: 33 % idle slot time at 32 tasks). Partition the ONE
-    # exchange both sides share by the join key at a core-count-derived
-    # fan-out (scale-adaptive: defaultParallelism, not a local constant);
-    # an explicit repartition count also keeps AQE from re-coalescing.
-    fanout = 8 * sets.sparkSession.sparkContext.defaultParallelism
-    sig = sig.repartition(fanout, "pid", "sub")
+    # exchange both sides share by the join key at the input-derived
+    # fan-out (keyed_fanout: 8× the corpus scan's split count clamped to
+    # [cores, 8× cores] — hits the 8×-core ceiling at audit scale and
+    # above, degrades to the core count on small inputs where a flat
+    # constant paid hundreds of near-empty task launches); an explicit
+    # repartition count also keeps AQE from re-coalescing.
+    from ..plans.parallelism import keyed_fanout
+
+    sig = sig.repartition(keyed_fanout(docs), "pid", "sub")
 
     na, nb = F.col("a.n"), F.col("b.n")
     eps = 1e-6
